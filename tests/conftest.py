@@ -1,0 +1,19 @@
+"""Test config: force an 8-virtual-device CPU mesh so DP/TP semantics are
+testable without TPU hardware (SURVEY §4).
+
+Note: the env var JAX_PLATFORMS is overridden by the TPU PJRT plugin in this
+image, so we force CPU via jax.config (which wins) before any device use.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)

@@ -1,0 +1,65 @@
+"""Model registry: timm-style name → model factory.
+
+Parity target: ``create_model(args.model, ...)`` at train.py:482-495 with the
+names used by the run book (train_instruct.txt:17,20:
+``vit_small_patch16_224_dino``, and timm classics like
+``vit_tiny_patch16_224`` / ``vit_base_patch16_224``). ``_dino`` names map to
+the same geometry; pretrained-weight loading is a checkpoint concern
+(tpuwsi.train.checkpoint), not a registry one.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import jax.numpy as jnp
+
+from tpuwsi.models.resnet_trunc import ResNetTruncBaseline
+from tpuwsi.models.vit import ViTConfig, VisionTransformer, vit_base, vit_small, vit_tiny
+
+_VIT_FACTORIES = {
+    "tiny": vit_tiny,
+    "small": vit_small,
+    "base": vit_base,
+}
+
+_NAME_RE = re.compile(
+    r"^vit_(?P<size>tiny|small|base)_patch(?P<patch>\d+)_(?P<img>\d+)(?P<dino>_dino)?$"
+)
+
+
+def parse_model_name(name: str) -> ViTConfig:
+    m = _NAME_RE.match(name)
+    if not m:
+        raise ValueError(f"unknown model name: {name!r}")
+    return _VIT_FACTORIES[m.group("size")](
+        patch_size=int(m.group("patch")), img_size=int(m.group("img"))
+    )
+
+
+def create_model(
+    name: str,
+    num_classes: int = 2,
+    drop_rate: float = 0.0,
+    drop_path_rate: float = 0.0,
+    img_size: Optional[int] = None,
+    dtype=jnp.bfloat16,
+    use_pallas_attention: bool = True,
+) -> VisionTransformer:
+    """Build a ViT by timm-style name (or 'resnet50_trunc')."""
+    if name in ("resnet50_trunc", "resnet50_trunc_baseline"):
+        return ResNetTruncBaseline()
+    cfg = parse_model_name(name)
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg,
+        num_classes=num_classes,
+        drop_rate=drop_rate,
+        drop_path_rate=drop_path_rate,
+        img_size=img_size or cfg.img_size,
+        dtype=dtype,
+        use_pallas_attention=use_pallas_attention,
+    )
+    return VisionTransformer(cfg)

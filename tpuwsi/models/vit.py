@@ -1,0 +1,353 @@
+"""Vision Transformer, TPU-first.
+
+Parity target: the reference's timm ViTs (created at train.py:482-495 via
+``create_model('vit_small_patch16_224_dino', ...)``) and the orphaned DINO
+``VisionTransformer`` recovered from bytecode at
+nn_encoder_arch/__pycache__/vision_transformer.cpython-37.pyc (symbols:
+trunc_normal_, DropPath, Mlp, Attention, Block, PatchEmbed, VisionTransformer
+with interpolate_pos_encoding / prepare_tokens / get_last_selfattention /
+get_intermediate_layers, factories vit_tiny/vit_small/vit_base) — see
+SURVEY.md §2.9.
+
+TPU-first choices (not a torch port):
+- NHWC everywhere; patch-embed is a space-to-depth reshape + one GEMM (maps
+  straight onto the MXU instead of an im2col conv).
+- Fused attention via the Pallas flash kernel (tpuwsi.ops.attention).
+- bf16 compute / fp32 params via the precision policy; LayerNorm in fp32.
+- Stochastic depth and dropout are driven by explicit flax RNG collections.
+- geometry: ViT-S embed dim 384 (confirmed by the reference's 384-dim feature
+  export, train.py:1203).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tpuwsi.ops.attention import attention_reference, fused_attention
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    img_size: int = 224
+    patch_size: int = 16
+    in_chans: int = 3
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    num_classes: int = 0  # 0 → no head (feature extractor)
+    dtype: Dtype = jnp.bfloat16
+    use_pallas_attention: bool = True
+
+    @property
+    def num_patches_side(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.num_patches_side ** 2
+
+
+def trunc_normal_init(stddev: float = 0.02):
+    return nn.initializers.truncated_normal(stddev=stddev, lower=-2.0, upper=2.0)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class PatchEmbed(nn.Module):
+    """Space-to-depth + GEMM patch embedding (one big MXU matmul)."""
+
+    patch_size: int
+    embed_dim: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):  # x: (B, H, W, C) any float dtype
+        b, h, w, c = x.shape
+        p = self.patch_size
+        gh, gw = h // p, w // p
+        x = x.reshape(b, gh, p, gw, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
+        x = nn.Dense(
+            self.embed_dim,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init(),
+            name="proj",
+        )(x.astype(self.dtype))
+        return x, (gh, gw)
+
+
+class Attention(nn.Module):
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool, return_attn: bool = False):
+        b, n, d = x.shape
+        head_dim = d // self.num_heads
+        qkv = nn.Dense(
+            3 * d,
+            use_bias=self.qkv_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init(),
+            name="qkv",
+        )(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = [
+            qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)
+        ]  # (B, H, N, hd)
+
+        if return_attn:
+            # Explicit attention map for saliency (reference DINO
+            # get_last_selfattention; SURVEY §2.9).
+            scale = head_dim ** -0.5
+            s = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            attn = jax.nn.softmax(s, axis=-1)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
+        else:
+            attn = None
+            if self.use_pallas:
+                out = fused_attention(q, k, v)
+            else:
+                out = attention_reference(q, k, v)
+            if self.attn_drop > 0.0 and not deterministic:
+                # Note: dropout inside softmax-attn is not supported by the
+                # fused kernel; applied on the output values instead (the
+                # reference recipes never enable attn_drop — timm default 0).
+                out = nn.Dropout(self.attn_drop)(out, deterministic=False)
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
+        out = nn.Dense(
+            d,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init(),
+            name="proj",
+        )(out)
+        if self.proj_drop > 0.0:
+            out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out, attn
+
+
+class Mlp(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    drop: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        x = nn.Dense(
+            self.hidden_dim,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init(),
+            name="fc1",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        if self.drop > 0.0:
+            x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(
+            self.out_dim,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init(),
+            name="fc2",
+        )(x)
+        if self.drop > 0.0:
+            x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class Block(nn.Module):
+    num_heads: int
+    mlp_ratio: float
+    qkv_bias: bool
+    drop: float
+    attn_drop: float
+    drop_path: float
+    dtype: Dtype = jnp.bfloat16
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool, return_attn: bool = False):
+        d = x.shape[-1]
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        y, attn = Attention(
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            dtype=self.dtype,
+            use_pallas=self.use_pallas,
+            name="attn",
+        )(y.astype(self.dtype), deterministic, return_attn)
+        x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        y = Mlp(
+            hidden_dim=int(d * self.mlp_ratio),
+            out_dim=d,
+            drop=self.drop,
+            dtype=self.dtype,
+            name="mlp",
+        )(y.astype(self.dtype), deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
+        return x, attn
+
+
+def interpolate_pos_encoding(
+    pos_embed: jax.Array, npatch: int, gh: int, gw: int
+) -> jax.Array:
+    """Bicubic-resample the (1, 1+N, D) positional table to a new grid.
+
+    Parity: DINO VisionTransformer.interpolate_pos_encoding (SURVEY §2.9) —
+    lets one checkpoint serve multiple tile sizes (global 224 vs local 96
+    multi-crop views).
+    """
+    n = pos_embed.shape[1] - 1
+    if npatch == n:
+        return pos_embed
+    cls_pos = pos_embed[:, :1]
+    patch_pos = pos_embed[:, 1:]
+    dim = pos_embed.shape[-1]
+    side = int(math.sqrt(n))
+    patch_pos = patch_pos.reshape(1, side, side, dim)
+    patch_pos = jax.image.resize(
+        patch_pos, (1, gh, gw, dim), method="bicubic"
+    )
+    patch_pos = patch_pos.reshape(1, gh * gw, dim)
+    return jnp.concatenate([cls_pos, patch_pos], axis=1)
+
+
+class VisionTransformer(nn.Module):
+    """DINO/timm-geometry ViT with cls token and learned position embedding."""
+
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        deterministic: bool = True,
+        return_all_tokens: bool = False,
+        return_last_attention: bool = False,
+        intermediate_layers: Optional[int] = None,
+    ):
+        cfg = self.config
+        b = x.shape[0]
+        x, (gh, gw) = PatchEmbed(
+            patch_size=cfg.patch_size,
+            embed_dim=cfg.embed_dim,
+            dtype=cfg.dtype,
+            name="patch_embed",
+        )(x)
+        n = x.shape[1]
+
+        cls_token = self.param(
+            "cls_token", trunc_normal_init(), (1, 1, cfg.embed_dim), jnp.float32
+        )
+        pos_embed = self.param(
+            "pos_embed",
+            trunc_normal_init(),
+            (1, cfg.num_patches + 1, cfg.embed_dim),
+            jnp.float32,
+        )
+        cls = jnp.broadcast_to(cls_token, (b, 1, cfg.embed_dim)).astype(cfg.dtype)
+        x = jnp.concatenate([cls, x], axis=1)
+        pos = interpolate_pos_encoding(pos_embed, n, gh, gw)
+        x = x + pos.astype(cfg.dtype)
+        if cfg.drop_rate > 0.0:
+            x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
+
+        dpr = [
+            cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
+            for i in range(cfg.depth)
+        ]
+        intermediates = []
+        last_attn = None
+        for i in range(cfg.depth):
+            want_attn = return_last_attention and i == cfg.depth - 1
+            x, attn = Block(
+                num_heads=cfg.num_heads,
+                mlp_ratio=cfg.mlp_ratio,
+                qkv_bias=cfg.qkv_bias,
+                drop=cfg.drop_rate,
+                attn_drop=cfg.attn_drop_rate,
+                drop_path=dpr[i],
+                dtype=cfg.dtype,
+                use_pallas=cfg.use_pallas_attention,
+                name=f"blocks_{i}",
+            )(x, deterministic, want_attn)
+            if want_attn:
+                last_attn = attn
+            if intermediate_layers and i >= cfg.depth - intermediate_layers:
+                intermediates.append(x)
+
+        final_norm = nn.LayerNorm(dtype=jnp.float32, name="norm")
+        x = final_norm(x)
+
+        if return_last_attention:
+            return last_attn
+        if intermediate_layers:
+            # Parity: DINO get_intermediate_layers — final-norm applied to the
+            # outputs of the last-k blocks (SURVEY §2.9).
+            return [final_norm(h) for h in intermediates[:-1]] + [x]
+        cls_out = x[:, 0]
+        if return_all_tokens:
+            return x
+        if cfg.num_classes > 0:
+            logits = nn.Dense(
+                cfg.num_classes,
+                dtype=jnp.float32,
+                param_dtype=jnp.float32,
+                kernel_init=trunc_normal_init(),
+                name="head",
+            )(cls_out.astype(jnp.float32))
+            return logits
+        return cls_out.astype(jnp.float32)
+
+
+def vit_tiny(patch_size: int = 16, **kw) -> ViTConfig:
+    return ViTConfig(patch_size=patch_size, embed_dim=192, depth=12, num_heads=3, **kw)
+
+
+def vit_small(patch_size: int = 16, **kw) -> ViTConfig:
+    return ViTConfig(patch_size=patch_size, embed_dim=384, depth=12, num_heads=6, **kw)
+
+
+def vit_base(patch_size: int = 16, **kw) -> ViTConfig:
+    return ViTConfig(patch_size=patch_size, embed_dim=768, depth=12, num_heads=12, **kw)

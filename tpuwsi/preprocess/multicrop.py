@@ -1,0 +1,133 @@
+"""DINO multi-crop augmentation (on-device).
+
+The reference's SSL capability is latent (orphaned DINO model zoo, SURVEY §0,
+§2.9); the BASELINE north-star makes it real: 2 global (224²) + N local (96²)
+crops per tile through a fused on-device pipeline. Recipe follows the public
+DINO multi-crop: random resized crop, horizontal flip, colour jitter (p=0.8),
+grayscale (p=0.2), Gaussian blur, solarisation (second global view only),
+normalise.
+
+Everything is jit-able with static output shapes: crops are produced by
+dynamic-slice + resize, randomness via explicit keys.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuwsi.preprocess import augment as A
+from tpuwsi.preprocess.normalize import normalize
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiCropConfig:
+    global_size: int = 224
+    local_size: int = 96
+    n_local: int = 6  # BASELINE north-star: 2 global + 6 local
+    global_scale: Tuple[float, float] = (0.4, 1.0)
+    local_scale: Tuple[float, float] = (0.05, 0.4)
+    norm_type: str = "Ron"
+
+
+def random_resized_crop(key, img, out_size, scale_range, ratio_range=(3 / 4, 4 / 3)):
+    """torchvision RandomResizedCrop semantics with static shapes."""
+    h, w, c = img.shape
+    karea, kratio, ky, kx = jax.random.split(key, 4)
+    area = h * w * jax.random.uniform(
+        karea, (), minval=scale_range[0], maxval=scale_range[1]
+    )
+    log_ratio = jax.random.uniform(
+        kratio,
+        (),
+        minval=jnp.log(ratio_range[0]),
+        maxval=jnp.log(ratio_range[1]),
+    )
+    ratio = jnp.exp(log_ratio)
+    cw = jnp.clip(jnp.round(jnp.sqrt(area * ratio)), 1, w).astype(jnp.int32)
+    ch = jnp.clip(jnp.round(jnp.sqrt(area / ratio)), 1, h).astype(jnp.int32)
+    top = jax.random.randint(ky, (), 0, h) % jnp.maximum(h - ch + 1, 1)
+    left = jax.random.randint(kx, (), 0, w) % jnp.maximum(w - cw + 1, 1)
+
+    # Static-shape gather-based bilinear resample of the (top,left,ch,cw) box
+    # to (out_size, out_size): sample positions are traced values, indices are
+    # gathered — no dynamic output shape.
+    ys = top + (jnp.arange(out_size) + 0.5) * ch / out_size - 0.5
+    xs = left + (jnp.arange(out_size) + 0.5) * cw / out_size - 0.5
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = jnp.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = jnp.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    a = img[y0][:, x0]
+    b = img[y0][:, x1]
+    cta = img[y1][:, x0]
+    d = img[y1][:, x1]
+    top_row = a * (1 - wx) + b * wx
+    bot_row = cta * (1 - wx) + d * wx
+    return top_row * (1 - wy) + bot_row * wy
+
+
+def random_grayscale(key, img, p=0.2):
+    gray = (img @ jnp.array([0.2989, 0.587, 0.114], img.dtype))[..., None]
+    gray = jnp.broadcast_to(gray, img.shape)
+    return jnp.where(jax.random.bernoulli(key, p), gray, img)
+
+
+def solarize(key, img, p=0.2, threshold=0.5):
+    sol = jnp.where(img >= threshold, 1.0 - img, img)
+    return jnp.where(jax.random.bernoulli(key, p), sol, img)
+
+
+_DINO_JITTER = A.jitter_params(
+    brightness=0.4, contrast=0.4, saturation=0.2, hue=0.1
+)
+
+
+def _dino_view(key, img, out_size, scale_range, blur_p, solarize_p):
+    kc, kf, kj, kjp, kg, kb, kbp, ks = jax.random.split(key, 8)
+    v = random_resized_crop(kc, img, out_size, scale_range)
+    v = A.random_hflip(kf, v)
+    jittered = A.color_jitter(kj, v, *_DINO_JITTER)
+    v = jnp.where(jax.random.bernoulli(kjp, 0.8), jittered, v)
+    v = random_grayscale(kg, v, 0.2)
+    blurred = A.gaussian_blur3(kb, v, (0.1, 2.0))
+    v = jnp.where(jax.random.bernoulli(kbp, blur_p), blurred, v)
+    v = solarize(ks, v, solarize_p)
+    return v
+
+
+def make_multicrop(cfg: MultiCropConfig):
+    """Returns fn(key, uint8 batch BHWC) →
+    (globals (B, 2, Sg, Sg, 3), locals (B, n_local, Sl, Sl, 3)), normalised."""
+
+    def per_image(key, img):
+        keys = jax.random.split(key, 2 + cfg.n_local)
+        g0 = _dino_view(keys[0], img, cfg.global_size, cfg.global_scale, 1.0, 0.0)
+        g1 = _dino_view(keys[1], img, cfg.global_size, cfg.global_scale, 0.1, 0.2)
+        gl = jnp.stack([g0, g1])
+        loc = jnp.stack(
+            [
+                _dino_view(
+                    keys[2 + i], img, cfg.local_size, cfg.local_scale, 0.5, 0.0
+                )
+                for i in range(cfg.n_local)
+            ]
+        )
+        return gl, loc
+
+    def batch_fn(key, images):
+        images = (
+            images.astype(jnp.float32) / 255.0
+            if images.dtype == jnp.uint8
+            else images
+        )
+        keys = jax.random.split(key, images.shape[0])
+        gl, loc = jax.vmap(per_image)(keys, images)
+        return normalize(gl, cfg.norm_type), normalize(loc, cfg.norm_type)
+
+    return batch_fn

@@ -1,0 +1,86 @@
+"""Loss functions.
+
+Parity: the reference's loss surface — timm cross-entropy with label smoothing
+(train.py:637-662 ``--smoothing``), BCE (``--bce-loss``), JSD (``--jsd-loss``),
+soft-target CE (mixup path), and the GipMed ``FocalLoss`` γ=2
+(utils.py:668-679). All are plain jit-able functions over logits.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def cross_entropy(logits, labels, smoothing: float = 0.0, weights=None):
+    """labels: int (B,). Optional label smoothing and per-sample weights."""
+    num_classes = logits.shape[-1]
+    one_hot = jax.nn.one_hot(labels, num_classes)
+    if smoothing > 0.0:
+        one_hot = one_hot * (1.0 - smoothing) + smoothing / num_classes
+    losses = optax.softmax_cross_entropy(logits, one_hot)
+    if weights is not None:
+        losses = losses * weights
+    return losses.mean()
+
+
+def soft_target_cross_entropy(logits, target_probs):
+    return optax.softmax_cross_entropy(logits, target_probs).mean()
+
+
+def binary_cross_entropy(logits, labels, smoothing: float = 0.0):
+    """timm BCE-loss path: per-class sigmoid BCE on one-hot targets."""
+    num_classes = logits.shape[-1]
+    one_hot = jax.nn.one_hot(labels, num_classes)
+    if smoothing > 0.0:
+        one_hot = one_hot * (1.0 - smoothing) + smoothing / num_classes
+    return optax.sigmoid_binary_cross_entropy(logits, one_hot).mean()
+
+
+def focal_loss(logits, labels, gamma: float = 2.0, alpha=None):
+    """FocalLoss parity (utils.py:668-679): CE scaled by (1 - p_t)^γ."""
+    log_probs = jax.nn.log_softmax(logits)
+    labels_oh = jax.nn.one_hot(labels, logits.shape[-1])
+    log_pt = jnp.sum(labels_oh * log_probs, axis=-1)
+    pt = jnp.exp(log_pt)
+    loss = -((1.0 - pt) ** gamma) * log_pt
+    if alpha is not None:
+        alpha_t = jnp.asarray(alpha)[labels]
+        loss = alpha_t * loss
+    return loss.mean()
+
+
+def jsd_cross_entropy(logits_clean, logits_aug1, logits_aug2, labels, alpha=12.0):
+    """timm JsdCrossEntropy for AugMix-style splits."""
+    ce = cross_entropy(logits_clean, labels)
+    probs = [
+        jax.nn.softmax(l) for l in (logits_clean, logits_aug1, logits_aug2)
+    ]
+    mix = jnp.clip(sum(probs) / 3.0, 1e-7, 1.0)
+    log_mix = jnp.log(mix)
+    kl = sum(
+        jnp.sum(p * (jnp.log(jnp.clip(p, 1e-7, 1.0)) - log_mix), axis=-1).mean()
+        for p in probs
+    )
+    return ce + alpha * kl / 3.0
+
+
+def cox_partial_likelihood(risk_scores, times, events):
+    """Censored-survival loss for the survival dataset family
+    (datasets.py:2354-3461 targets: time, censored flag). Breslow ties."""
+    order = jnp.argsort(-times)  # descending time: risk set is a prefix
+    risk = risk_scores[order]
+    ev = events[order]
+    log_cumsum = jax.lax.cumlogsumexp(risk)
+    return -jnp.sum((risk - log_cumsum) * ev) / jnp.maximum(ev.sum(), 1.0)
+
+
+LOSS_REGISTRY = {
+    "ce": cross_entropy,
+    "bce": binary_cross_entropy,
+    "focal": focal_loss,
+    "soft_ce": soft_target_cross_entropy,
+    "jsd": jsd_cross_entropy,
+    "cox": cox_partial_likelihood,
+}

@@ -1,0 +1,142 @@
+"""Optimizers and LR schedules (optax).
+
+Parity: timm ``create_optimizer_v2`` / ``create_scheduler_v2`` as used at
+train.py:583, 883-887 — sgd/momentum/adam/adamw/lamb/lars/rmsprop selection,
+weight decay with no-decay for 1-D params (norms/biases), cosine/step/tanh
+schedules with linear warmup, and the DDP world-size LR scaling rule
+(train.py:569-581: linear ``lr = base_lr * batch * world / 512`` or sqrt).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass
+class OptimConfig:
+    opt: str = "sgd"
+    lr: Optional[float] = None  # None → derived via scaling rule
+    base_lr: float = 0.1
+    lr_base_size: int = 512
+    lr_base_scale: str = "linear"  # 'linear' (sgd-family) | 'sqrt' (adaptive)
+    momentum: float = 0.9
+    weight_decay: float = 2e-5
+    eps: float = 1e-8
+    betas: tuple = (0.9, 0.999)
+    clip_grad: Optional[float] = None
+    # schedule
+    sched: str = "cosine"
+    epochs: int = 300
+    warmup_epochs: int = 5
+    warmup_lr: float = 1e-5
+    min_lr: float = 0.0
+    steps_per_epoch: int = 1000
+    decay_epochs: int = 90
+    decay_rate: float = 0.1
+
+    def resolved_lr(self, global_batch_size: int) -> float:
+        """train.py:569-581 world-size scaling."""
+        if self.lr is not None:
+            return self.lr
+        ratio = global_batch_size / self.lr_base_size
+        if self.lr_base_scale == "sqrt":
+            ratio = ratio ** 0.5
+        return self.base_lr * ratio
+
+
+def make_schedule(cfg: OptimConfig, peak_lr: float) -> optax.Schedule:
+    warmup_steps = cfg.warmup_epochs * cfg.steps_per_epoch
+    total_steps = cfg.epochs * cfg.steps_per_epoch
+    decay_steps = max(total_steps - warmup_steps, 1)
+    if cfg.sched == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=cfg.warmup_lr,
+            peak_value=peak_lr,
+            warmup_steps=warmup_steps,
+            decay_steps=total_steps,
+            end_value=cfg.min_lr,
+        )
+    if cfg.sched == "step":
+        sched = optax.exponential_decay(
+            init_value=peak_lr,
+            transition_steps=cfg.decay_epochs * cfg.steps_per_epoch,
+            decay_rate=cfg.decay_rate,
+            staircase=True,
+        )
+        if warmup_steps:
+            warm = optax.linear_schedule(cfg.warmup_lr, peak_lr, warmup_steps)
+            return optax.join_schedules([warm, sched], [warmup_steps])
+        return sched
+    if cfg.sched in ("none", "constant"):
+        if warmup_steps:
+            return optax.join_schedules(
+                [
+                    optax.linear_schedule(cfg.warmup_lr, peak_lr, warmup_steps),
+                    optax.constant_schedule(peak_lr),
+                ],
+                [warmup_steps],
+            )
+        return optax.constant_schedule(peak_lr)
+    raise ValueError(f"unknown schedule {cfg.sched!r}")
+
+
+def _no_decay_mask(params):
+    """timm behaviour: no weight decay on 1-D params (norm scales, biases)."""
+
+    def mask(p):
+        return jnp.ndim(p) > 1
+
+    return jax.tree_util.tree_map(mask, params)
+
+
+def make_optimizer(
+    cfg: OptimConfig, params, global_batch_size: int
+) -> tuple[optax.GradientTransformation, optax.Schedule]:
+    peak_lr = cfg.resolved_lr(global_batch_size)
+    schedule = make_schedule(cfg, peak_lr)
+    wd_mask = _no_decay_mask(params)
+
+    name = cfg.opt.lower()
+    if name in ("sgd", "momentum", "nesterov"):
+        tx = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay, wd_mask),
+            optax.sgd(
+                schedule, momentum=cfg.momentum, nesterov=(name != "momentum")
+            ),
+        )
+    elif name == "adam":
+        tx = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay, wd_mask),
+            optax.adam(schedule, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps),
+        )
+    elif name == "adamw":
+        tx = optax.adamw(
+            schedule,
+            b1=cfg.betas[0],
+            b2=cfg.betas[1],
+            eps=cfg.eps,
+            weight_decay=cfg.weight_decay,
+            mask=wd_mask,
+        )
+    elif name == "lamb":
+        tx = optax.lamb(schedule, weight_decay=cfg.weight_decay, mask=wd_mask)
+    elif name == "lars":
+        tx = optax.lars(
+            schedule, weight_decay=cfg.weight_decay, momentum=cfg.momentum
+        )
+    elif name == "rmsprop":
+        tx = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay, wd_mask),
+            optax.rmsprop(schedule, momentum=cfg.momentum, eps=cfg.eps),
+        )
+    else:
+        raise ValueError(f"unknown optimizer {cfg.opt!r}")
+
+    if cfg.clip_grad is not None:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.clip_grad), tx)
+    return tx, schedule
