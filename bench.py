@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Headline benchmark: augmented tiles/sec/chip through the fused multi-crop
+preprocessing + ViT-S/16 DINO SSL step (BASELINE.json north star: ≥10,000 on
+a v4-8 chip; baseline ratio reported against that target).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tiles/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+NORTH_STAR = 10_000.0  # tiles/sec/chip (BASELINE.json)
+
+# NOTE: buffer donation (donate_argnums) triggers INVALID_ARGUMENT on the
+# axon TPU backend in this image — steps run undonated.
+
+
+def build(batch_size: int, tile: int = 224):
+    from tpuwsi.models import DINOHead
+    from tpuwsi.models.vit import VisionTransformer, vit_small
+    from tpuwsi.preprocess.multicrop import MultiCropConfig, make_multicrop
+    from tpuwsi.ssl_dino import (
+        DINOConfig,
+        DINOModel,
+        create_dino_state,
+        make_dino_train_step,
+    )
+    from tpuwsi.train import OptimConfig, make_optimizer
+
+    on_tpu = jax.default_backend() == "tpu"
+    backbone = VisionTransformer(
+        vit_small(num_classes=0, img_size=224, use_pallas_attention=on_tpu)
+    )
+    model = DINOModel(
+        backbone=backbone,
+        head=DINOHead(out_dim=65536, hidden_dim=2048, bottleneck_dim=256),
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
+    )
+    dcfg = DINOConfig(out_dim=65536, n_local=6, total_steps=1000)
+    ocfg = OptimConfig(opt="adamw", lr=5e-4, weight_decay=0.04)
+    tx, _ = make_optimizer(ocfg, params, global_batch_size=batch_size)
+    state = create_dino_state(params, tx, dcfg)
+    mc = make_multicrop(MultiCropConfig(global_size=224, local_size=96, n_local=6))
+    step = jax.jit(make_dino_train_step(model.apply, tx, dcfg, multicrop_fn=mc))
+    return state, step
+
+
+def main():
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    tile = 256  # raw WSI tile size fed to multi-crop (train.py:414: 256 default)
+    state, step = build(batch_size)
+    rng = jax.random.PRNGKey(1)
+    imgs = np.random.randint(0, 255, (batch_size, tile, tile, 3), dtype=np.uint8)
+    batch = {"images": jnp.asarray(imgs)}
+
+    # warmup/compile — float() forces a real device round-trip (plain
+    # block_until_ready does not surface execution on the axon backend).
+    state, m = step(state, batch, rng)
+    float(m["loss"])
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, m = step(state, batch, rng)
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+
+    tiles_per_sec = batch_size * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "augmented_tiles_per_sec_per_chip_vit_s16_dino_ssl_step",
+                "value": round(tiles_per_sec, 2),
+                "unit": "tiles/sec/chip",
+                "vs_baseline": round(tiles_per_sec / NORTH_STAR, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

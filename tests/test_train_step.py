@@ -1,0 +1,156 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuwsi.core.mesh import MeshConfig, create_mesh, shard_batch
+from tpuwsi.models import create_model
+from tpuwsi.preprocess import make_recipe
+from tpuwsi.ssl_dino import (
+    DINOConfig,
+    DINOModel,
+    create_dino_state,
+    make_dino_train_step,
+)
+from tpuwsi.models import DINOHead
+from tpuwsi.models.vit import VisionTransformer, vit_tiny
+from tpuwsi.preprocess.multicrop import MultiCropConfig, make_multicrop
+from tpuwsi.train import (
+    OptimConfig,
+    compile_step,
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def _tiny_model(num_classes=2, img=32):
+    cfg = vit_tiny(
+        num_classes=num_classes,
+        img_size=img,
+        use_pallas_attention=False,
+        dtype=jnp.float32,
+    )
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, depth=2, embed_dim=64, num_heads=2)
+    return VisionTransformer(cfg)
+
+
+def test_supervised_step_runs_and_learns():
+    model = _tiny_model()
+    x = jnp.zeros((4, 32, 32, 3), jnp.uint8)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    ocfg = OptimConfig(opt="adamw", lr=1e-3, epochs=1, warmup_epochs=0,
+                       steps_per_epoch=10)
+    tx, _ = make_optimizer(ocfg, params, global_batch_size=4)
+    state = create_train_state(params, tx, ema=True)
+    aug = make_recipe("flip", train=True, tile_size=32)
+    step = make_train_step(model.apply, tx, augment_fn=aug, ema_decay=0.9)
+
+    # Learnable toy task: class = brightness.
+    imgs = np.zeros((8, 32, 32, 3), np.uint8)
+    imgs[4:] = 200
+    labels = np.array([0] * 4 + [1] * 4)
+    batch = {"images": jnp.asarray(imgs), "labels": jnp.asarray(labels)}
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    jit_step = jax.jit(step)
+    for _ in range(30):
+        state, metrics = jit_step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert float(metrics["auc"]) == 1.0
+    assert int(state.step) == 30
+
+
+def test_supervised_step_dp_mesh():
+    # Full DP semantics on the 8-virtual-device CPU mesh (SURVEY §4).
+    mesh = create_mesh(MeshConfig(data=8, model=1))
+    model = _tiny_model()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    ocfg = OptimConfig(opt="sgd", lr=0.1)
+    tx, _ = make_optimizer(ocfg, params, global_batch_size=16)
+    state = create_train_state(params, tx)
+    aug = make_recipe("flip", train=True, tile_size=32)
+    step = make_train_step(model.apply, tx, augment_fn=aug)
+
+    with mesh:
+        jit_step = compile_step(step, mesh, state, donate=False)
+        imgs = np.random.randint(0, 255, (16, 32, 32, 3), dtype=np.uint8)
+        labels = np.random.randint(0, 2, (16,))
+        batch = shard_batch(mesh, {"images": imgs, "labels": labels})
+        rng = jax.random.PRNGKey(0)
+        new_state, metrics = jit_step(state, batch, rng)
+    assert np.isfinite(float(metrics["loss"]))
+    # grads were all-reduced: params stay replicated & identical
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_dp_grad_matches_single_device():
+    # The sharded step must produce the same update as an unsharded one.
+    model = _tiny_model()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    ocfg = OptimConfig(opt="sgd", lr=0.1, weight_decay=0.0)
+    tx, _ = make_optimizer(ocfg, params, global_batch_size=8)
+    step = make_train_step(model.apply, tx, augment_fn=None)
+
+    imgs = np.random.RandomState(0).rand(8, 32, 32, 3).astype(np.float32)
+    labels = np.arange(8) % 2
+    batch = {"images": jnp.asarray(imgs), "labels": jnp.asarray(labels)}
+    rng = jax.random.PRNGKey(3)
+
+    state1 = create_train_state(params, tx)
+    s1, m1 = jax.jit(step)(state1, batch, rng)
+
+    mesh = create_mesh(MeshConfig(data=8, model=1))
+    state2 = create_train_state(params, tx)
+    with mesh:
+        jit_step = compile_step(step, mesh, state2, donate=False)
+        sharded = shard_batch(mesh, {"images": imgs, "labels": np.asarray(labels)})
+        s2, m2 = jit_step(state2, sharded, rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dino_step_runs_and_improves():
+    backbone_cfg = vit_tiny(
+        num_classes=0, img_size=32, use_pallas_attention=False, dtype=jnp.float32
+    )
+    import dataclasses
+
+    backbone_cfg = dataclasses.replace(backbone_cfg, depth=2, embed_dim=64, num_heads=2)
+    model = DINOModel(
+        backbone=VisionTransformer(backbone_cfg),
+        head=DINOHead(out_dim=256, hidden_dim=64, bottleneck_dim=32),
+    )
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    dcfg = DINOConfig(out_dim=256, n_local=2, total_steps=20,
+                      warmup_teacher_temp=0.02, warmup_teacher_temp_steps=10)
+    ocfg = OptimConfig(opt="adamw", lr=1e-3, weight_decay=0.0)
+    tx, _ = make_optimizer(ocfg, params, global_batch_size=4)
+    state = create_dino_state(params, tx, dcfg)
+
+    mc = make_multicrop(MultiCropConfig(global_size=32, local_size=16, n_local=2))
+    step = jax.jit(
+        make_dino_train_step(model.apply, tx, dcfg, multicrop_fn=mc)
+    )
+    imgs = np.random.randint(0, 255, (4, 48, 48, 3), dtype=np.uint8)
+    batch = {"images": jnp.asarray(imgs)}
+    rng = jax.random.PRNGKey(7)
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert int(state.step) == 5
+    # teacher must differ from student (EMA) but stay close at high momentum
+    s0 = jax.tree_util.tree_leaves(state.student_params)[0]
+    t0 = jax.tree_util.tree_leaves(state.teacher_params)[0]
+    assert not np.allclose(np.asarray(s0), np.asarray(t0))
+    # center was updated away from zero
+    assert float(jnp.abs(state.center).max()) > 0

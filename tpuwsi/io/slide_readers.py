@@ -1,0 +1,132 @@
+"""Slide readers: a uniform pyramidal read_region interface.
+
+TPU-native replacement layer for OpenSlide (reference: utils.py:176
+``slide.read_region``, datasets.py:402 ``openslide.open_slide``). Backends:
+
+- ``OpenSlideReader`` — thin adapter if the openslide package is installed.
+- ``ImageSlideReader`` — plain images (PNG/JPEG/TIFF) via PIL; single-level
+  pyramid. Covers TMA jpg-cores (datasets.py:471-478) and test fixtures.
+- ``CTileReader`` — the native C++ tile-ingest library (tpuwsi.io.ingest):
+  multi-threaded tiled-TIFF decode. Used automatically for .tif/.svs when the
+  library is built.
+- ``SyntheticSlideReader`` — deterministic procedural slide for tests/bench.
+
+All readers return HWC uint8 RGB numpy arrays.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+try:  # optional native/openslide backends
+    import openslide  # type: ignore
+
+    HAVE_OPENSLIDE = True
+except Exception:  # pragma: no cover
+    openslide = None
+    HAVE_OPENSLIDE = False
+
+
+class SlideReader:
+    """Interface: dimensions (w, h) at level 0, level_downsamples, read_region."""
+
+    dimensions: Tuple[int, int]
+    level_downsamples: Sequence[float]
+
+    def read_region(
+        self, location: Tuple[int, int], level: int, size: Tuple[int, int]
+    ) -> np.ndarray:
+        """location is (x, y) in LEVEL-0 coordinates (OpenSlide convention);
+        size is (w, h) at the requested level. Returns uint8 (h, w, 3)."""
+        raise NotImplementedError
+
+    def close(self):
+        pass
+
+
+class OpenSlideReader(SlideReader):
+    def __init__(self, path: str):
+        self._slide = openslide.open_slide(path)
+        self.dimensions = self._slide.dimensions
+        self.level_downsamples = list(self._slide.level_downsamples)
+        self.path = path
+
+    def read_region(self, location, level, size):
+        img = self._slide.read_region(location, level, size).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
+
+    def close(self):
+        self._slide.close()
+
+
+class ImageSlideReader(SlideReader):
+    """Whole image held in memory; single pyramid level."""
+
+    def __init__(self, path_or_array, mirror_bgr: bool = False):
+        if isinstance(path_or_array, np.ndarray):
+            arr = path_or_array
+            self.path = "<array>"
+        else:
+            from PIL import Image
+
+            Image.MAX_IMAGE_PIXELS = None
+            arr = np.asarray(Image.open(path_or_array).convert("RGB"))
+            self.path = str(path_or_array)
+        if mirror_bgr:
+            # cv2.imread-parity (BGR) for the TMA path; the 'Amir' norm bank
+            # is the channel-reversed 'Ron' bank (transformations.py:108,115).
+            arr = arr[..., ::-1]
+        self._arr = np.ascontiguousarray(arr, dtype=np.uint8)
+        h, w = self._arr.shape[:2]
+        self.dimensions = (w, h)
+        self.level_downsamples = [1.0]
+
+    def read_region(self, location, level, size):
+        assert level == 0
+        x, y = location
+        w, h = size
+        out = np.zeros((h, w, 3), dtype=np.uint8)
+        src = self._arr[max(y, 0) : y + h, max(x, 0) : x + w]
+        out[: src.shape[0], : src.shape[1]] = src
+        return out
+
+
+class SyntheticSlideReader(SlideReader):
+    """Deterministic procedural pyramid for tests and benchmarks."""
+
+    def __init__(self, width: int = 4096, height: int = 4096, levels: int = 3,
+                 seed: int = 0):
+        self.dimensions = (width, height)
+        self.level_downsamples = [float(2 ** i) for i in range(levels)]
+        self._seed = seed
+
+    def read_region(self, location, level, size):
+        x, y = location
+        w, h = size
+        ds = int(self.level_downsamples[level])
+        xs = (x // ds + np.arange(w)) % 251
+        ys = (y // ds + np.arange(h)) % 241
+        r = (xs[None, :] * 3 + ys[:, None] * 7 + self._seed) % 256
+        g = (xs[None, :] * 5 + ys[:, None] * 11 + self._seed) % 256
+        b = (xs[None, :] * 13 + ys[:, None] * 2 + self._seed) % 256
+        return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def open_slide(path: str, prefer_native: bool = True) -> SlideReader:
+    """Pick a reader for the file. Native C++ ingest for tiled TIFF/SVS when
+    available, then openslide, then PIL."""
+    ext = os.path.splitext(path)[1].lower()
+    if prefer_native and ext in (".tif", ".tiff", ".svs"):
+        try:
+            from tpuwsi.io.ingest import CTileReader, native_available
+
+            if native_available():
+                return CTileReader(path)
+        except Exception:
+            pass
+    if HAVE_OPENSLIDE and ext in (".svs", ".mrxs", ".ndpi", ".tif", ".tiff"):
+        return OpenSlideReader(path)
+    return ImageSlideReader(path)

@@ -1,0 +1,179 @@
+"""WSI tile sampling pipelines.
+
+Parity: ``WSI_REGdataset`` (datasets.py:560-631) — bag_size=1 tile-level
+training with ``factor = n_tiles`` virtual epochs (:427-429) — and the MIL
+bag view (train_type='MIL', bag_size tiles per draw). The torch
+DataLoader-worker model is replaced TPU-style: a thread pool overlaps slide
+I/O/decode with device steps, batches are raw uint8 (all augmentation runs on
+device inside the jitted step), and a double-buffered prefetcher keeps the
+chip fed.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from tpuwsi.io.grids import grid_file_path, load_grid_pickle
+from tpuwsi.io.levels import get_optimal_slide_level
+from tpuwsi.io.metadata import SlideTable
+from tpuwsi.io.slide_readers import SlideReader, open_slide
+from tpuwsi.io.tiles import TileStats, choose_locations, get_tiles
+
+
+class WSITileSampler:
+    """Random-tile sampler over a SlideTable (REG/MIL semantics)."""
+
+    def __init__(
+        self,
+        table: SlideTable,
+        n_tiles: int = 10,
+        bag_size: int = 1,
+        random_shift: bool = True,
+        readers: Optional[Dict[int, SlideReader]] = None,
+        num_threads: int = 8,
+    ):
+        self.table = table
+        self.n_tiles = n_tiles
+        self.bag_size = bag_size
+        self.random_shift = random_shift
+        self.stats = TileStats()
+        self._readers = readers or {}
+        self._grids: Dict[int, list] = {}
+        self._level_cache: Dict[int, tuple] = {}
+        self._pool = ThreadPoolExecutor(max_workers=num_threads)
+        self._lock = threading.Lock()
+
+    # -- lazy per-slide state -------------------------------------------------
+    def _reader(self, idx: int) -> SlideReader:
+        with self._lock:
+            if idx not in self._readers:
+                self._readers[idx] = open_slide(self.table.slide_path(idx))
+            return self._readers[idx]
+
+    def _grid(self, idx: int) -> list:
+        with self._lock:
+            if idx not in self._grids:
+                path = grid_file_path(
+                    self.table.path_names[idx],
+                    self.table.file_names[idx],
+                    self.table.desired_magnification,
+                    self.table.tile_size,
+                )
+                self._grids[idx] = load_grid_pickle(path)
+            return self._grids[idx]
+
+    def _levels(self, idx: int) -> tuple:
+        if idx not in self._level_cache:
+            reader = self._reader(idx)
+            self._level_cache[idx] = get_optimal_slide_level(
+                reader.level_downsamples,
+                self.table.magnifications[idx],
+                self.table.desired_magnification,
+                self.table.tile_size,
+            )
+        return self._level_cache[idx]
+
+    # -- sampling --------------------------------------------------------------
+    def sample_slide(self, idx: int, rng: np.random.Generator, n: int) -> np.ndarray:
+        reader = self._reader(idx)
+        grid = self._grid(idx)
+        best_level, adjusted, level0 = self._levels(idx)
+        locs = choose_locations(rng, grid, n)
+        return get_tiles(
+            reader,
+            locs,
+            level0,
+            adjusted,
+            self.table.tile_size,
+            best_level,
+            rng=rng,
+            random_shift=self.random_shift,
+            stats=self.stats,
+        )
+
+    def __len__(self):
+        # REG virtual epoch length (datasets.py:427-429, 445-446)
+        return len(self.table) * self.n_tiles
+
+    def epoch_indices(self, rng: np.random.Generator) -> np.ndarray:
+        idx = np.repeat(np.arange(len(self.table)), self.n_tiles)
+        rng.shuffle(idx)
+        return idx
+
+    def batches(
+        self,
+        rng: np.random.Generator,
+        batch_size: int,
+        drop_last: bool = True,
+        process_index: int = 0,
+        process_count: int = 1,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield {'images': (B, ts, ts, 3) u8, 'labels': (B,)} batches.
+
+        Per-host data sharding (SURVEY §5.8): each process takes a strided
+        slice of the epoch index stream (replaces DistributedSampler rank
+        sharding).
+        """
+        labels = self.table.labels()
+        order = self.epoch_indices(rng)[process_index::process_count]
+        ts = self.table.tile_size
+        bs = self.bag_size
+        for start in range(0, len(order) - (batch_size - 1 if drop_last else 0),
+                           batch_size):
+            chunk = order[start : start + batch_size]
+            if len(chunk) == 0:
+                break
+            seeds = rng.integers(0, 2 ** 31, size=len(chunk))
+            futures = [
+                self._pool.submit(
+                    self.sample_slide, int(i), np.random.default_rng(int(s)), bs
+                )
+                for i, s in zip(chunk, seeds)
+            ]
+            tiles = np.stack([f.result() for f in futures])  # (B, bag, ts, ts, 3)
+            batch = {
+                "labels": labels[chunk][:, 0]
+                if labels.ndim > 1 and not self.table.multi_target
+                else labels[chunk],
+                "slide_indices": chunk.astype(np.int64),
+            }
+            if bs == 1:
+                batch["images"] = tiles[:, 0]  # REG squeeze (datasets.py:618)
+            else:
+                batch["images"] = tiles
+            yield batch
+
+
+class Prefetcher:
+    """Background-thread batch prefetcher (double/triple buffering)."""
+
+    def __init__(self, iterator, depth: int = 3, transform=None):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._transform = transform
+        self._done = object()
+        self._iterator = iterator
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        try:
+            for item in self._iterator:
+                if self._transform is not None:
+                    item = self._transform(item)
+                self._q.put(item)
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            raise StopIteration
+        return item

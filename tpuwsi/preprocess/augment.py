@@ -38,7 +38,13 @@ from tpuwsi.preprocess.normalize import MEAN_PIXEL
 # color ops (torchvision functional parity)
 # ---------------------------------------------------------------------------
 
-_GRAY_W = jnp.array([0.2989, 0.587, 0.114])
+def _grayscale(img):
+    # NOTE: written as an elementwise weighted sum, NOT `img @ w` — a
+    # (H, W, 3) x (3,) dot with contraction dim 3 triggers a pathological
+    # MXU layout search in XLA:TPU (observed 250+ s compiles).
+    return (
+        img[..., 0] * 0.2989 + img[..., 1] * 0.587 + img[..., 2] * 0.114
+    )
 
 
 def _blend(a, b, factor):
@@ -50,12 +56,12 @@ def adjust_brightness(img, factor):
 
 
 def adjust_contrast(img, factor):
-    gray_mean = jnp.mean(img @ _GRAY_W.astype(img.dtype))
+    gray_mean = jnp.mean(_grayscale(img))
     return jnp.clip(_blend(img, gray_mean, factor), 0.0, 1.0)
 
 
 def adjust_saturation(img, factor):
-    gray = (img @ _GRAY_W.astype(img.dtype))[..., None]
+    gray = _grayscale(img)[..., None]
     return jnp.clip(_blend(img, gray, factor), 0.0, 1.0)
 
 
@@ -202,6 +208,40 @@ def random_rot90(key, img):
     )
 
 
+def interp_matrix(coords, in_size: int):
+    """Bilinear-interpolation matrix M (out, in): M @ img samples img rows at
+    fractional positions ``coords`` with edge clamping.
+
+    TPU-idiomatic resampling: gathers are slow on the VPU, so bilinear
+    resampling is expressed as two small matmuls that ride the MXU —
+    ``out = My @ img @ Mxᵀ`` (per channel).
+    """
+    out = coords.shape[0]
+    y0f = jnp.clip(jnp.floor(coords), 0, in_size - 1)
+    y1f = jnp.clip(y0f + 1, 0, in_size - 1)
+    w = jnp.clip(coords - y0f, 0.0, 1.0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (out, in_size), 1)
+    y0 = y0f.astype(jnp.int32)[:, None]
+    y1 = y1f.astype(jnp.int32)[:, None]
+    m = (cols == y0) * (1.0 - w)[:, None] + (cols == y1) * w[:, None]
+    return m
+
+
+def resample_bilinear(img, ys, xs):
+    """Sample img (H, W, C) at row positions ys (Ho,) and col positions
+    xs (Wo,) via MXU matmuls → (Ho, Wo, C)."""
+    h, w, _ = img.shape
+    my = interp_matrix(ys, h).astype(jnp.float32)
+    mx = interp_matrix(xs, w).astype(jnp.float32)
+    tmp = jnp.einsum(
+        "oh,hwc->owc", my, img.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.einsum(
+        "pw,owc->opc", mx, tmp, preferred_element_type=jnp.float32
+    ).astype(img.dtype)
+
+
 def random_zoom(key, img, scale_range=(1.0, 1.2)):
     """RandomAffine(degrees=0, scale=s): zoom about centre, bilinear."""
     s = jax.random.uniform(key, (), minval=scale_range[0], maxval=scale_range[1])
@@ -209,19 +249,7 @@ def random_zoom(key, img, scale_range=(1.0, 1.2)):
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     ys = (jnp.arange(h) - cy) / s + cy
     xs = (jnp.arange(w) - cx) / s + cx
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    wy = (ys - y0).clip(0.0, 1.0)[:, None, None]
-    wx = (xs - x0).clip(0.0, 1.0)[None, :, None]
-    a = img[y0][:, x0]
-    b = img[y0][:, x1]
-    c = img[y1][:, x0]
-    d = img[y1][:, x1]
-    top = a * (1 - wx) + b * wx
-    bot = c * (1 - wx) + d * wx
-    return top * (1 - wy) + bot * wy
+    return resample_bilinear(img, ys, xs)
 
 
 def cutout(key, img, length=100, fill=0.0):

@@ -52,29 +52,18 @@ def random_resized_crop(key, img, out_size, scale_range, ratio_range=(3 / 4, 4 /
     top = jax.random.randint(ky, (), 0, h) % jnp.maximum(h - ch + 1, 1)
     left = jax.random.randint(kx, (), 0, w) % jnp.maximum(w - cw + 1, 1)
 
-    # Static-shape gather-based bilinear resample of the (top,left,ch,cw) box
-    # to (out_size, out_size): sample positions are traced values, indices are
-    # gathered — no dynamic output shape.
+    # MXU matmul-based resample of the (top,left,ch,cw) box to
+    # (out_size, out_size): sample positions are traced values, static output
+    # shape (augment.resample_bilinear).
     ys = top + (jnp.arange(out_size) + 0.5) * ch / out_size - 0.5
     xs = left + (jnp.arange(out_size) + 0.5) * cw / out_size - 0.5
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    wy = jnp.clip(ys - y0, 0.0, 1.0)[:, None, None]
-    wx = jnp.clip(xs - x0, 0.0, 1.0)[None, :, None]
-    a = img[y0][:, x0]
-    b = img[y0][:, x1]
-    cta = img[y1][:, x0]
-    d = img[y1][:, x1]
-    top_row = a * (1 - wx) + b * wx
-    bot_row = cta * (1 - wx) + d * wx
-    return top_row * (1 - wy) + bot_row * wy
+    return A.resample_bilinear(img, ys, xs)
 
 
 def random_grayscale(key, img, p=0.2):
-    gray = (img @ jnp.array([0.2989, 0.587, 0.114], img.dtype))[..., None]
-    gray = jnp.broadcast_to(gray, img.shape)
+    from tpuwsi.preprocess.augment import _grayscale
+
+    gray = jnp.broadcast_to(_grayscale(img)[..., None], img.shape)
     return jnp.where(jax.random.bernoulli(key, p), gray, img)
 
 

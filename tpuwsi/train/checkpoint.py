@@ -1,0 +1,78 @@
+"""Checkpointing via Orbax.
+
+Parity: timm ``CheckpointSaver`` semantics (train.py:867-877, 970-973) —
+best-metric ranking with max_history, recovery checkpoints every N batches
+(train.py:322-323, 1130-1132), resume with optimizer state (train.py:604-613),
+``--initial-checkpoint`` warm start, EMA state in/out.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Best-K checkpoint manager over {params, opt_state, ema, step} pytrees."""
+
+    def __init__(
+        self,
+        directory: str,
+        max_history: int = 10,
+        metric_name: str = "auc",
+        mode: str = "max",
+    ):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.metric_name = metric_name
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_history,
+            best_fn=lambda m: m.get(metric_name, 0.0),
+            best_mode=mode,
+            enable_async_checkpointing=True,
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state: Any, metrics: Optional[dict] = None):
+        metrics = {
+            k: float(v) for k, v in (metrics or {}).items()
+        }
+        self._mgr.save(
+            step,
+            args=ocp.args.StandardSave(state),
+            metrics=metrics,
+        )
+
+    def restore(self, step: Optional[int] = None, target: Any = None):
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            return None
+        if target is not None:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(target)
+            )
+        return self._mgr.restore(step)
+
+    def best_step(self):
+        return self._mgr.best_step()
+
+    def latest_step(self):
+        return self._mgr.latest_step()
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()
+
+
+def save_args_snapshot(directory: str, args: dict):
+    """args.yaml-style snapshot of the run configuration (train.py:878-879)."""
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, "args.json"), "w") as f:
+        json.dump(args, f, indent=2, default=str)

@@ -1,0 +1,31 @@
+"""Train state pytree."""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    ema_params: Optional[Any] = None
+    batch_stats: Optional[Any] = None
+
+
+def create_train_state(params, tx: optax.GradientTransformation, ema: bool = False,
+                       batch_stats=None) -> TrainState:
+    import jax.numpy as jnp
+
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=jax.tree_util.tree_map(lambda x: x, params) if ema else None,
+        batch_stats=batch_stats,
+    )

@@ -1,0 +1,118 @@
+"""Supervised tile-classification training step.
+
+Parity: ``train_one_epoch`` / ``validate`` (train.py:988-1143, 1146-1345) and
+the vanilla timm path (timm_train.py:817-948), rebuilt as jitted SPMD steps:
+
+- augmentation runs ON DEVICE inside the step (vs the reference's CPU
+  DataLoader workers, SURVEY §3.2) — the input batch is raw uint8 tiles;
+- batch is sharded over the mesh's data axis, params replicated; gradient
+  all-reduce is inserted by GSPMD (replaces DDP/NCCL, SURVEY §5.8);
+- loss/AUC/accuracy are computed on device (no per-step host sync — the
+  reference calls sklearn roc_auc_score on CPU every batch, train.py:1054);
+- EMA update on device (ModelEmaV2 parity, train.py:1080).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpuwsi.core.mesh import replicated_sharding
+from tpuwsi.train.ema import ema_update
+from tpuwsi.train.losses import cross_entropy
+from tpuwsi.train.metrics import accuracy_topk, auc_score
+from tpuwsi.train.state import TrainState
+
+
+def make_train_step(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    augment_fn: Optional[Callable] = None,
+    loss_fn: Callable = cross_entropy,
+    ema_decay: Optional[float] = None,
+    compute_auc: bool = True,
+):
+    """Build the jit-able train step.
+
+    apply_fn(params, images, rngs=...) → logits.
+    augment_fn(key, uint8_images) → normalised float images (or None if the
+    batch is already preprocessed).
+    """
+
+    def step(state: TrainState, batch, rng):
+        images, labels = batch["images"], batch["labels"]
+        rng = jax.random.fold_in(rng, state.step)
+        aug_key, drop_key = jax.random.split(rng)
+        if augment_fn is not None:
+            images = augment_fn(aug_key, images)
+
+        def compute_loss(params):
+            logits = apply_fn(
+                params, images, deterministic=False, rngs={"dropout": drop_key, "droppath": drop_key}
+            )
+            return loss_fn(logits, labels), logits
+
+        (loss, logits), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if state.ema_params is not None and ema_decay is not None:
+            new_ema = ema_update(state.ema_params, new_params, ema_decay)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            ema_params=new_ema,
+        )
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        metrics = {
+            "loss": loss,
+            "acc": accuracy_topk(logits, labels, k=1),
+        }
+        if compute_auc and logits.shape[-1] >= 2:
+            metrics["auc"] = auc_score(probs[:, 1], labels)
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(
+    apply_fn: Callable,
+    preprocess_fn: Optional[Callable] = None,
+    use_ema: bool = False,
+):
+    """Eval step: logits + softmax for tile batches (masked for padding)."""
+
+    def step(state: TrainState, batch):
+        images = batch["images"]
+        if preprocess_fn is not None:
+            images = preprocess_fn(images)
+        params = state.ema_params if use_ema and state.ema_params is not None else state.params
+        logits = apply_fn(params, images, deterministic=True)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return logits, probs
+
+    return step
+
+
+def compile_step(step_fn, mesh, state: TrainState, donate: bool = True):
+    """jit a (state, batch, rng) step with DP shardings over the mesh.
+
+    The batch pytree keeps whatever sharding the caller placed it with
+    (use ``tpuwsi.core.mesh.shard_batch``: batch dim over the data axis);
+    state and rng are replicated. GSPMD then inserts the gradient all-reduce
+    over ICI (SURVEY §5.8).
+    """
+    repl = replicated_sharding(mesh)
+    state_sh = jax.tree_util.tree_map(lambda _: repl, state)
+    return functools.partial(
+        jax.jit,
+        in_shardings=(state_sh, None, repl),
+        donate_argnums=(0,) if donate else (),
+    )(step_fn)
