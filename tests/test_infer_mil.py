@@ -1,0 +1,225 @@
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+from tpuwsi.infer import SlideAggregator, SlideWalker, roc_auc
+from tpuwsi.io import grid_data_columns, grid_file_path, save_grid_pickle
+from tpuwsi.io.metadata import load_slide_table
+from tpuwsi.mil import (
+    CombinedFeaturesMILDataset,
+    FeatureLocator,
+    FeaturesMILDataset,
+    train_mil_head,
+)
+from tpuwsi.utils.minixlsx import write_xlsx
+
+
+@pytest.fixture
+def cohort(tmp_path):
+    root = tmp_path / "Breast" / "TCGA"
+    os.makedirs(root / "Grids_10")
+    rng = np.random.default_rng(0)
+    files, folds, targets, counts = [], [], [], []
+    for i in range(4):
+        name = f"s{i}.png"
+        # class signal: positives brighter
+        base = 180 if i % 2 == 0 else 60
+        arr = np.clip(rng.normal(base, 30, (512, 512, 3)), 0, 255).astype(np.uint8)
+        Image.fromarray(arr).save(root / name)
+        grid = [(r, c) for r in range(0, 384, 128) for c in range(0, 384, 128)]
+        save_grid_pickle(str(grid_file_path(str(root), name, 10, 128)), grid)
+        files.append(name)
+        folds.append(1)
+        targets.append("Positive" if i % 2 == 0 else "Negative")
+        counts.append(len(grid))
+    total_col, legit_col = grid_data_columns(128, 10)
+    write_xlsx(
+        str(root / "slides_data_TCGA.xlsx"),
+        pd.DataFrame({
+            "file": files, "id": ["TCGA"] * 4,
+            "patient barcode": [f"P{i}" for i in range(4)],
+            "ER status": targets, "test fold idx": folds,
+            "Manipulated Objective Power": [10] * 4, "DX": [True] * 4,
+        }),
+    )
+    write_xlsx(
+        str(root / "Grids_10" / "Grid_data.xlsx"),
+        pd.DataFrame({"file": files, total_col: counts, legit_col: counts}),
+    )
+    return tmp_path
+
+
+def test_slide_walker_chunks_and_masks(cohort):
+    table = load_slide_table(
+        "TCGA", tile_size=128, target_kind="ER", train_type="Infer",
+        infer_folds=[1], data_root=str(cohort),
+    )
+    walker = SlideWalker(table, tiles_per_iter=4, num_tiles=6)
+    chunks = list(walker.walk())
+    # 4 slides × ceil(6/4)=2 chunks
+    assert len(chunks) == 8
+    assert len(walker) == 8
+    first, second = chunks[0], chunks[1]
+    assert first.images.shape == (4, 128, 128, 3)
+    assert first.mask.all() and not first.is_last_batch
+    assert second.mask.sum() == 2 and second.is_last_batch  # padded chunk
+    assert (second.images[2:] == 0).all()
+
+
+def test_aggregator_and_feature_roundtrip(cohort, tmp_path):
+    table = load_slide_table(
+        "TCGA", tile_size=128, target_kind="ER", train_type="Infer",
+        infer_folds=[1], data_root=str(cohort),
+    )
+    walker = SlideWalker(table, tiles_per_iter=4, num_tiles=6)
+    agg = SlideAggregator(extract_features=True)
+    for chunk in walker.walk():
+        # fake "model": class-1 prob = mean brightness; features = 8-dim
+        bright = chunk.images.astype(np.float32).mean(axis=(1, 2, 3)) / 255.0
+        probs = np.stack([1 - bright, bright], axis=1)
+        feats = np.tile(bright[:, None], (1, 8)).astype(np.float32)
+        agg.add_chunk(chunk, probs, feats)
+
+    assert len(agg.results) == 4
+    assert agg.slide_auc() == 1.0  # positives are brighter by construction
+    assert agg.patch_auc() > 0.9
+    # every slide got exactly 6 valid tiles
+    assert all(len(r.tile_probs) == 6 for r in agg.results)
+
+    # reference 8-tuple export → FeaturesMILdataset reads it back
+    data_file = str(tmp_path / "inference" / "test.data")
+    agg.save_inference_data(data_file)
+    with open(data_file, "rb") as f:
+        tup = pickle.load(f)
+    assert len(tup) == 8
+    labels, targets, scores, patch_scores, names, feats, bn, locs = tup
+    assert feats.shape == (4, 1, 6, 8)
+
+    ds = FeaturesMILDataset(
+        data_file, bag_size=4, minimum_tiles_in_slide=2, is_train=True
+    )
+    assert len(ds) == 4
+    bag, target, tscores, name = ds.sample_bag(0, np.random.default_rng(0))
+    assert bag.shape == (4, 8)
+
+    batches = list(ds.bags(np.random.default_rng(0), batch_size=2))
+    assert batches[0]["features"].shape == (2, 4, 8)
+    assert batches[0]["mask"].all()
+
+
+def test_mil_bag_with_replacement_when_few_tiles(tmp_path):
+    # one slide with only 3 tiles, bag_size 8 → sampling WITH replacement
+    feats = np.full((1, 1, 3, 4), 0.5, np.float32)
+    pscores = np.ones((1, 3), np.float32)
+    data = (np.array([1]), np.array([1]), np.array([0.7]), pscores,
+            ["s.mrxs"], feats)
+    p = str(tmp_path / "x.data")
+    with open(p, "wb") as f:
+        pickle.dump(data, f)
+    ds = FeaturesMILDataset(p, bag_size=8, minimum_tiles_in_slide=1)
+    bag, *_ = ds.sample_bag(0, np.random.default_rng(0))
+    assert bag.shape == (8, 4)
+
+
+def test_mil_per_patient_inconsistent_target_rejected(tmp_path):
+    # two TCGA slides, same patient, different targets → patient rejected
+    feats = np.random.rand(2, 1, 5, 4).astype(np.float32)
+    pscores = np.ones((2, 5), np.float32)
+    names = ["TCGA-AB-1234-01.svs", "TCGA-AB-1234-02.svs"]
+    data = (np.array([1, 0]), np.array([1, 0]), np.array([0.7, 0.3]),
+            pscores, names, feats)
+    p = str(tmp_path / "x.data")
+    with open(p, "wb") as f:
+        pickle.dump(data, f)
+    ds = FeaturesMILDataset(p, bag_size=2, minimum_tiles_in_slide=1,
+                            is_per_patient=True)
+    assert len(ds) == 0
+    assert "TCGA-AB-1234" in ds.bad_patient_list
+
+
+def test_mil_ndpi_rename_and_carmel_only(tmp_path):
+    feats = np.random.rand(2, 1, 5, 4).astype(np.float32)
+    pscores = np.ones((2, 5), np.float32)
+    names = ["a.ndpi", "b.mrxs"]
+    data = (np.array([1, 0]), np.array([1, 0]), np.array([0.7, 0.3]),
+            pscores, names, feats)
+    p = str(tmp_path / "x.data")
+    with open(p, "wb") as f:
+        pickle.dump(data, f)
+    ds = FeaturesMILDataset(p, bag_size=2, minimum_tiles_in_slide=1)
+    assert "a.tif" in ds.slide_names  # .ndpi → .tif (datasets.py:1070-1072)
+    ds2 = FeaturesMILDataset(p, bag_size=2, minimum_tiles_in_slide=1,
+                             carmel_only=True)
+    assert ds2.slide_names == ["b.mrxs"]
+
+
+def test_mil_head_trains_to_separate(tmp_path):
+    # 16 synthetic "slides": positives have a shifted feature cluster
+    rng = np.random.default_rng(0)
+    n, tiles, dim = 16, 12, 8
+    feats = rng.normal(0, 1, (n, 1, tiles, dim)).astype(np.float32)
+    targets = np.arange(n) % 2
+    feats[targets == 1, :, :, :2] += 2.0
+    data = (targets, targets, targets.astype(float),
+            np.ones((n, tiles), np.float32),
+            [f"s{i}.svs" for i in range(n)], feats)
+    p = str(tmp_path / "x.data")
+    with open(p, "wb") as f:
+        pickle.dump(data, f)
+    ds = FeaturesMILDataset(p, bag_size=8, minimum_tiles_in_slide=1,
+                            is_train=True)
+    logs = []
+    model, state = train_mil_head(
+        ds, epochs=30, batch_size=8, lr=3e-3,
+        log_fn=lambda e, m: logs.append(m),
+    )
+    assert logs[-1]["auc"] == 1.0
+    assert logs[-1]["loss"] < logs[0]["loss"]
+
+
+def test_combined_dataset_joins_on_common_keys(tmp_path):
+    def make(names, targets, path):
+        feats = np.random.rand(len(names), 1, 5, 4).astype(np.float32)
+        data = (np.array(targets), np.array(targets),
+                np.array(targets, float), np.ones((len(names), 5), np.float32),
+                names, feats)
+        with open(path, "wb") as f:
+            pickle.dump(data, f)
+
+    p1, p2 = str(tmp_path / "a.data"), str(tmp_path / "b.data")
+    make(["x.svs", "y.svs", "z.svs"], [1, 0, 1], p1)
+    make(["y.svs", "z.svs", "w.svs"], [0, 1, 0], p2)
+    d1 = FeaturesMILDataset(p1, bag_size=3, minimum_tiles_in_slide=1)
+    d2 = FeaturesMILDataset(p2, bag_size=3, minimum_tiles_in_slide=1)
+    combo = CombinedFeaturesMILDataset({"CAT": d1, "CARMEL": d2}, bag_size=3)
+    assert combo.keys == ["y.svs", "z.svs"]
+    batch = next(combo.bags(np.random.default_rng(0), batch_size=2))
+    assert batch["CAT"].shape == (2, 3, 4)
+    assert batch["CARMEL"].shape == (2, 3, 4)
+
+
+def test_feature_locator_registry(tmp_path):
+    loc = FeatureLocator(registry={})
+    loc.register("CAT", "ER", 1, {
+        "TrainSet Location": {"train": "/f/train", "test": "/f/test"},
+        "REG Model Location": "/ckpt/model",
+    })
+    fdir, ckpt, name, target = loc.dataset_properties_to_location(
+        "CAT", "ER", 1, is_train=True
+    )
+    assert fdir == "/f/train" and ckpt == "/ckpt/model"
+    with pytest.raises(KeyError):
+        loc.dataset_properties_to_location("CAT", "Her2", 1)
+
+
+def test_roc_auc_host():
+    assert roc_auc([0.9, 0.8, 0.2, 0.1], [1, 1, 0, 0]) == 1.0
+    assert roc_auc([0.1, 0.2, 0.8, 0.9], [1, 1, 0, 0]) == 0.0
+    assert abs(roc_auc([0.5, 0.5, 0.5, 0.5], [1, 1, 0, 0]) - 0.5) < 1e-9
+    assert roc_auc([1.0], [1]) == 0.5  # single class → 0.5

@@ -198,7 +198,15 @@ def load_slide_table(
         if er_eq_pr and train
         else set()
     )
-    n_minimal = n_tiles if train_type == "REG" else bag_size
+    # few-tiles minimum: REG→n_tiles, MIL→bag_size, Infer→none (the reference
+    # passes bag_size=None on the Infer path, datasets.py:649, so the < filter
+    # is vacuous there).
+    if train_type == "REG":
+        n_minimal = n_tiles
+    elif train_type == "MIL":
+        n_minimal = bag_size
+    else:
+        n_minimal = 0
     few_tiles = set(df.index[df[legit_col] < n_minimal])
 
     valid = np.array(

@@ -1,0 +1,125 @@
+"""MIL head training over frozen tile embeddings + score export.
+
+Parity: the downstream-MIL workflow the reference's datasets feed
+(SURVEY §3.4) and utils_MIL.py:1502-1600 ``save_all_slides_and_models_data``
+— per-slide tile scores and attention weights before/after softmax exported
+to xlsx.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pandas as pd
+
+from tpuwsi.models.mil import GatedAttentionMIL
+from tpuwsi.train.losses import cross_entropy
+from tpuwsi.train.metrics import accuracy_topk, auc_score
+from tpuwsi.train.state import TrainState, create_train_state
+
+
+def make_mil_train_step(model: GatedAttentionMIL, tx: optax.GradientTransformation):
+    def step(state: TrainState, batch):
+        def loss_fn(params):
+            logits = model.apply(params, batch["features"], batch["mask"])
+            return cross_entropy(logits, batch["labels"]), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        probs = jax.nn.softmax(logits, axis=-1)
+        metrics = {
+            "loss": loss,
+            "acc": accuracy_topk(logits, batch["labels"]),
+            "auc": auc_score(probs[:, 1], batch["labels"]),
+        }
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), metrics
+
+    return step
+
+
+def train_mil_head(
+    dataset,
+    num_classes: int = 2,
+    hidden_dim: int = 128,
+    epochs: int = 20,
+    batch_size: int = 16,
+    lr: float = 1e-3,
+    seed: int = 0,
+    eval_dataset=None,
+    log_fn: Optional[Callable] = None,
+):
+    """Train a gated-attention MIL head over a FeaturesMILDataset."""
+    rng = np.random.default_rng(seed)
+    first = next(dataset.bags(rng, batch_size))
+    model = GatedAttentionMIL(hidden_dim=hidden_dim, num_classes=num_classes)
+    params = model.init(
+        jax.random.PRNGKey(seed),
+        jnp.asarray(first["features"]),
+        jnp.asarray(first["mask"]),
+    )
+    tx = optax.adamw(lr)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_mil_train_step(model, tx))
+    for epoch in range(epochs):
+        metrics = {}
+        for batch in dataset.bags(rng, batch_size):
+            state, metrics = step(
+                state, jax.tree_util.tree_map(jnp.asarray, batch)
+            )
+        if log_fn:
+            log_fn(epoch, {k: float(v) for k, v in metrics.items()})
+    return model, state
+
+
+def export_slide_scores_xlsx(
+    out_path: str,
+    slide_names,
+    slide_scores,
+    targets,
+    tile_scores_list,
+    attention_before_list=None,
+    attention_after_list=None,
+):
+    """save_all_slides_and_models_data parity (utils_MIL.py:1502-1600):
+    one sheet of per-slide rows; tile scores and attention weights
+    (pre/post softmax) in numbered columns."""
+    from tpuwsi.utils.minixlsx import write_xlsx
+
+    max_tiles = max(len(t) for t in tile_scores_list)
+    rows = []
+    for i, name in enumerate(slide_names):
+        row = {
+            "slide_name": name,
+            "slide_score": float(slide_scores[i]),
+            "target": int(targets[i]),
+        }
+        for j in range(max_tiles):
+            row[f"tile_score_{j}"] = (
+                float(tile_scores_list[i][j]) if j < len(tile_scores_list[i]) else None
+            )
+        if attention_before_list is not None:
+            for j in range(max_tiles):
+                row[f"attn_before_{j}"] = (
+                    float(attention_before_list[i][j])
+                    if j < len(attention_before_list[i])
+                    else None
+                )
+        if attention_after_list is not None:
+            for j in range(max_tiles):
+                row[f"attn_after_{j}"] = (
+                    float(attention_after_list[i][j])
+                    if j < len(attention_after_list[i])
+                    else None
+                )
+        rows.append(row)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    write_xlsx(out_path, pd.DataFrame(rows))
