@@ -1,0 +1,200 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+from tpuwsi.infer.full_slide import (
+    FullSlideWalker,
+    assemble_heatmap,
+    map_to_equivalent_grid,
+    read_infer_slides_file,
+)
+from tpuwsi.io import grid_data_columns, grid_file_path, save_grid_pickle
+from tpuwsi.io.survival import load_survival_slide_table, survival_batches
+from tpuwsi.io.wsi import WSITileSampler
+from tpuwsi.train.losses import cox_partial_likelihood
+from tpuwsi.train.survival import concordance_index, make_survival_train_step
+from tpuwsi.utils.minixlsx import write_xlsx
+
+
+@pytest.fixture
+def survival_cohort(tmp_path):
+    root = tmp_path / "Breast" / "ABCTB_TIF"
+    os.makedirs(root / "Grids_10")
+    rng = np.random.default_rng(0)
+    files, censored, months, status, exclude, counts = [], [], [], [], [], []
+    for i in range(8):
+        name = f"s{i}.png"
+        arr = rng.integers(0, 255, (512, 512, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(root / name)
+        grid = [(r, c) for r in range(0, 384, 128) for c in range(0, 384, 128)]
+        save_grid_pickle(str(grid_file_path(str(root), name, 10, 128)), grid)
+        files.append(name)
+        censored.append(i % 2)  # alternate censored
+        months.append(12.0 * (i + 1))
+        status.append("Positive" if i < 4 else "Negative")
+        exclude.append("Exclude" if i == 7 else "")
+        counts.append(len(grid))
+    total_col, legit_col = grid_data_columns(128, 10)
+    write_xlsx(
+        str(root / "slides_data_ABCTB_TIF.xlsx"),
+        pd.DataFrame({
+            "file": files, "id": ["ABCTB_TIF"] * 8,
+            "patient barcode": [f"P{i}" for i in range(8)],
+            "Censored": censored,
+            "Follow-up Months Since Diagnosis": months,
+            "survival status": status,
+            "Exclude for time prediction?": exclude,
+            "test fold idx": [1, 2, 2, 2, 2, 2, 2, 2],
+            "Manipulated Objective Power": [10] * 8,
+        }),
+    )
+    write_xlsx(
+        str(root / "Grids_10" / "Grid_data.xlsx"),
+        pd.DataFrame({"file": files, total_col: counts, legit_col: counts}),
+    )
+    return tmp_path
+
+
+def test_survival_table_excludes_and_folds(survival_cohort):
+    table = load_survival_slide_table(
+        "ABCTB_TIF", tile_size=128, test_fold=1, train=True, train_type="REG",
+        n_tiles=4, data_root=str(survival_cohort),
+    )
+    # slide 0 is fold 1 (test), slide 7 excluded → 6 train slides
+    assert len(table) == 6
+    assert all(isinstance(c, bool) for c in table.censored)
+    assert table.target_cont[0] > 0
+
+
+def test_survival_censor_filters(survival_cohort):
+    t_nc = load_survival_slide_table(
+        "ABCTB_TIF", tile_size=128, test_fold=1, train=True, n_tiles=4,
+        is_all_not_censored=True, data_root=str(survival_cohort),
+    )
+    assert all(not c for c in t_nc.censored)
+    t_c = load_survival_slide_table(
+        "ABCTB_TIF", tile_size=128, test_fold=1, train=True, n_tiles=4,
+        is_all_censored=True, data_root=str(survival_cohort),
+    )
+    assert all(c for c in t_c.censored)
+
+
+def test_survival_batches_and_cox_step(survival_cohort):
+    table = load_survival_slide_table(
+        "ABCTB_TIF", tile_size=128, test_fold=1, train=True, n_tiles=2,
+        data_root=str(survival_cohort),
+    )
+    sampler = WSITileSampler(table, n_tiles=2, bag_size=1)
+    rng = np.random.default_rng(0)
+    batch = next(survival_batches(sampler, rng, batch_size=6))
+    assert batch["images"].shape == (6, 128, 128, 3)
+    assert batch["time_targets"].shape == (6,)
+    assert batch["censored"].dtype == bool
+
+    # tiny risk model: mean-pool → linear
+    import flax.linen as nn
+    import optax
+
+    class Risk(nn.Module):
+        @nn.compact
+        def __call__(self, x, deterministic=True, rngs=None):
+            x = x.reshape(x.shape[0], -1, 3).mean(axis=1)
+            return nn.Dense(1)(x)
+
+    model = Risk()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    tx = optax.adam(1e-3)
+    from tpuwsi.train.state import create_train_state
+
+    state = create_train_state(params, tx)
+    step = jax.jit(make_survival_train_step(
+        lambda p, x, deterministic=True, rngs=None: model.apply(p, x),
+        tx, mode="cox",
+        augment_fn=lambda k, im: im.astype(jnp.float32) / 255.0,
+    ))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    state, metrics = step(state, jb, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert 0.0 <= float(metrics["c_index"]) <= 1.0
+
+
+def test_cox_loss_orders_risk():
+    # uncensored: higher risk should align with shorter survival
+    times = jnp.array([1.0, 2.0, 3.0, 4.0])
+    events = jnp.ones(4)
+    good = jnp.array([4.0, 3.0, 2.0, 1.0])  # risk descending with time
+    bad = jnp.array([1.0, 2.0, 3.0, 4.0])
+    assert float(cox_partial_likelihood(good, times, events)) < float(
+        cox_partial_likelihood(bad, times, events)
+    )
+
+
+def test_concordance_index():
+    times = jnp.array([1.0, 2.0, 3.0])
+    events = jnp.ones(3)
+    perfect = jnp.array([3.0, 2.0, 1.0])
+    assert float(concordance_index(perfect, times, events)) == 1.0
+    inverted = jnp.array([1.0, 2.0, 3.0])
+    assert float(concordance_index(inverted, times, events)) == 0.0
+
+
+def test_equivalent_grid_mapping():
+    locs = [(0, 0), (512, 256), (1024, 1024)]
+    assert map_to_equivalent_grid(locs, 256) == [(0, 0), (2, 1), (4, 4)]
+
+
+def test_full_slide_walker_and_heatmap(tmp_path):
+    arr = np.full((768, 768, 3), 255, np.uint8)
+    arr[256:512, 256:512] = 100  # tissue block
+    path = str(tmp_path / "slide.png")
+    Image.fromarray(arr).save(path)
+    tissue = [(256, 256), (256, 384), (384, 256), (384, 384)]
+    walker = FullSlideWalker(
+        path, magnification=10, tile_size=128, desired_magnification=10,
+        tiles_per_iter=8, tissue_grid=tissue,
+    )
+    assert walker.equivalent_grid_shape == (6, 6)
+    chunks = list(walker.walk())
+    assert len(chunks) == len(walker)
+    total_valid = sum(int(c.mask.sum()) for c in chunks)
+    assert total_valid == 36  # full 6×6 grid of 128px tiles
+    n_tissue = sum(int((c.is_tissue & c.mask).sum()) for c in chunks)
+    assert n_tissue == 4
+
+    # heatmap: score = mean brightness per tile
+    equivs, scores = [], []
+    for c in chunks:
+        m = c.mask
+        equivs.append(c.equivalent_locations[m])
+        scores.append(c.images[m].mean(axis=(1, 2, 3)) / 255.0)
+    heat = assemble_heatmap(
+        walker.equivalent_grid_shape,
+        np.concatenate(equivs), np.concatenate(scores),
+    )
+    assert not np.isnan(heat).any()
+    assert heat[2, 2] < heat[0, 0]  # tissue darker than background
+
+
+def test_background_sampling_reduces_tiles(tmp_path):
+    arr = np.full((768, 768, 3), 255, np.uint8)
+    path = str(tmp_path / "slide.png")
+    Image.fromarray(arr).save(path)
+    walker = FullSlideWalker(
+        path, magnification=10, tile_size=128, desired_magnification=10,
+        tiles_per_iter=8, tissue_grid=[(0, 0)],
+        background_sample_fraction=0.2, rng=np.random.default_rng(0),
+    )
+    n = len(walker.locations)
+    assert n < 36 and any(walker.tissue_flags)
+
+
+def test_infer_slides_file(tmp_path):
+    p = str(tmp_path / "Infer_Slides.txt")
+    with open(p, "w") as f:
+        f.write("a.svs\n\nb.mrxs\n")
+    assert read_infer_slides_file(p) == ["a.svs", "b.mrxs"]
