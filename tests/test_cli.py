@@ -1,0 +1,152 @@
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+from tpuwsi.cli.args import parse_args
+from tpuwsi.io import grid_data_columns, grid_file_path, save_grid_pickle
+from tpuwsi.utils.minixlsx import write_xlsx
+
+
+def test_args_defaults_and_gipmed_flags():
+    args = parse_args([])
+    assert args.model == "vit_small_patch16_224_dino"
+    assert args.test_fold == 1 and args.mag == 10
+    args = parse_args(["-tar", "Her2", "-tf", "2", "--transform_type", "cbnfrsc",
+                       "-nt", "100", "-tpi", "50", "-ef", "--focal"])
+    assert args.target == "Her2" and args.test_fold == 2
+    assert args.num_tiles == 100 and args.tiles_per_iter == 50
+    assert args.extract_features and args.focal
+
+
+def test_args_config_yaml(tmp_path):
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text("batch_size: 16\ntarget: PR\nmag: 20\n")
+    args = parse_args(["--config", str(cfg)])
+    assert args.batch_size == 16 and args.target == "PR" and args.mag == 20
+    # command line wins over config
+    args = parse_args(["--config", str(cfg), "-tar", "ER"])
+    assert args.target == "ER"
+
+
+@pytest.fixture
+def patch_folder(tmp_path):
+    rng = np.random.default_rng(0)
+    for cls, base in (("neg", 40), ("pos", 200)):
+        os.makedirs(tmp_path / "train" / cls)
+        for i in range(8):
+            arr = np.clip(rng.normal(base, 20, (32, 32, 3)), 0, 255).astype(np.uint8)
+            Image.fromarray(arr).save(tmp_path / "train" / cls / f"{i}.png")
+    return str(tmp_path / "train")
+
+
+def test_cli_folder_mode_end_to_end(patch_folder, tmp_path):
+    from tpuwsi.cli.train import main
+
+    out = str(tmp_path / "runs")
+    state = main([
+        "--data-dir", patch_folder,
+        "--model", "vit_tiny_patch16_224",
+        "--img-size", "32",
+        "-b", "8",
+        "--epochs", "1",
+        "--max-steps-per-epoch", "2",
+        "--warmup-epochs", "0",
+        "--opt", "adamw",
+        "--lr", "1e-3",
+        "--transform_type", "flip",
+        "--output", out,
+        "--log-interval", "1",
+        "--eval_rate", "100",
+    ])
+    assert int(state.step) == 2
+    # ledger + summary written
+    exps = os.listdir(out)
+    assert any(e.startswith("Exp_1-ER") for e in exps)
+    run_dir = os.path.join(out, [e for e in exps if e.startswith("Exp_")][0])
+    assert os.path.isfile(os.path.join(run_dir, "summary.csv"))
+    assert os.path.isdir(os.path.join(run_dir, "checkpoints"))
+
+
+@pytest.fixture
+def wsi_cohort(tmp_path):
+    root = tmp_path / "Breast" / "TCGA"
+    os.makedirs(root / "Grids_10")
+    rng = np.random.default_rng(0)
+    files, folds, targets, counts = [], [], [], []
+    for i in range(4):
+        name = f"s{i}.png"
+        base = 200 if i % 2 == 0 else 50
+        arr = np.clip(rng.normal(base, 25, (256, 256, 3)), 0, 255).astype(np.uint8)
+        Image.fromarray(arr).save(root / name)
+        grid = [(r, c) for r in range(0, 224, 32) for c in range(0, 224, 32)]
+        save_grid_pickle(str(grid_file_path(str(root), name, 10, 32)), grid)
+        files.append(name)
+        folds.append(1 if i >= 2 else 2)
+        targets.append("Positive" if i % 2 == 0 else "Negative")
+        counts.append(len(grid))
+    total_col, legit_col = grid_data_columns(32, 10)
+    write_xlsx(str(root / "slides_data_TCGA.xlsx"), pd.DataFrame({
+        "file": files, "id": ["TCGA"] * 4,
+        "patient barcode": [f"P{i}" for i in range(4)],
+        "ER status": targets, "test fold idx": folds,
+        "Manipulated Objective Power": [10] * 4, "DX": [True] * 4,
+    }))
+    write_xlsx(str(root / "Grids_10" / "Grid_data.xlsx"), pd.DataFrame(
+        {"file": files, total_col: counts, legit_col: counts}))
+    return str(tmp_path)
+
+
+def test_cli_wsi_mode_with_eval(wsi_cohort, tmp_path):
+    from tpuwsi.cli.train import main
+
+    out = str(tmp_path / "runs")
+    state = main([
+        "--dataset", "TCGA",
+        "--data-root", wsi_cohort,
+        "--model", "vit_tiny_patch16_224",
+        "--tile-size", "32",
+        "-b", "4",
+        "--epochs", "1",
+        "--max-steps-per-epoch", "2",
+        "--warmup-epochs", "0",
+        "--opt", "adamw",
+        "--lr", "1e-3",
+        "--transform_type", "flip",
+        "--output", out,
+        "--eval_rate", "1",
+        "--n_patches_test", "4",
+        "-tpi", "4",
+        "-tf", "1",
+    ])
+    assert int(state.step) == 2
+    run_dir = [os.path.join(out, e) for e in os.listdir(out)
+               if e.startswith("Exp_")][0]
+    import csv
+
+    rows = list(csv.DictReader(open(os.path.join(run_dir, "summary.csv"))))
+    assert "eval_auc" in rows[0]
+
+
+def test_cli_ssl_mode(patch_folder, tmp_path):
+    from tpuwsi.cli.train import main
+
+    out = str(tmp_path / "runs")
+    state = main([
+        "--ssl",
+        "--data-dir", patch_folder,
+        "--model", "vit_tiny_patch16_224",
+        "-b", "4",
+        "--epochs", "1",
+        "--max-steps-per-epoch", "1",
+        "--warmup-epochs", "0",
+        "--lr", "1e-4",
+        "--dino-out-dim", "128",
+        "--dino-global-size", "32",
+        "--dino-local-size", "16",
+        "--dino-local-crops", "2",
+        "--output", out,
+    ])
+    assert int(state.step) == 1

@@ -1,0 +1,141 @@
+"""Command-line argument surface.
+
+Parity: train.py:83-393 — the timm flag set (load-bearing subset) plus every
+GipMed flag (train.py:359-393), with the same two-stage ``--config`` YAML
+parse (train.py:83-85, 396-410: YAML values become parser defaults, command
+line wins).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import List, Optional
+
+
+def _yaml_load(path: str) -> dict:
+    try:
+        import yaml
+
+        with open(path) as f:
+            return yaml.safe_load(f) or {}
+    except ImportError:
+        # tiny fallback: "key: value" lines only
+        out = {}
+        with open(path) as f:
+            for line in f:
+                line = line.split("#")[0].strip()
+                if ":" in line:
+                    k, v = line.split(":", 1)
+                    v = v.strip()
+                    for cast in (int, float):
+                        try:
+                            v = cast(v)
+                            break
+                        except (TypeError, ValueError):
+                            pass
+                    if v in ("true", "True"):
+                        v = True
+                    if v in ("false", "False"):
+                        v = False
+                    out[k.strip()] = v
+        return out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser("tpuwsi training")
+    # core timm-compatible flags
+    parser.add_argument("--config", default="", type=str, metavar="FILE")
+    parser.add_argument("--model", default="vit_small_patch16_224_dino", type=str)
+    parser.add_argument("-b", "--batch-size", default=256, type=int)
+    parser.add_argument("--epochs", default=300, type=int)
+    parser.add_argument("--opt", default="sgd", type=str)
+    parser.add_argument("--lr", default=None, type=float)
+    parser.add_argument("--lr-base", default=0.1, type=float)
+    parser.add_argument("--lr-base-size", default=512, type=int)
+    parser.add_argument("--lr-base-scale", default="", type=str)
+    parser.add_argument("--momentum", default=0.9, type=float)
+    parser.add_argument("--weight-decay", default=2e-5, type=float)
+    parser.add_argument("--sched", default="cosine", type=str)
+    parser.add_argument("--warmup-epochs", default=5, type=int)
+    parser.add_argument("--warmup-lr", default=1e-5, type=float)
+    parser.add_argument("--min-lr", default=0.0, type=float)
+    parser.add_argument("--clip-grad", default=None, type=float)
+    parser.add_argument("--smoothing", default=0.1, type=float)
+    parser.add_argument("--bce-loss", action="store_true", default=False)
+    parser.add_argument("--drop", default=0.0, type=float)
+    parser.add_argument("--drop-path", default=None, type=float)
+    parser.add_argument("--model-ema", action="store_true", default=False)
+    parser.add_argument("--model-ema-decay", default=0.9998, type=float)
+    parser.add_argument("--seed", default=42, type=int)
+    parser.add_argument("--log-interval", default=50, type=int)
+    parser.add_argument("--recovery-interval", default=0, type=int)
+    parser.add_argument("--checkpoint-hist", default=10, type=int)
+    parser.add_argument("-j", "--workers", default=4, type=int)
+    parser.add_argument("--output", default="", type=str)
+    parser.add_argument("--experiment", default="", type=str)
+    parser.add_argument("--eval-metric", default="auc", type=str)
+    parser.add_argument("--resume", default="", type=str)
+    parser.add_argument("--initial-checkpoint", default="", type=str)
+    parser.add_argument("--num-classes", type=int, default=None)
+    parser.add_argument("--img-size", type=int, default=None)
+    parser.add_argument("--log-wandb", action="store_true", default=False)
+    parser.add_argument("--data-dir", default="", type=str,
+                        help="image-folder mode (timm_train.py path)")
+    # GipMed flags (train.py:359-393)
+    parser.add_argument("--no-grad", action="store_true", default=False)
+    parser.add_argument("--num-output", type=int, default=None)
+    parser.add_argument("-balsam", "--balanced_sampling", action="store_true")
+    parser.add_argument("-tf", "--test_fold", default=1, type=int)
+    parser.add_argument("-d", dest="dx", action="store_true")
+    parser.add_argument("-time", dest="time", action="store_true")
+    parser.add_argument("-tar", "--target", default="ER", type=str)
+    parser.add_argument("--n_patches_test", default=1, type=int)
+    parser.add_argument("--n_patches_train", default=10, type=int)
+    parser.add_argument("--transform_type", default="rvf", type=str)
+    parser.add_argument("--bootstrap", action="store_true")
+    parser.add_argument("--eval_rate", type=int, default=5)
+    parser.add_argument("--c_param", default=0.1, type=float)
+    parser.add_argument("-im", dest="images", action="store_true")
+    parser.add_argument("--mag", type=int, default=10)
+    parser.add_argument("--loan", action="store_true")
+    parser.add_argument("--er_eq_pr", action="store_true")
+    parser.add_argument("--focal", action="store_true")
+    parser.add_argument("--slide_per_block", action="store_true")
+    parser.add_argument("-baldat", "--balanced_dataset", action="store_true")
+    parser.add_argument("--RAM_saver", action="store_true")
+    parser.add_argument("-tl", "--transfer_learning", default="", type=str)
+    parser.add_argument("-nt", "--num_tiles", type=int, default=500)
+    parser.add_argument("-tpi", "--tiles_per_iter", type=int, default=500)
+    parser.add_argument("--supervised", action="store_true")
+    parser.add_argument("-ef", "--extract_features", action="store_true")
+    # dataset selection
+    parser.add_argument("--dataset", default="TCGA", type=str)
+    parser.add_argument("--tile-size", default=256, type=int)
+    parser.add_argument("--data-root", default=None, type=str)
+    # DINO SSL flags (the latent capability made real)
+    parser.add_argument("--ssl", action="store_true", help="DINO student/teacher SSL")
+    parser.add_argument("--dino-out-dim", default=65536, type=int)
+    parser.add_argument("--dino-local-crops", default=6, type=int)
+    parser.add_argument("--dino-global-size", default=224, type=int)
+    parser.add_argument("--dino-local-size", default=96, type=int)
+    parser.add_argument("--teacher-temp", default=0.04, type=float)
+    parser.add_argument("--warmup-teacher-temp", default=0.04, type=float)
+    parser.add_argument("--warmup-teacher-temp-epochs", default=0, type=int)
+    parser.add_argument("--ema-base", default=0.996, type=float)
+    # debug/smoke
+    parser.add_argument("--max-steps-per-epoch", default=0, type=int,
+                        help="0 = full epoch (testing hook)")
+    return parser
+
+
+def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
+    """Two-stage parse: --config YAML sets defaults (train.py:396-410)."""
+    parser = build_parser()
+    config_parser = argparse.ArgumentParser(add_help=False)
+    config_parser.add_argument("--config", default="", type=str)
+    given, remaining = config_parser.parse_known_args(argv)
+    if given.config:
+        cfg = _yaml_load(given.config)
+        parser.set_defaults(**cfg)
+    args = parser.parse_args(argv)
+    return args

@@ -1,0 +1,459 @@
+"""Training entry point.
+
+Parity: train.py ``main()`` (train.py:413-986) — model/optim/schedule/EMA
+setup, WSI or folder datasets, epoch loop with slide-level validation every
+``--eval_rate`` epochs (train.py:905-977), checkpointing, summary.csv, and
+the ``--extract_features`` inference mode (train.py:1281-1282) — plus the
+DINO SSL mode (``--ssl``) that makes the reference's latent self-supervised
+capability real (SURVEY §0).
+
+TPU-native orchestration: one jitted train step with on-device augmentation,
+batch sharded over the mesh data axis, params replicated (GSPMD gradient
+all-reduce replaces DDP), host-threaded tile prefetch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+
+
+def _setup_jax():
+    cache = os.environ.get("TPUWSI_COMPILE_CACHE", "/tmp/tpuwsi_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def _fitting_mesh(batch_size: int):
+    """Largest data axis that divides the batch (batch must shard evenly)."""
+    import math
+
+    from tpuwsi.core.mesh import MeshConfig, create_mesh
+
+    n = len(jax.devices())
+    data = math.gcd(batch_size, n)
+    return create_mesh(
+        MeshConfig(data=data, model=1), devices=jax.devices()[:data]
+    )
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+
+    from tpuwsi.cli.args import parse_args
+    from tpuwsi.core.mesh import MeshConfig, create_mesh, shard_batch
+    from tpuwsi.io.folder import ImageFolderDataset
+    from tpuwsi.io.metadata import load_slide_table
+    from tpuwsi.io.wsi import Prefetcher, WSITileSampler
+    from tpuwsi.models.registry import create_model
+    from tpuwsi.preprocess import make_recipe
+    from tpuwsi.train import (
+        CheckpointManager,
+        OptimConfig,
+        compile_step,
+        create_train_state,
+        make_eval_step,
+        make_optimizer,
+        make_train_step,
+    )
+    from tpuwsi.train.losses import binary_cross_entropy, cross_entropy, focal_loss
+    from tpuwsi.utils import start_log, update_summary
+    from tpuwsi.utils.ledger import ExperimentLedger
+
+    args = parse_args(argv)
+    _setup_jax()
+    start_log(args, to_file=bool(args.output), output_dir=args.output or None)
+
+    ledger = ExperimentLedger(args.output or "runs")
+    exp = ledger.create(
+        args.target,
+        test_fold=args.test_fold,
+        DataSet=args.dataset,
+        Model=args.model,
+        Transformations=args.transform_type,
+        **{"Tile Size": args.tile_size, "Learning Rate": args.lr or args.lr_base,
+           "Weight Decay": args.weight_decay,
+           "Desired Slide Magnification": args.mag},
+    )
+    output_dir = exp["Location"]
+
+    if args.ssl:
+        return train_ssl(args, output_dir)
+
+    # ---------------- data ----------------
+    folder_mode = bool(args.data_dir)
+    if folder_mode:
+        train_ds = ImageFolderDataset(args.data_dir, image_size=args.img_size)
+        num_classes = args.num_output or train_ds.num_classes
+        steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
+    else:
+        table = load_slide_table(
+            args.dataset,
+            tile_size=args.tile_size,
+            target_kind=args.target,
+            test_fold=args.test_fold,
+            train=True,
+            train_type="REG",
+            n_tiles=args.n_patches_train,
+            desired_magnification=args.mag,
+            dx=args.dx,
+            er_eq_pr=args.er_eq_pr,
+            ram_saver=args.RAM_saver,
+            data_root=args.data_root,
+        )
+        sampler = WSITileSampler(
+            table,
+            n_tiles=args.n_patches_train,
+            bag_size=1,
+            num_threads=args.workers,
+        )
+        num_classes = args.num_output or 2
+        steps_per_epoch = max(len(sampler) // args.batch_size, 1)
+
+    # ---------------- model + optimizer ----------------
+    on_tpu = jax.default_backend() == "tpu"
+    img_size = args.img_size or args.tile_size
+    model = create_model(
+        args.model,
+        num_classes=num_classes,
+        drop_rate=args.drop,
+        drop_path_rate=args.drop_path or 0.0,
+        img_size=img_size,
+        use_pallas_attention=on_tpu,
+    )
+    params = model.init(
+        jax.random.PRNGKey(args.seed),
+        jnp.zeros((1, img_size, img_size, 3), jnp.float32),
+    )
+    ocfg = OptimConfig(
+        opt=args.opt,
+        lr=args.lr,
+        base_lr=args.lr_base,
+        lr_base_size=args.lr_base_size,
+        lr_base_scale=args.lr_base_scale
+        or ("sqrt" if any(o in args.opt for o in ("ada", "lamb")) else "linear"),
+        momentum=args.momentum,
+        weight_decay=args.weight_decay,
+        clip_grad=args.clip_grad,
+        sched=args.sched,
+        epochs=args.epochs,
+        warmup_epochs=args.warmup_epochs,
+        warmup_lr=args.warmup_lr,
+        min_lr=args.min_lr,
+        steps_per_epoch=steps_per_epoch,
+    )
+    tx, schedule = make_optimizer(ocfg, params, args.batch_size)
+    state = create_train_state(params, tx, ema=args.model_ema)
+
+    ckpt = CheckpointManager(
+        os.path.join(output_dir, "checkpoints"),
+        max_history=args.checkpoint_hist,
+        metric_name=args.eval_metric,
+    )
+    if args.resume:
+        restored = CheckpointManager(args.resume).restore(target=state)
+        if restored is not None:
+            state = restored
+            logging.info("resumed from %s at step %d", args.resume, int(state.step))
+
+    if args.focal:
+        loss_fn = focal_loss
+    elif args.bce_loss:
+        loss_fn = lambda l, y: binary_cross_entropy(l, y, args.smoothing)
+    else:
+        loss_fn = lambda l, y: cross_entropy(l, y, args.smoothing)
+
+    aug = make_recipe(
+        args.transform_type, train=True, tile_size=img_size,
+        color_param=args.c_param,
+        norm_type="Amir" if args.dataset.startswith("TMA") else "Ron",
+    )
+    step_fn = make_train_step(
+        model.apply, tx, augment_fn=aug, loss_fn=loss_fn,
+        ema_decay=args.model_ema_decay if args.model_ema else None,
+    )
+    mesh = _fitting_mesh(args.batch_size)
+    jit_step = compile_step(step_fn, mesh, state, donate=False)
+
+    eval_norm = make_recipe(
+        args.transform_type, train=False, tile_size=img_size,
+        norm_type="Amir" if args.dataset.startswith("TMA") else "Ron",
+    )
+    eval_step = jax.jit(
+        make_eval_step(
+            model.apply,
+            preprocess_fn=lambda im: eval_norm(jax.random.PRNGKey(0), im),
+        )
+    )
+
+    if args.extract_features:
+        return extract_features(args, model, state, eval_step, output_dir)
+
+    # ---------------- epoch loop ----------------
+    rng = jax.random.PRNGKey(args.seed)
+    summary_path = os.path.join(output_dir, "summary.csv")
+    with mesh:
+        for epoch in range(args.epochs):
+            epoch_rng = np.random.default_rng(args.seed + epoch)
+            if folder_mode:
+                batches = train_ds.batches(args.batch_size, rng=epoch_rng)
+            else:
+                batches = sampler.batches(epoch_rng, args.batch_size)
+            batches = Prefetcher(batches, depth=3)
+            t0 = time.time()
+            metrics = {}
+            for i, batch in enumerate(batches):
+                if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:
+                    break
+                sb = shard_batch(
+                    mesh, {"images": batch["images"], "labels": batch["labels"]}
+                )
+                state, metrics = jit_step(state, sb, rng)
+                if args.log_interval and i % args.log_interval == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    rate = (i + 1) * args.batch_size / (time.time() - t0)
+                    logging.info(
+                        "epoch %d step %d loss %.4f auc %.3f (%.1f tiles/s)",
+                        epoch, i, m.get("loss", 0), m.get("auc", 0.5), rate,
+                    )
+                if (
+                    args.recovery_interval
+                    and i % max(args.recovery_interval, 1) == 0
+                    and i > 0
+                ):
+                    ckpt.save(int(state.step), state, {"recovery": 1.0})
+            train_metrics = {k: float(v) for k, v in metrics.items()}
+
+            eval_metrics = {}
+            if (epoch % args.eval_rate == 0 or epoch == args.epochs - 1) and not folder_mode:
+                eval_metrics = evaluate_slides(args, state, eval_step)
+                logging.info("epoch %d eval: %s", epoch, eval_metrics)
+            ckpt.save(int(state.step), state,
+                      eval_metrics or {args.eval_metric: 0.0})
+            update_summary(epoch, train_metrics, eval_metrics, summary_path)
+            ledger.update(exp["Experiment"], **{"Last Epoch": epoch})
+    ckpt.wait()
+    return state
+
+
+def evaluate_slides(args, state, eval_step):
+    """Slide-level validation (train.py:1146-1345): walk the test-fold
+    slides, mean-softmax per slide, per-patch and per-slide AUC."""
+    import jax.numpy as jnp
+
+    from tpuwsi.infer import SlideAggregator, SlideWalker
+    from tpuwsi.io.metadata import load_slide_table
+
+    table = load_slide_table(
+        args.dataset,
+        tile_size=args.tile_size,
+        target_kind=args.target,
+        test_fold=args.test_fold,
+        train=False,
+        train_type="Infer",
+        infer_folds=[args.test_fold],
+        desired_magnification=args.mag,
+        data_root=args.data_root,
+    )
+    walker = SlideWalker(
+        table, tiles_per_iter=args.tiles_per_iter, num_tiles=args.n_patches_test
+    )
+    agg = SlideAggregator()
+    for chunk in walker.walk():
+        _, probs = eval_step(state, {"images": jnp.asarray(chunk.images)})
+        agg.add_chunk(chunk, np.asarray(probs))
+    if not agg.results:
+        return {}
+    return {"auc": agg.slide_auc(), "patch_auc": agg.patch_auc()}
+
+
+def extract_features(args, model, state, eval_step, output_dir):
+    """--extract_features (train.py:1281-1282): 384-dim tile features +
+    reference-format inference .data file for the MIL pipeline."""
+    import jax.numpy as jnp
+
+    from tpuwsi.infer import SlideAggregator, SlideWalker
+    from tpuwsi.io.metadata import load_slide_table
+    from tpuwsi.models.registry import create_model
+    from tpuwsi.preprocess import make_recipe
+
+    table = load_slide_table(
+        args.dataset,
+        tile_size=args.tile_size,
+        target_kind=args.target,
+        test_fold=args.test_fold,
+        train=False,
+        train_type="Infer",
+        infer_folds=[args.test_fold],
+        desired_magnification=args.mag,
+        data_root=args.data_root,
+    )
+    img_size = args.img_size or args.tile_size
+    feat_model = create_model(
+        args.model, num_classes=0, img_size=img_size,
+        use_pallas_attention=jax.default_backend() == "tpu",
+    )
+    norm = make_recipe("none", train=False, tile_size=img_size)
+
+    # head params present in state.params are ignored by the num_classes=0 view
+    import jax as _jax
+
+    @_jax.jit
+    def feat_step(params, images):
+        x = norm(_jax.random.PRNGKey(0), images)
+        feats = feat_model.apply(params, x)
+        return feats
+
+    walker = SlideWalker(
+        table, tiles_per_iter=args.tiles_per_iter, num_tiles=args.num_tiles
+    )
+    agg = SlideAggregator(extract_features=True)
+    for chunk in walker.walk():
+        images = jnp.asarray(chunk.images)
+        _, probs = eval_step(state, {"images": images})
+        feats = feat_step(_strip_head(state.params), images)
+        agg.add_chunk(chunk, np.asarray(probs), np.asarray(feats))
+    feat_dir = os.path.join(output_dir, "features")
+    agg.save_features_pt(feat_dir)
+    agg.save_inference_data(os.path.join(feat_dir, "inference.data"))
+    logging.info("features for %d slides → %s", len(agg.results), feat_dir)
+    return agg
+
+
+def _strip_head(params):
+    """Drop the classifier head params so the num_classes=0 module matches."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(params))
+    flat = {k: v for k, v in flat.items() if "head" not in k}
+    return flax.traverse_util.unflatten_dict(flat)
+
+
+def train_ssl(args, output_dir):
+    """DINO student/teacher SSL loop (the BASELINE north-star recipe)."""
+    import jax.numpy as jnp
+
+    from tpuwsi.core.mesh import MeshConfig, create_mesh, shard_batch
+    from tpuwsi.io.folder import ImageFolderDataset
+    from tpuwsi.io.metadata import load_slide_table
+    from tpuwsi.io.wsi import Prefetcher, WSITileSampler
+    from tpuwsi.models import DINOHead
+    from tpuwsi.models.registry import parse_model_name
+    from tpuwsi.models.vit import VisionTransformer
+    from tpuwsi.preprocess.multicrop import MultiCropConfig, make_multicrop
+    from tpuwsi.ssl_dino import (
+        DINOConfig,
+        DINOModel,
+        create_dino_state,
+        make_dino_train_step,
+    )
+    from tpuwsi.train import CheckpointManager, OptimConfig, make_optimizer
+
+    folder_mode = bool(args.data_dir)
+    if folder_mode:
+        ds = ImageFolderDataset(args.data_dir)
+        steps_per_epoch = max(len(ds) // args.batch_size, 1)
+    else:
+        table = load_slide_table(
+            args.dataset, tile_size=args.tile_size, target_kind=args.target,
+            test_fold=args.test_fold, train=True, train_type="REG",
+            n_tiles=args.n_patches_train, desired_magnification=args.mag,
+            data_root=args.data_root,
+        )
+        sampler = WSITileSampler(
+            table, n_tiles=args.n_patches_train, bag_size=1,
+            num_threads=args.workers,
+        )
+        steps_per_epoch = max(len(sampler) // args.batch_size, 1)
+
+    cfg = dataclasses.replace(
+        parse_model_name(args.model),
+        num_classes=0,
+        img_size=args.dino_global_size,
+        drop_path_rate=args.drop_path or 0.1,
+        use_pallas_attention=jax.default_backend() == "tpu",
+    )
+    model = DINOModel(
+        backbone=VisionTransformer(cfg),
+        head=DINOHead(out_dim=args.dino_out_dim),
+    )
+    params = model.init(
+        jax.random.PRNGKey(args.seed),
+        jnp.zeros((1, args.dino_global_size, args.dino_global_size, 3)),
+    )
+    total_steps = args.epochs * steps_per_epoch
+    dcfg = DINOConfig(
+        out_dim=args.dino_out_dim,
+        n_local=args.dino_local_crops,
+        teacher_temp=args.teacher_temp,
+        warmup_teacher_temp=args.warmup_teacher_temp,
+        warmup_teacher_temp_steps=args.warmup_teacher_temp_epochs * steps_per_epoch,
+        ema_base=args.ema_base,
+        total_steps=total_steps,
+    )
+    ocfg = OptimConfig(
+        opt=args.opt if args.opt != "sgd" else "adamw",
+        lr=args.lr,
+        base_lr=args.lr_base,
+        lr_base_scale="sqrt",
+        weight_decay=args.weight_decay,
+        sched=args.sched,
+        epochs=args.epochs,
+        warmup_epochs=args.warmup_epochs,
+        steps_per_epoch=steps_per_epoch,
+        clip_grad=args.clip_grad or 3.0,
+    )
+    tx, _ = make_optimizer(ocfg, params, args.batch_size)
+    state = create_dino_state(params, tx, dcfg)
+    mc = make_multicrop(
+        MultiCropConfig(
+            global_size=args.dino_global_size,
+            local_size=args.dino_local_size,
+            n_local=args.dino_local_crops,
+        )
+    )
+    step = jax.jit(make_dino_train_step(model.apply, tx, dcfg, multicrop_fn=mc))
+    ckpt = CheckpointManager(
+        os.path.join(output_dir, "checkpoints"), metric_name="loss", mode="min"
+    )
+
+    mesh = _fitting_mesh(args.batch_size)
+    rng = jax.random.PRNGKey(args.seed)
+    with mesh:
+        for epoch in range(args.epochs):
+            epoch_rng = np.random.default_rng(args.seed + epoch)
+            batches = (
+                ds.batches(args.batch_size, rng=epoch_rng)
+                if folder_mode
+                else sampler.batches(epoch_rng, args.batch_size)
+            )
+            metrics = {}
+            for i, batch in enumerate(Prefetcher(batches, depth=3)):
+                if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:
+                    break
+                sb = shard_batch(mesh, {"images": batch["images"]})
+                state, metrics = step(state, sb, rng)
+                if args.log_interval and i % args.log_interval == 0:
+                    logging.info(
+                        "ssl epoch %d step %d loss %.4f momentum %.5f",
+                        epoch, i, float(metrics["loss"]),
+                        float(metrics["ema_momentum"]),
+                    )
+            ckpt.save(int(state.step), state,
+                      {"loss": float(metrics.get("loss", 0.0))})
+    ckpt.wait()
+    return state
+
+
+if __name__ == "__main__":
+    main()
