@@ -1,0 +1,450 @@
+// tileingest implementation. See tileingest.h for the contract and
+// SURVEY.md §2.11 for the parity mapping (OpenSlide read_region hot path →
+// native threaded batch extraction).
+
+#include "tileingest.h"
+
+#include <tiffio.h>
+
+#include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <cstring>
+#include <memory>
+#include <mutex>
+#include <queue>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Level {
+  tdir_t dir = 0;
+  int64_t width = 0;
+  int64_t height = 0;
+  double downsample = 1.0;
+};
+
+struct Slide {
+  std::string path;
+  std::vector<Level> levels;
+  // libtiff handles are NOT thread-safe; one handle per (slide, thread).
+  std::mutex handles_mu;
+  std::vector<TIFF*> handles;
+
+  ~Slide() {
+    for (TIFF* t : handles)
+      if (t) TIFFClose(t);
+  }
+
+  TIFF* acquire() {
+    std::lock_guard<std::mutex> lk(handles_mu);
+    if (!handles.empty()) {
+      TIFF* t = handles.back();
+      handles.pop_back();
+      return t;
+    }
+    return TIFFOpen(path.c_str(), "r");
+  }
+
+  void release(TIFF* t) {
+    std::lock_guard<std::mutex> lk(handles_mu);
+    handles.push_back(t);
+  }
+};
+
+std::mutex g_slides_mu;
+std::vector<std::unique_ptr<Slide>> g_slides;
+
+Slide* get_slide(int id) {
+  std::lock_guard<std::mutex> lk(g_slides_mu);
+  if (id < 0 || id >= static_cast<int>(g_slides.size())) return nullptr;
+  return g_slides[id].get();
+}
+
+// Reads the full rect (x0,y0,w,h) in LEVEL coordinates into out RGB8.
+// Out-of-bounds zero-filled. Returns 0 on success.
+int read_level_rect(Slide* s, TIFF* tif, int level, int64_t x0, int64_t y0,
+                    int64_t w, int64_t h, uint8_t* out) {
+  const Level& lv = s->levels[level];
+  if (!TIFFSetDirectory(tif, lv.dir)) return -2;
+  std::memset(out, 0, static_cast<size_t>(w) * h * 3);
+
+  const int64_t rx0 = std::max<int64_t>(x0, 0);
+  const int64_t ry0 = std::max<int64_t>(y0, 0);
+  const int64_t rx1 = std::min<int64_t>(x0 + w, lv.width);
+  const int64_t ry1 = std::min<int64_t>(y0 + h, lv.height);
+  if (rx0 >= rx1 || ry0 >= ry1) return 0;  // fully outside → zeros
+
+  if (TIFFIsTiled(tif)) {
+    uint32_t tw = 0, th = 0;
+    TIFFGetField(tif, TIFFTAG_TILEWIDTH, &tw);
+    TIFFGetField(tif, TIFFTAG_TILELENGTH, &th);
+    if (tw == 0 || th == 0) return -3;
+    std::vector<uint32_t> tilebuf(static_cast<size_t>(tw) * th);
+    for (int64_t ty = (ry0 / th) * th; ty < ry1; ty += th) {
+      for (int64_t tx = (rx0 / tw) * tw; tx < rx1; tx += tw) {
+        // RGBA-decoded tile (handles JPEG-compressed SVS tiles via libjpeg).
+        if (!TIFFReadRGBATile(tif, static_cast<uint32_t>(tx),
+                              static_cast<uint32_t>(ty), tilebuf.data()))
+          return -4;
+        const int64_t cx0 = std::max<int64_t>(tx, rx0);
+        const int64_t cy0 = std::max<int64_t>(ty, ry0);
+        const int64_t cx1 = std::min<int64_t>(tx + tw, rx1);
+        const int64_t cy1 = std::min<int64_t>(ty + th, ry1);
+        for (int64_t yy = cy0; yy < cy1; ++yy) {
+          // TIFFReadRGBATile returns bottom-up rows.
+          const uint32_t* src =
+              tilebuf.data() + (th - 1 - (yy - ty)) * tw + (cx0 - tx);
+          uint8_t* dst = out + ((yy - y0) * w + (cx0 - x0)) * 3;
+          for (int64_t xx = cx0; xx < cx1; ++xx, ++src, dst += 3) {
+            const uint32_t p = *src;
+            dst[0] = TIFFGetR(p);
+            dst[1] = TIFFGetG(p);
+            dst[2] = TIFFGetB(p);
+          }
+        }
+      }
+    }
+    return 0;
+  }
+
+  // Strip/scanline image: decode the needed rows via RGBA strip reader.
+  uint32_t rows_per_strip = 0;
+  TIFFGetFieldDefaulted(tif, TIFFTAG_ROWSPERSTRIP, &rows_per_strip);
+  if (rows_per_strip == 0) rows_per_strip = static_cast<uint32_t>(lv.height);
+  std::vector<uint32_t> strip(static_cast<size_t>(lv.width) * rows_per_strip);
+  for (int64_t sy = (ry0 / rows_per_strip) * rows_per_strip; sy < ry1;
+       sy += rows_per_strip) {
+    if (!TIFFReadRGBAStrip(tif, static_cast<uint32_t>(sy), strip.data()))
+      return -5;
+    const int64_t rows = std::min<int64_t>(rows_per_strip, lv.height - sy);
+    const int64_t cy0 = std::max<int64_t>(sy, ry0);
+    const int64_t cy1 = std::min<int64_t>(sy + rows, ry1);
+    for (int64_t yy = cy0; yy < cy1; ++yy) {
+      const uint32_t* src =
+          strip.data() + (rows - 1 - (yy - sy)) * lv.width + rx0;
+      uint8_t* dst = out + ((yy - y0) * w + (rx0 - x0)) * 3;
+      for (int64_t xx = rx0; xx < rx1; ++xx, ++src, dst += 3) {
+        const uint32_t p = *src;
+        dst[0] = TIFFGetR(p);
+        dst[1] = TIFFGetG(p);
+        dst[2] = TIFFGetB(p);
+      }
+    }
+  }
+  return 0;
+}
+
+// Bilinear resize RGB8 (in: sw×sh) → (out: dw×dh).
+void resize_bilinear(const uint8_t* in, int64_t sw, int64_t sh, uint8_t* out,
+                     int64_t dw, int64_t dh) {
+  if (sw == dw && sh == dh) {
+    std::memcpy(out, in, static_cast<size_t>(dw) * dh * 3);
+    return;
+  }
+  for (int64_t y = 0; y < dh; ++y) {
+    const double fy = (y + 0.5) * sh / dh - 0.5;
+    int64_t y0 = static_cast<int64_t>(fy);
+    y0 = std::clamp<int64_t>(y0, 0, sh - 1);
+    const int64_t y1 = std::min<int64_t>(y0 + 1, sh - 1);
+    const double wy = std::clamp(fy - y0, 0.0, 1.0);
+    for (int64_t x = 0; x < dw; ++x) {
+      const double fx = (x + 0.5) * sw / dw - 0.5;
+      int64_t x0 = static_cast<int64_t>(fx);
+      x0 = std::clamp<int64_t>(x0, 0, sw - 1);
+      const int64_t x1 = std::min<int64_t>(x0 + 1, sw - 1);
+      const double wx = std::clamp(fx - x0, 0.0, 1.0);
+      for (int c = 0; c < 3; ++c) {
+        const double a = in[(y0 * sw + x0) * 3 + c];
+        const double b = in[(y0 * sw + x1) * 3 + c];
+        const double cc = in[(y1 * sw + x0) * 3 + c];
+        const double d = in[(y1 * sw + x1) * 3 + c];
+        const double top = a * (1 - wx) + b * wx;
+        const double bot = cc * (1 - wx) + d * wx;
+        out[(y * dw + x) * 3 + c] =
+            static_cast<uint8_t>(top * (1 - wy) + bot * wy + 0.5);
+      }
+    }
+  }
+}
+
+// ---- worker pool --------------------------------------------------------------
+
+struct Job {
+  TiRequest req;
+  uint8_t* out = nullptr;
+  std::atomic<int>* failures = nullptr;
+  std::atomic<int>* remaining = nullptr;
+  std::condition_variable* done_cv = nullptr;
+  std::mutex* done_mu = nullptr;
+};
+
+class Pool {
+ public:
+  ~Pool() { stop(); }  // joinable threads at process exit → std::terminate
+
+  void start(int n) {
+    std::lock_guard<std::mutex> lk(mu_);
+    if (running_) return;
+    running_ = true;
+    if (n <= 0) n = static_cast<int>(std::thread::hardware_concurrency());
+    n = std::max(n, 1);
+    for (int i = 0; i < n; ++i)
+      threads_.emplace_back([this] { worker(); });
+  }
+
+  void stop() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      if (!running_) return;
+      running_ = false;
+    }
+    cv_.notify_all();
+    for (auto& t : threads_) t.join();
+    threads_.clear();
+  }
+
+  bool running() {
+    std::lock_guard<std::mutex> lk(mu_);
+    return running_;
+  }
+
+  void submit(Job job) {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      q_.push(std::move(job));
+    }
+    cv_.notify_one();
+  }
+
+ private:
+  void worker() {
+    for (;;) {
+      Job job;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_.wait(lk, [this] { return !running_ || !q_.empty(); });
+        if (!running_ && q_.empty()) return;
+        job = std::move(q_.front());
+        q_.pop();
+      }
+      run_job(job);
+      if (job.remaining->fetch_sub(1) == 1) {
+        std::lock_guard<std::mutex> lk(*job.done_mu);
+        job.done_cv->notify_all();
+      }
+    }
+  }
+
+  static void run_job(const Job& job) {
+    const TiRequest& r = job.req;
+    uint8_t* out = job.out + r.index * static_cast<int64_t>(r.out_size) *
+                                r.out_size * 3;
+    Slide* s = get_slide(r.slide);
+    if (!s || r.level < 0 ||
+        r.level >= static_cast<int>(s->levels.size())) {
+      std::memset(out, 0, static_cast<size_t>(r.out_size) * r.out_size * 3);
+      job.failures->fetch_add(1);
+      return;
+    }
+    const double ds = s->levels[r.level].downsample;
+    const int64_t lx = static_cast<int64_t>(r.x / ds);
+    const int64_t ly = static_cast<int64_t>(r.y / ds);
+    TIFF* tif = s->acquire();
+    if (!tif) {
+      std::memset(out, 0, static_cast<size_t>(r.out_size) * r.out_size * 3);
+      job.failures->fetch_add(1);
+      return;
+    }
+    std::vector<uint8_t> buf(static_cast<size_t>(r.adjusted_size) *
+                             r.adjusted_size * 3);
+    int rc = read_level_rect(s, tif, r.level, lx, ly, r.adjusted_size,
+                             r.adjusted_size, buf.data());
+    s->release(tif);
+    if (rc != 0) {
+      // blank-patch fallback (utils.py:175-181) — zero-filled but COUNTED.
+      std::memset(out, 0, static_cast<size_t>(r.out_size) * r.out_size * 3);
+      job.failures->fetch_add(1);
+      return;
+    }
+    resize_bilinear(buf.data(), r.adjusted_size, r.adjusted_size, out,
+                    r.out_size, r.out_size);
+  }
+
+  std::mutex mu_;
+  std::condition_variable cv_;
+  std::queue<Job> q_;
+  std::vector<std::thread> threads_;
+  bool running_ = false;
+};
+
+Pool g_pool;
+
+}  // namespace
+
+// ---- C API ---------------------------------------------------------------------
+
+extern "C" {
+
+int ti_abi_version() { return 1; }
+
+int ti_open(const char* path) {
+  TIFFSetErrorHandler(nullptr);  // quiet: errors become return codes
+  TIFFSetWarningHandler(nullptr);
+  TIFF* tif = TIFFOpen(path, "r");
+  if (!tif) return -1;
+  auto slide = std::make_unique<Slide>();
+  slide->path = path;
+  // Enumerate directories as pyramid levels (full-resolution first; skip
+  // directories that are not reduced-resolution pages, e.g. SVS label/macro
+  // images, by requiring monotonically shrinking dims).
+  int64_t base_w = 0;
+  do {
+    uint32_t w = 0, h = 0;
+    TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &w);
+    TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &h);
+    if (w == 0 || h == 0) continue;
+    if (slide->levels.empty()) {
+      base_w = w;
+    } else if (static_cast<int64_t>(w) >= slide->levels.back().width) {
+      continue;  // not a smaller pyramid level (label/macro page)
+    }
+    Level lv;
+    lv.dir = TIFFCurrentDirectory(tif);
+    lv.width = w;
+    lv.height = h;
+    lv.downsample = static_cast<double>(base_w) / w;
+    slide->levels.push_back(lv);
+  } while (TIFFReadDirectory(tif));
+  if (slide->levels.empty()) {
+    TIFFClose(tif);
+    return -2;
+  }
+  slide->handles.push_back(tif);
+  std::lock_guard<std::mutex> lk(g_slides_mu);
+  g_slides.push_back(std::move(slide));
+  return static_cast<int>(g_slides.size()) - 1;
+}
+
+void ti_close(int slide) {
+  std::lock_guard<std::mutex> lk(g_slides_mu);
+  if (slide >= 0 && slide < static_cast<int>(g_slides.size()))
+    g_slides[slide].reset();
+}
+
+int ti_levels(int slide) {
+  Slide* s = get_slide(slide);
+  return s ? static_cast<int>(s->levels.size()) : -1;
+}
+
+int ti_level_dims(int slide, int level, int64_t* width, int64_t* height) {
+  Slide* s = get_slide(slide);
+  if (!s || level < 0 || level >= static_cast<int>(s->levels.size()))
+    return -1;
+  *width = s->levels[level].width;
+  *height = s->levels[level].height;
+  return 0;
+}
+
+double ti_level_downsample(int slide, int level) {
+  Slide* s = get_slide(slide);
+  if (!s || level < 0 || level >= static_cast<int>(s->levels.size()))
+    return -1.0;
+  return s->levels[level].downsample;
+}
+
+int ti_read_region(int slide, int level, int64_t x, int64_t y, int64_t w,
+                   int64_t h, uint8_t* out) {
+  Slide* s = get_slide(slide);
+  if (!s || level < 0 || level >= static_cast<int>(s->levels.size()))
+    return -1;
+  const double ds = s->levels[level].downsample;
+  TIFF* tif = s->acquire();
+  if (!tif) return -2;
+  int rc = read_level_rect(s, tif, level, static_cast<int64_t>(x / ds),
+                           static_cast<int64_t>(y / ds), w, h, out);
+  s->release(tif);
+  return rc;
+}
+
+int ti_pool_start(int n_threads) {
+  g_pool.start(n_threads);
+  return 0;
+}
+
+void ti_pool_stop() { g_pool.stop(); }
+
+int ti_extract_batch(const TiRequest* reqs, int n, uint8_t* out) {
+  if (n <= 0) return 0;
+  if (!g_pool.running()) g_pool.start(0);
+  std::atomic<int> failures{0};
+  std::atomic<int> remaining{n};
+  std::mutex done_mu;
+  std::condition_variable done_cv;
+  for (int i = 0; i < n; ++i) {
+    Job job;
+    job.req = reqs[i];
+    job.out = out;
+    job.failures = &failures;
+    job.remaining = &remaining;
+    job.done_cv = &done_cv;
+    job.done_mu = &done_mu;
+    g_pool.submit(std::move(job));
+  }
+  std::unique_lock<std::mutex> lk(done_mu);
+  done_cv.wait(lk, [&] { return remaining.load() == 0; });
+  return failures.load();
+}
+
+int ti_write_synthetic(const char* path, int64_t width, int64_t height,
+                       int levels, int tile, uint32_t seed) {
+  TIFF* tif = TIFFOpen(path, "w");
+  if (!tif) return -1;
+  for (int lvl = 0; lvl < levels; ++lvl) {
+    const int64_t w = width >> lvl;
+    const int64_t h = height >> lvl;
+    TIFFSetField(tif, TIFFTAG_IMAGEWIDTH, static_cast<uint32_t>(w));
+    TIFFSetField(tif, TIFFTAG_IMAGELENGTH, static_cast<uint32_t>(h));
+    TIFFSetField(tif, TIFFTAG_SAMPLESPERPIXEL, 3);
+    TIFFSetField(tif, TIFFTAG_BITSPERSAMPLE, 8);
+    TIFFSetField(tif, TIFFTAG_ORIENTATION, ORIENTATION_TOPLEFT);
+    TIFFSetField(tif, TIFFTAG_PLANARCONFIG, PLANARCONFIG_CONTIG);
+    TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
+    TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_JPEG);
+    TIFFSetField(tif, TIFFTAG_JPEGQUALITY, 90);
+    TIFFSetField(tif, TIFFTAG_TILEWIDTH, static_cast<uint32_t>(tile));
+    TIFFSetField(tif, TIFFTAG_TILELENGTH, static_cast<uint32_t>(tile));
+    if (lvl > 0) TIFFSetField(tif, TIFFTAG_SUBFILETYPE, FILETYPE_REDUCEDIMAGE);
+    std::vector<uint8_t> buf(static_cast<size_t>(tile) * tile * 3);
+    for (int64_t ty = 0; ty < h; ty += tile) {
+      for (int64_t tx = 0; tx < w; tx += tile) {
+        for (int64_t yy = 0; yy < tile; ++yy) {
+          for (int64_t xx = 0; xx < tile; ++xx) {
+            // Level-0-consistent pattern: coordinates scaled by downsample so
+            // every level shows the same (smoothed) content.
+            const int64_t gx = (tx + xx) << lvl;
+            const int64_t gy = (ty + yy) << lvl;
+            uint8_t* p = buf.data() + (yy * tile + xx) * 3;
+            p[0] = static_cast<uint8_t>((gx / 7 + seed) % 256);
+            p[1] = static_cast<uint8_t>((gy / 7 + seed * 3) % 256);
+            p[2] = static_cast<uint8_t>(((gx + gy) / 11 + seed * 5) % 256);
+          }
+        }
+        if (TIFFWriteTile(tif, buf.data(), static_cast<uint32_t>(tx),
+                          static_cast<uint32_t>(ty), 0, 0) < 0) {
+          TIFFClose(tif);
+          return -2;
+        }
+      }
+    }
+    if (!TIFFWriteDirectory(tif)) {
+      TIFFClose(tif);
+      return -3;
+    }
+  }
+  TIFFClose(tif);
+  return 0;
+}
+
+}  // extern "C"

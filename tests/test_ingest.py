@@ -1,0 +1,103 @@
+import numpy as np
+import pytest
+
+ingest = pytest.importorskip("tpuwsi.io.ingest")
+
+if not ingest.native_available():
+    pytest.skip("libtileingest.so not built", allow_module_level=True)
+
+from tpuwsi.io.ingest import CTileReader, NativeBatchExtractor, write_synthetic_slide
+from tpuwsi.io.slide_readers import open_slide
+
+
+@pytest.fixture(scope="module")
+def synthetic_svs(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("slides") / "synthetic.tif")
+    write_synthetic_slide(path, 2048, 1536, levels=3, tile=256, seed=7)
+    return path
+
+
+def test_open_and_pyramid(synthetic_svs):
+    r = CTileReader(synthetic_svs)
+    assert r.dimensions == (2048, 1536)
+    assert len(r.level_downsamples) == 3
+    assert r.level_downsamples[0] == 1.0
+    assert abs(r.level_downsamples[1] - 2.0) < 1e-6
+    r.close()
+
+
+def test_read_region_content(synthetic_svs):
+    r = CTileReader(synthetic_svs)
+    tile = r.read_region((512, 256), 0, (128, 128))
+    assert tile.shape == (128, 128, 3)
+    # procedural pattern: R ≈ (x/7 + 7) % 256 (JPEG-lossy, allow tolerance)
+    expected_r = (512 // 7 + 7) % 256
+    assert abs(int(tile[0, 0, 0]) - expected_r) < 12
+    # content varies across the tile
+    assert tile.std() > 5
+    r.close()
+
+
+def test_read_region_levels_consistent(synthetic_svs):
+    r = CTileReader(synthetic_svs)
+    # same physical region at level 0 (256²) vs level 1 (128²)
+    t0 = r.read_region((512, 512), 0, (256, 256)).astype(np.float32)
+    t1 = r.read_region((512, 512), 1, (128, 128)).astype(np.float32)
+    # downsample t0 by 2 and compare means
+    t0d = t0.reshape(128, 2, 128, 2, 3).mean(axis=(1, 3))
+    assert abs(t0d.mean() - t1.mean()) < 8
+    r.close()
+
+
+def test_read_out_of_bounds_zero_filled(synthetic_svs):
+    r = CTileReader(synthetic_svs)
+    tile = r.read_region((2048 - 64, 1536 - 64), 0, (128, 128))
+    assert (tile[96:, 96:] == 0).all()  # beyond the slide
+    assert tile[:32, :32].std() > 0  # inside still has content
+    r.close()
+
+
+def test_batch_extractor_parallel(synthetic_svs):
+    r = CTileReader(synthetic_svs)
+    ex = NativeBatchExtractor(n_threads=4)
+    reqs = [(r, 0, x, y, 256) for x in (0, 256, 512, 768)
+            for y in (0, 256, 512)]
+    out = ex.extract(reqs, out_size=128)
+    assert out.shape == (12, 128, 128, 3)
+    assert ex.failures == 0
+    assert out.std() > 5
+    # resize correctness: batch result ≈ read_region + manual check via mean
+    direct = r.read_region((0, 0), 0, (256, 256))
+    assert abs(float(direct.mean()) - float(out[0].mean())) < 6
+    r.close()
+
+
+def test_batch_extractor_counts_failures(synthetic_svs):
+    r = CTileReader(synthetic_svs)
+    ex = NativeBatchExtractor()
+    # bogus level → zero-filled + counted (blank-patch fallback parity,
+    # utils.py:175-181, but observable)
+    out = ex.extract([(r, 99, 0, 0, 256)], out_size=64)
+    assert ex.failures == 1
+    assert (out == 0).all()
+    r.close()
+
+
+def test_open_slide_prefers_native(synthetic_svs):
+    reader = open_slide(synthetic_svs)
+    assert isinstance(reader, CTileReader)
+    reader.close()
+
+
+def test_works_with_tiles_layer(synthetic_svs):
+    from tpuwsi.io.tiles import choose_data
+
+    reader = open_slide(synthetic_svs)
+    grid = [(r_, c) for r_ in range(0, 1024, 256) for c in range(0, 1024, 256)]
+    tiles, locs = choose_data(
+        reader, grid, how_many=4, magnification=20, tile_size=256,
+        desired_mag=10, rng=np.random.default_rng(0),
+    )
+    assert tiles.shape == (4, 256, 256, 3)
+    assert tiles.std() > 5
+    reader.close()
