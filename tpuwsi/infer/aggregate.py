@@ -101,6 +101,19 @@ class SlideAggregator:
         )
         return roc_auc(scores, labels)
 
+    def bootstrap_slide_auc(self, n_boot: int = 1000, seed: int = 0):
+        """--bootstrap parity (train.py:366): slide-AUC mean ± std over
+        resampled slide sets."""
+        rng = np.random.default_rng(seed)
+        scores = np.asarray([r.slide_score for r in self.results])
+        labels = np.asarray([r.label for r in self.results])
+        n = len(scores)
+        aucs = []
+        for _ in range(n_boot):
+            pick = rng.integers(0, n, size=n)
+            aucs.append(roc_auc(scores[pick], labels[pick]))
+        return float(np.mean(aucs)), float(np.std(aucs))
+
     # -- exports ----------------------------------------------------------------
     def save_features_pt(self, out_dir: str):
         """Per-slide '<name>_features.pt' (train.py:1281-1282 parity)."""

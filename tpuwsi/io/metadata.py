@@ -91,6 +91,7 @@ def load_slide_table(
     dx: bool = False,
     er_eq_pr: bool = False,
     ram_saver: bool = False,
+    balanced_dataset: bool = False,
     data_root: Optional[str] = None,
     dir_dict: Optional[Dict[str, str]] = None,
     rng: Optional[np.random.Generator] = None,
@@ -121,6 +122,13 @@ def load_slide_table(
 
     if dataset in ("PORTO_HE", "PORTO_PDL1"):
         df = df[df["Origin"] == "lung"].reset_index(drop=True)
+
+    if balanced_dataset and target_kind in ("ER", "ER100"):
+        # patient-level ER balancing (datasets.py:130-134, utils.py:605-665)
+        from tpuwsi.utils.balance import balance_dataset_er
+
+        df = balance_dataset_er(df, rng)
+        df = df[df["use_in_balanced_data_ER"] == 1].reset_index(drop=True)
 
     # Targets
     survival = target_kind in ("Survival_Time", "Survival_Binary")

@@ -36,11 +36,15 @@ class WSITileSampler:
         random_shift: bool = True,
         readers: Optional[Dict[int, SlideReader]] = None,
         num_threads: int = 8,
+        balanced_sampling: bool = False,
+        test_time_augmentation: bool = False,
     ):
         self.table = table
-        self.n_tiles = n_tiles
+        # TTA draws each slide 4× at eval (datasets.py:433-435)
+        self.n_tiles = 4 if test_time_augmentation else n_tiles
         self.bag_size = bag_size
         self.random_shift = random_shift
+        self.balanced_sampling = balanced_sampling
         self.stats = TileStats()
         self._readers = readers or {}
         self._grids: Dict[int, list] = {}
@@ -80,6 +84,19 @@ class WSITileSampler:
 
     # -- sampling --------------------------------------------------------------
     def sample_slide(self, idx: int, rng: np.random.Generator, n: int) -> np.ndarray:
+        if self.table.cohort_ids[idx] == "ABCTB_TILES":
+            # presaved-tile cohort (datasets.py:452-467)
+            from tpuwsi.io.presaved import sample_presaved_tiles, tiles_dir_for_slide
+
+            return sample_presaved_tiles(
+                tiles_dir_for_slide(
+                    self.table.path_names[idx], self.table.file_names[idx]
+                ),
+                int(self.table.tissue_tiles[idx]),
+                n,
+                self.table.tile_size,
+                rng,
+            )
         reader = self._reader(idx)
         grid = self._grid(idx)
         best_level, adjusted, level0 = self._levels(idx)
@@ -101,6 +118,16 @@ class WSITileSampler:
         return len(self.table) * self.n_tiles
 
     def epoch_indices(self, rng: np.random.Generator) -> np.ndarray:
+        if self.balanced_sampling:
+            # WeightedRandomSampler parity (train.py:719-731): sample slides
+            # with replacement, weight ∝ 1 / class frequency.
+            labels = self.table.labels().reshape(len(self.table), -1)[:, 0]
+            counts = np.bincount(np.maximum(labels, 0))
+            weights = 1.0 / np.maximum(counts[np.maximum(labels, 0)], 1)
+            weights = weights / weights.sum()
+            return rng.choice(
+                len(self.table), size=len(self), replace=True, p=weights
+            )
         idx = np.repeat(np.arange(len(self.table)), self.n_tiles)
         rng.shuffle(idx)
         return idx
