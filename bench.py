@@ -41,11 +41,13 @@ def build(batch_size: int, tile: int = 224):
 
     on_tpu = jax.default_backend() == "tpu"
     backbone = VisionTransformer(
-        vit_small(num_classes=0, img_size=224, use_pallas_attention=on_tpu)
+        vit_small(num_classes=0, img_size=224, use_pallas_attention=on_tpu,
+                  gelu_approx=True)
     )
     model = DINOModel(
         backbone=backbone,
-        head=DINOHead(out_dim=65536, hidden_dim=2048, bottleneck_dim=256),
+        head=DINOHead(out_dim=65536, hidden_dim=2048, bottleneck_dim=256,
+                      gelu_approx=True),
     )
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
@@ -60,7 +62,7 @@ def build(batch_size: int, tile: int = 224):
 
 
 def main():
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     tile = 256  # raw WSI tile size fed to multi-crop (train.py:414: 256 default)
     state, step = build(batch_size)
     rng = jax.random.PRNGKey(1)

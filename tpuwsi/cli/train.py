@@ -102,20 +102,31 @@ def main(argv=None):
             tile_size=args.tile_size,
             target_kind=args.target,
             test_fold=args.test_fold,
-            train=True,
+            train=not args.supervised,
             train_type="REG",
+            infer_folds=[args.test_fold] if args.supervised else (None,),
             n_tiles=args.n_patches_train,
             desired_magnification=args.mag,
             dx=args.dx,
             er_eq_pr=args.er_eq_pr,
             ram_saver=args.RAM_saver,
+            balanced_dataset=args.balanced_dataset,
             data_root=args.data_root,
         )
+        if args.supervised:
+            # --supervised: 80/20 random split of the test fold
+            # (train.py:715-717)
+            from tpuwsi.io.metadata import split_table
+
+            table, _val_table = split_table(
+                table, 0.8, np.random.default_rng(args.seed)
+            )
         sampler = WSITileSampler(
             table,
             n_tiles=args.n_patches_train,
             bag_size=1,
             num_threads=args.workers,
+            balanced_sampling=args.balanced_sampling,
         )
         num_classes = args.num_output or 2
         steps_per_epoch = max(len(sampler) // args.batch_size, 1)
@@ -165,6 +176,14 @@ def main(argv=None):
         if restored is not None:
             state = restored
             logging.info("resumed from %s at step %d", args.resume, int(state.step))
+    warm = args.initial_checkpoint or args.transfer_learning
+    if warm and not args.resume:
+        # --initial-checkpoint / -tl warm start (train.py:114-115, 386):
+        # params only — fresh optimizer/schedule.
+        donor = CheckpointManager(warm).restore(target=state)
+        if donor is not None:
+            state = state.replace(params=donor.params)
+            logging.info("warm-started params from %s", warm)
 
     if args.focal:
         loss_fn = focal_loss
@@ -205,6 +224,23 @@ def main(argv=None):
     with mesh:
         for epoch in range(args.epochs):
             epoch_rng = np.random.default_rng(args.seed + epoch)
+            if not folder_mode and args.RAM_saver and epoch > 0 and epoch % 100 == 0:
+                # RAM_saver: reshuffle the quarter-subset every 100 epochs
+                # (train.py:385, datasets.py:260-264)
+                table = load_slide_table(
+                    args.dataset, tile_size=args.tile_size,
+                    target_kind=args.target, test_fold=args.test_fold,
+                    train=True, train_type="REG",
+                    n_tiles=args.n_patches_train,
+                    desired_magnification=args.mag, dx=args.dx,
+                    er_eq_pr=args.er_eq_pr, ram_saver=True,
+                    data_root=args.data_root, rng=epoch_rng,
+                )
+                sampler = WSITileSampler(
+                    table, n_tiles=args.n_patches_train, bag_size=1,
+                    num_threads=args.workers,
+                    balanced_sampling=args.balanced_sampling,
+                )
             if folder_mode:
                 batches = train_ds.batches(args.batch_size, rng=epoch_rng)
             else:
@@ -382,6 +418,7 @@ def train_ssl(args, output_dir):
         img_size=args.dino_global_size,
         drop_path_rate=args.drop_path or 0.1,
         use_pallas_attention=jax.default_backend() == "tpu",
+        gelu_approx=True,  # from-scratch SSL: no checkpoint parity constraint
     )
     model = DINOModel(
         backbone=VisionTransformer(cfg),

@@ -77,6 +77,42 @@ class SlideTable:
         return os.path.join(self.path_names[idx], self.file_names[idx])
 
 
+def split_table(
+    table: SlideTable, train_fraction: float = 0.8,
+    rng: Optional[np.random.Generator] = None,
+) -> tuple:
+    """--supervised 80/20 random split parity (train.py:715-717): partition
+    one table's slides into train/val subsets."""
+    rng = rng or np.random.default_rng(0)
+    n = len(table)
+    order = rng.permutation(n)
+    n_train = int(round(n * train_fraction))
+    def take(idxs):
+        idxs = sorted(int(i) for i in idxs)
+        return dataclasses.replace(
+            table,
+            file_names=[table.file_names[i] for i in idxs],
+            path_names=[table.path_names[i] for i in idxs],
+            cohort_ids=[table.cohort_ids[i] for i in idxs],
+            tissue_tiles=[table.tissue_tiles[i] for i in idxs],
+            targets=[table.targets[i] for i in idxs],
+            magnifications=[table.magnifications[i] for i in idxs],
+            patient_barcodes=[table.patient_barcodes[i] for i in idxs],
+            censored=[table.censored[i] for i in idxs] if table.censored else None,
+            target_binary=(
+                [table.target_binary[i] for i in idxs] if table.target_binary else None
+            ),
+            target_cont=(
+                [table.target_cont[i] for i in idxs] if table.target_cont else None
+            ),
+            cohort_ints=(
+                [table.cohort_ints[i] for i in idxs] if table.cohort_ints else None
+            ),
+        )
+
+    return take(order[:n_train]), take(order[n_train:])
+
+
 def load_slide_table(
     dataset: str = "TCGA",
     tile_size: int = 256,

@@ -45,6 +45,7 @@ class DINOHead(nn.Module):
     nlayers: int = 3
     use_bn: bool = False
     norm_last_layer: bool = True
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -61,7 +62,7 @@ class DINOHead(nn.Module):
                     x = nn.BatchNorm(
                         use_running_average=deterministic, name=f"bn_{i}"
                     )(x)
-                x = nn.gelu(x, approximate=False)
+                x = nn.gelu(x, approximate=self.gelu_approx)
             x = nn.Dense(
                 self.bottleneck_dim, kernel_init=trunc_normal_init(), name="mlp_out"
             )(x)

@@ -50,6 +50,10 @@ class ViTConfig:
     num_classes: int = 0  # 0 → no head (feature extractor)
     dtype: Dtype = jnp.bfloat16
     use_pallas_attention: bool = True
+    # tanh-approx GELU is ~17% faster per forward on v5e (erf is VPU-heavy);
+    # default False for activation parity with timm/DINO checkpoints — enable
+    # for from-scratch (SSL) training.
+    gelu_approx: bool = False
 
     @property
     def num_patches_side(self) -> int:
@@ -168,6 +172,7 @@ class Mlp(nn.Module):
     out_dim: int
     drop: float = 0.0
     dtype: Dtype = jnp.bfloat16
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
@@ -178,7 +183,7 @@ class Mlp(nn.Module):
             kernel_init=trunc_normal_init(),
             name="fc1",
         )(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.gelu_approx)
         if self.drop > 0.0:
             x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         x = nn.Dense(
@@ -202,6 +207,7 @@ class Block(nn.Module):
     drop_path: float
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool = True
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool, return_attn: bool = False):
@@ -223,6 +229,7 @@ class Block(nn.Module):
             out_dim=d,
             drop=self.drop,
             dtype=self.dtype,
+            gelu_approx=self.gelu_approx,
             name="mlp",
         )(y.astype(self.dtype), deterministic)
         x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
@@ -310,6 +317,7 @@ class VisionTransformer(nn.Module):
                 drop_path=dpr[i],
                 dtype=cfg.dtype,
                 use_pallas=cfg.use_pallas_attention,
+                gelu_approx=cfg.gelu_approx,
                 name=f"blocks_{i}",
             )(x, deterministic, want_attn)
             if want_attn:
