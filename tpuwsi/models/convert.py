@@ -1,0 +1,120 @@
+"""Torch checkpoint conversion (timm / DINO ViT → tpuwsi flax params).
+
+The reference trains timm ViTs (train.py:482-495) and its SSL recipe starts
+from timm's DINO-pretrained ViT-S (train_instruct.txt:17,20). This converter
+maps a torch ``state_dict`` with timm/DINO naming onto the tpuwsi parameter
+tree so reference users can carry their checkpoints over:
+
+  patch_embed.proj.{weight,bias}  (conv OIHW)  → patch_embed/proj (GEMM)
+  cls_token, pos_embed                          → same
+  blocks.N.norm1/attn.qkv/attn.proj/norm2/mlp.fc1/mlp.fc2
+  norm.{weight,bias}                            → norm
+  head.{weight,bias}                            → head (when present)
+
+Weight-layout notes: torch Linear stores (out, in) — transposed here; the
+patch-embed conv kernel (D, 3, p, p) is re-laid-out to match the
+space-to-depth GEMM ordering (p, p, 3) → flattened (p*p*3, D).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _to_np(t):
+    try:
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def torch_vit_to_flax(state_dict: Dict, params):
+    """Returns a new flax param tree with weights from the torch state_dict.
+
+    ``params`` is an initialized tpuwsi VisionTransformer variables dict
+    (provides the target structure/shapes). Missing torch keys keep their
+    initialized values; shape mismatches raise.
+    """
+    import flax
+
+    sd = {k: _to_np(v) for k, v in state_dict.items()}
+    # strip common prefixes (DDP 'module.', DINO 'backbone.')
+    def strip(k):
+        for pre in ("module.", "backbone."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        return k
+
+    sd = {strip(k): v for k, v in sd.items()}
+
+    flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(params))
+
+    def put(path, value):
+        if path not in flat:
+            raise KeyError(f"no target param at {'/'.join(path)}")
+        target = flat[path]
+        value = jnp.asarray(value, dtype=target.dtype)
+        if value.shape != target.shape:
+            raise ValueError(
+                f"shape mismatch at {'/'.join(path)}: "
+                f"{value.shape} vs {target.shape}"
+            )
+        flat[path] = value
+
+    if "patch_embed.proj.weight" in sd:
+        w = sd["patch_embed.proj.weight"]  # (D, 3, p, p) conv OIHW
+        d = w.shape[0]
+        # space-to-depth GEMM expects input flattened as (p, p, 3):
+        # kernel (p*p*3, D) with the SAME (row-major p,p,c) ordering.
+        w = np.transpose(w, (2, 3, 1, 0)).reshape(-1, d)
+        put(("params", "patch_embed", "proj", "kernel"), w)
+        put(("params", "patch_embed", "proj", "bias"),
+            sd["patch_embed.proj.bias"])
+    if "cls_token" in sd:
+        put(("params", "cls_token"), sd["cls_token"])
+    if "pos_embed" in sd:
+        put(("params", "pos_embed"), sd["pos_embed"])
+
+    i = 0
+    while f"blocks.{i}.norm1.weight" in sd:
+        base = ("params", f"blocks_{i}")
+        put(base + ("norm1", "scale"), sd[f"blocks.{i}.norm1.weight"])
+        put(base + ("norm1", "bias"), sd[f"blocks.{i}.norm1.bias"])
+        put(base + ("attn", "qkv", "kernel"), sd[f"blocks.{i}.attn.qkv.weight"].T)
+        if f"blocks.{i}.attn.qkv.bias" in sd:
+            put(base + ("attn", "qkv", "bias"), sd[f"blocks.{i}.attn.qkv.bias"])
+        put(base + ("attn", "proj", "kernel"),
+            sd[f"blocks.{i}.attn.proj.weight"].T)
+        put(base + ("attn", "proj", "bias"), sd[f"blocks.{i}.attn.proj.bias"])
+        put(base + ("norm2", "scale"), sd[f"blocks.{i}.norm2.weight"])
+        put(base + ("norm2", "bias"), sd[f"blocks.{i}.norm2.bias"])
+        put(base + ("mlp", "fc1", "kernel"), sd[f"blocks.{i}.mlp.fc1.weight"].T)
+        put(base + ("mlp", "fc1", "bias"), sd[f"blocks.{i}.mlp.fc1.bias"])
+        put(base + ("mlp", "fc2", "kernel"), sd[f"blocks.{i}.mlp.fc2.weight"].T)
+        put(base + ("mlp", "fc2", "bias"), sd[f"blocks.{i}.mlp.fc2.bias"])
+        i += 1
+
+    if "norm.weight" in sd:
+        put(("params", "norm", "scale"), sd["norm.weight"])
+        put(("params", "norm", "bias"), sd["norm.bias"])
+    if "head.weight" in sd and ("params", "head", "kernel") in flat:
+        put(("params", "head", "kernel"), sd["head.weight"].T)
+        put(("params", "head", "bias"), sd["head.bias"])
+
+    return flax.traverse_util.unflatten_dict(flat)
+
+
+def load_torch_checkpoint(path: str):
+    """Loads a torch checkpoint file → state_dict (handles the usual
+    {'state_dict'|'model'|'teacher'|'student': ...} wrappers)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict):
+        for key in ("state_dict", "model", "teacher", "student"):
+            if key in ckpt and isinstance(ckpt[key], dict):
+                return ckpt[key]
+    return ckpt
