@@ -25,10 +25,14 @@ import numpy as np
 
 
 def _to_np(t):
+    # NOTE: np.array (copy), not .numpy() alone — jnp.asarray on the CPU
+    # backend zero-copies aligned numpy buffers, which would alias the LIVE
+    # torch tensors (later torch optimizer steps would silently mutate the
+    # converted flax params).
     try:
-        return t.detach().cpu().numpy()
+        return np.array(t.detach().cpu().numpy())
     except AttributeError:
-        return np.asarray(t)
+        return np.array(t)
 
 
 def torch_vit_to_flax(state_dict: Dict, params):
