@@ -29,7 +29,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from tpuwsi.ops.attention import attention_reference, fused_attention
+from tpuwsi.ops.attention import attention_reference, fused_attention, mha_from_qkv
 
 Dtype = Any
 
@@ -128,33 +128,42 @@ class Attention(nn.Module):
             kernel_init=trunc_normal_init(),
             name="qkv",
         )(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = [
-            qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)
-        ]  # (B, H, N, hd)
 
         if return_attn:
             # Explicit attention map for saliency (reference DINO
             # get_last_selfattention; SURVEY §2.9).
+            qkv_r = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+            q, k, v = [
+                qkv_r[:, :, i].transpose(0, 2, 1, 3) for i in range(3)
+            ]  # (B, H, N, hd)
             scale = head_dim ** -0.5
             s = jnp.einsum(
                 "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
             ) * scale
             attn = jax.nn.softmax(s, axis=-1)
             out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
         else:
             attn = None
             if self.use_pallas:
-                out = fused_attention(q, k, v)
+                # Layout-free path: the Pallas whole-sequence MHA kernel
+                # consumes the raw qkv GEMM output (no transposes at all);
+                # dispatches itself to the XLA reference / flash kernel by
+                # measured sequence-length rules.
+                out = mha_from_qkv(qkv, self.num_heads)
             else:
+                qkv_r = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+                q, k, v = [
+                    qkv_r[:, :, i].transpose(0, 2, 1, 3) for i in range(3)
+                ]
                 out = attention_reference(q, k, v)
+                out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
             if self.attn_drop > 0.0 and not deterministic:
                 # Note: dropout inside softmax-attn is not supported by the
                 # fused kernel; applied on the output values instead (the
                 # reference recipes never enable attn_drop — timm default 0).
                 out = nn.Dropout(self.attn_drop)(out, deterministic=False)
 
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
         out = nn.Dense(
             d,
             dtype=self.dtype,

@@ -221,6 +221,138 @@ _fused_attention.defvjp(_fused_fwd, _fused_bwd)
 MIN_PALLAS_SEQ = 512
 
 
+# ---------------------------------------------------------------------------
+# Whole-sequence multi-head kernel operating on the raw qkv GEMM output.
+#
+# For ViT-length sequences (197-257 tokens) the whole attention for one image
+# fits VMEM, so one program per batch element computes every head with NO
+# transposes anywhere: input is the qkv Dense output (B, N, 3·D) laid out
+# [which(3), head, head_dim] along columns; output is (B, N, D) ready for the
+# output projection. This removes both the O(S²) HBM traffic of XLA's
+# materialized softmax AND the 4 layout copies per attention layer.
+# ---------------------------------------------------------------------------
+
+
+def _mha_qkv_kernel(q_len_ref, qkv_ref, o_ref, *, num_heads: int, seq_pad: int,
+                    scale: float):
+    qkv = qkv_ref[0]  # (S_pad, 3D)
+    d = qkv.shape[1] // 3
+    hd = d // num_heads
+    n = q_len_ref[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (seq_pad, seq_pad), 1)
+    key_mask = col < n  # mask padded keys per row
+    for h in range(num_heads):
+        q = qkv[:, h * hd : (h + 1) * hd]
+        k = qkv[:, d + h * hd : d + (h + 1) * hd]
+        v = qkv[:, 2 * d + h * hd : 2 * d + (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = jnp.where(key_mask, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        p = p / l
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, h * hd : (h + 1) * hd] = o.astype(o_ref.dtype)
+
+
+def _mha_qkv_forward(qkv, num_heads, scale, interpret):
+    b, n, d3 = qkv.shape
+    seq_pad = max(_cdiv(n, 128) * 128, 128)
+    if seq_pad != n:
+        qkv = jnp.pad(qkv, ((0, 0), (0, seq_pad - n), (0, 0)))
+    lengths = jnp.full((1,), n, dtype=jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, seq_pad, d3), lambda i, lens: (i, 0, 0))],
+        out_specs=pl.BlockSpec(
+            (1, seq_pad, d3 // 3), lambda i, lens: (i, 0, 0)
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _mha_qkv_kernel, num_heads=num_heads, seq_pad=seq_pad, scale=scale
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, seq_pad, d3 // 3), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(lengths, qkv)
+    return out[:, :n, :]
+
+
+def _mha_reference(qkv, num_heads, scale):
+    b, n, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // num_heads
+    x = qkv.reshape(b, n, 3, num_heads, hd)
+    q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]  # (B, N, H, hd)
+    s = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum(
+        "bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return o.reshape(b, n, d).astype(qkv.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _mha_qkv(qkv, num_heads, scale, interpret):
+    return _mha_qkv_forward(qkv, num_heads, scale, interpret)
+
+
+def _mha_qkv_fwd(qkv, num_heads, scale, interpret):
+    return _mha_qkv_forward(qkv, num_heads, scale, interpret), (qkv,)
+
+
+def _mha_qkv_bwd(num_heads, scale, interpret, res, g):
+    (qkv,) = res
+    # Rematerialised XLA backward (only qkv saved).
+    _, vjp = jax.vjp(lambda t: _mha_reference(t, num_heads, scale), qkv)
+    (dqkv,) = vjp(g)
+    return (dqkv,)
+
+
+_mha_qkv.defvjp(_mha_qkv_fwd, _mha_qkv_bwd)
+
+
+def mha_from_qkv(
+    qkv: jax.Array,
+    num_heads: int,
+    scale: float | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Multi-head attention directly from the fused qkv projection output.
+
+    qkv: (B, N, 3·D) with columns laid out [which(3), head, head_dim]
+    (i.e. the natural Dense(3D) output reshaped as (..., 3, H, hd)).
+    Returns (B, N, D). Pallas whole-sequence kernel on TPU for ViT-length
+    sequences; XLA reference elsewhere.
+    """
+    d = qkv.shape[-1] // 3
+    if scale is None:
+        scale = (d // num_heads) ** -0.5
+    # Measured on v5e: 3.3× faster than XLA at 197 tokens (2.2 vs 7.1 ms for
+    # 128 heads×6); slower below ~64 tokens (128-row padding dominates) and
+    # past ~1024 tokens the whole-sequence block outgrows VMEM — use the
+    # flash kernel (fused_attention) there instead.
+    use_pallas = (
+        jax.default_backend() == "tpu" and 64 <= qkv.shape[1] <= 1024
+    ) or interpret
+    if not use_pallas:
+        return _mha_reference(qkv, num_heads, scale)
+    return _mha_qkv(qkv, num_heads, scale, bool(interpret))
+
+
 def fused_attention(
     q: jax.Array,
     k: jax.Array,
