@@ -288,6 +288,88 @@ def _mha_qkv_forward(qkv, num_heads, scale, interpret):
     return out[:, :n, :]
 
 
+def _mha_qkv_bwd_kernel(q_len_ref, qkv_ref, g_ref, dqkv_ref, *,
+                        num_heads: int, seq_pad: int, scale: float):
+    """Analytic attention backward, one program per batch element, all heads;
+    recomputes p from qkv (flash-style: nothing else saved) and writes dqkv
+    in the fused [which, head, hd] layout — no transposes."""
+    qkv = qkv_ref[0]  # (S_pad, 3D)
+    g = g_ref[0]  # (S_pad, D)
+    d = qkv.shape[1] // 3
+    hd = d // num_heads
+    n = q_len_ref[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (seq_pad, seq_pad), 1)
+    key_mask = col < n
+    row = jax.lax.broadcasted_iota(jnp.int32, (seq_pad, 1), 0)
+    row_mask = (row < n).astype(jnp.float32)
+    for h in range(num_heads):
+        q = qkv[:, h * hd : (h + 1) * hd]
+        k = qkv[:, d + h * hd : d + (h + 1) * hd]
+        v = qkv[:, 2 * d + h * hd : 2 * d + (h + 1) * hd]
+        gh = g[:, h * hd : (h + 1) * hd].astype(jnp.float32) * row_mask
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = jnp.where(key_mask, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=1, keepdims=True)  # (S, S) f32
+        # dv = pᵀ g
+        dv = jax.lax.dot_general(
+            p, gh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # dp = g vᵀ
+        dp = jax.lax.dot_general(
+            gh, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - jnp.sum(p * dp, axis=1, keepdims=True))  # (S, S)
+        dq = jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dk = jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dqkv_ref[0, :, h * hd : (h + 1) * hd] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, d + h * hd : d + (h + 1) * hd] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * d + h * hd : 2 * d + (h + 1) * hd] = dv.astype(
+            dqkv_ref.dtype
+        )
+
+
+def _mha_qkv_backward(qkv, g, num_heads, scale, interpret):
+    b, n, d3 = qkv.shape
+    seq_pad = max(_cdiv(n, 128) * 128, 128)
+    if seq_pad != n:
+        qkv = jnp.pad(qkv, ((0, 0), (0, seq_pad - n), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, seq_pad - n), (0, 0)))
+    lengths = jnp.full((1,), n, dtype=jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, seq_pad, d3), lambda i, lens: (i, 0, 0)),
+            pl.BlockSpec((1, seq_pad, d3 // 3), lambda i, lens: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, seq_pad, d3), lambda i, lens: (i, 0, 0)),
+    )
+    dqkv = pl.pallas_call(
+        functools.partial(
+            _mha_qkv_bwd_kernel, num_heads=num_heads, seq_pad=seq_pad,
+            scale=scale,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, seq_pad, d3), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(lengths, qkv, g)
+    return dqkv[:, :n, :]
+
+
 def _mha_reference(qkv, num_heads, scale):
     b, n, d3 = qkv.shape
     d = d3 // 3
@@ -316,10 +398,8 @@ def _mha_qkv_fwd(qkv, num_heads, scale, interpret):
 
 def _mha_qkv_bwd(num_heads, scale, interpret, res, g):
     (qkv,) = res
-    # Rematerialised XLA backward (only qkv saved).
-    _, vjp = jax.vjp(lambda t: _mha_reference(t, num_heads, scale), qkv)
-    (dqkv,) = vjp(g)
-    return (dqkv,)
+    # Analytic Pallas backward (flash-style: only qkv saved, p recomputed).
+    return (_mha_qkv_backward(qkv, g, num_heads, scale, interpret),)
 
 
 _mha_qkv.defvjp(_mha_qkv_fwd, _mha_qkv_bwd)

@@ -76,6 +76,22 @@ def cox_partial_likelihood(risk_scores, times, events):
     return -jnp.sum((risk - log_cumsum) * ev) / jnp.maximum(ev.sum(), 1.0)
 
 
+def multi_target_cross_entropy(logits, labels, smoothing: float = 0.0):
+    """Multi-target training (datasets.py:55-61 '+'-joined targets): logits
+    (B, T*2) = T independent binary heads; labels (B, T) with -1 = unknown
+    (masked out, matching the reference's manual timm loss-gather patch,
+    train_instruct.txt:3-8)."""
+    b, t = labels.shape
+    logits = logits.reshape(b, t, 2)
+    mask = labels >= 0
+    safe = jnp.maximum(labels, 0)
+    one_hot = jax.nn.one_hot(safe, 2)
+    if smoothing > 0.0:
+        one_hot = one_hot * (1.0 - smoothing) + smoothing / 2.0
+    ce = optax.softmax_cross_entropy(logits, one_hot)  # (B, T)
+    return jnp.sum(ce * mask) / jnp.maximum(mask.sum(), 1)
+
+
 LOSS_REGISTRY = {
     "ce": cross_entropy,
     "bce": binary_cross_entropy,
@@ -83,4 +99,5 @@ LOSS_REGISTRY = {
     "soft_ce": soft_target_cross_entropy,
     "jsd": jsd_cross_entropy,
     "cox": cox_partial_likelihood,
+    "multi_ce": multi_target_cross_entropy,
 }
