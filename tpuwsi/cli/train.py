@@ -219,6 +219,9 @@ def main(argv=None):
         return extract_features(args, model, state, eval_step, output_dir)
 
     # ---------------- epoch loop ----------------
+    from tpuwsi.utils.tracking import Tracker
+
+    tracker = Tracker(output_dir, use_wandb=args.log_wandb, config=vars(args))
     rng = jax.random.PRNGKey(args.seed)
     summary_path = os.path.join(output_dir, "summary.csv")
     with mesh:
@@ -262,6 +265,7 @@ def main(argv=None):
                         "epoch %d step %d loss %.4f auc %.3f (%.1f tiles/s)",
                         epoch, i, m.get("loss", 0), m.get("auc", 0.5), rate,
                     )
+                    tracker.log({**m, "rate": rate}, step=int(state.step))
                 if (
                     args.recovery_interval
                     and i % max(args.recovery_interval, 1) == 0
@@ -272,13 +276,34 @@ def main(argv=None):
 
             eval_metrics = {}
             if (epoch % args.eval_rate == 0 or epoch == args.epochs - 1) and not folder_mode:
-                eval_metrics = evaluate_slides(args, state, eval_step)
+                eval_metrics, agg = evaluate_slides(args, state, eval_step)
                 logging.info("epoch %d eval: %s", epoch, eval_metrics)
+                if agg is not None and agg.results:
+                    # per-interval ROC/PR curve logging (train.py:1122-1127)
+                    tracker.log_roc_pr(
+                        [r.slide_score for r in agg.results],
+                        [r.label for r in agg.results],
+                        prefix="eval_slide_", step=int(state.step),
+                    )
+                    if args.bootstrap:
+                        bmean, bstd = agg.bootstrap_slide_auc()
+                        eval_metrics["auc_bootstrap_mean"] = bmean
+                        eval_metrics["auc_bootstrap_std"] = bstd
+                tracker.log(
+                    {f"eval_{k}": v for k, v in eval_metrics.items()},
+                    step=int(state.step),
+                )
             ckpt.save(int(state.step), state,
                       eval_metrics or {args.eval_metric: 0.0})
             update_summary(epoch, train_metrics, eval_metrics, summary_path)
             ledger.update(exp["Experiment"], **{"Last Epoch": epoch})
+            if eval_metrics.get("auc") is not None:
+                ledger.update(
+                    exp["Experiment"],
+                    **{"TestSet Mean AUC": eval_metrics["auc"]},
+                )
     ckpt.wait()
+    tracker.finish()
     return state
 
 
@@ -309,8 +334,8 @@ def evaluate_slides(args, state, eval_step):
         _, probs = eval_step(state, {"images": jnp.asarray(chunk.images)})
         agg.add_chunk(chunk, np.asarray(probs))
     if not agg.results:
-        return {}
-    return {"auc": agg.slide_auc(), "patch_auc": agg.patch_auc()}
+        return {}, None
+    return {"auc": agg.slide_auc(), "patch_auc": agg.patch_auc()}, agg
 
 
 def extract_features(args, model, state, eval_step, output_dir):

@@ -417,6 +417,12 @@ def mha_from_qkv(
     (i.e. the natural Dense(3D) output reshaped as (..., 3, H, hd)).
     Returns (B, N, D). Pallas whole-sequence kernel on TPU for ViT-length
     sequences; XLA reference elsewhere.
+
+    Multi-chip note: under GSPMD with the batch axis sharded, pallas_call is
+    opaque to the partitioner — wrap the train step in shard_map (per-shard
+    batch) or register jax.experimental.custom_partitioning before using the
+    kernel on a sharded axis; the 37-token local-crop and non-TPU paths are
+    plain XLA and partition freely.
     """
     d = qkv.shape[-1] // 3
     if scale is None:
