@@ -94,11 +94,20 @@ class MeanPoolMIL(nn.Module):
         )(pooled)
 
 
-def tile_scores_from_head(features: jax.Array, head_kernel: jax.Array) -> jax.Array:
+def tile_scores_from_head(
+    features: jax.Array,
+    head_kernel: jax.Array,
+    receptor_slice: int | None = None,
+) -> jax.Array:
     """Reference tile-score readout: (w1 - w0)ᵀ f per tile.
 
-    Parity: utils_MIL.py:1623-1624 — last-layer class-1 minus class-0 weight
-    rows dotted with each tile feature.
+    Parity: utils_MIL.py:1623-1629 — last-layer class-1 minus class-0 weight
+    rows dotted with each tile feature; for Receptor+is_Tumor paired models
+    (1024-dim concatenated features) only the first ``receptor_slice`` (512)
+    weight/feature dims are used.
     """
     w = head_kernel  # (D, num_classes)
-    return features @ (w[:, 1] - w[:, 0])
+    diff = w[:, 1] - w[:, 0]
+    if receptor_slice is not None:
+        return features[..., :receptor_slice] @ diff[:receptor_slice]
+    return features @ diff

@@ -29,6 +29,9 @@ class OptimConfig:
     eps: float = 1e-8
     betas: tuple = (0.9, 0.999)
     clip_grad: Optional[float] = None
+    # DINO-style cosine weight-decay schedule (start → end over training);
+    # None keeps constant weight_decay.
+    weight_decay_end: Optional[float] = None
     # schedule
     sched: str = "cosine"
     epochs: int = 300
@@ -101,7 +104,31 @@ def make_optimizer(
     schedule = make_schedule(cfg, peak_lr)
     wd_mask = _no_decay_mask(params)
 
+    wd = cfg.weight_decay
+    if cfg.weight_decay_end is not None:
+        # DINO cosine wd schedule (e.g. 0.04 → 0.4 over training)
+        total = cfg.epochs * cfg.steps_per_epoch
+        wd = optax.cosine_decay_schedule(
+            init_value=cfg.weight_decay,
+            decay_steps=max(total, 1),
+            alpha=cfg.weight_decay_end / max(cfg.weight_decay, 1e-12),
+        )
+
     name = cfg.opt.lower()
+    if name == "adamw" and cfg.weight_decay_end is not None:
+        # decoupled AdamW with the scheduled wd: scale_by_adam → +wd(t)·p → -lr
+        tx = optax.chain(
+            optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps),
+            optax.inject_hyperparams(
+                lambda weight_decay: optax.add_decayed_weights(
+                    weight_decay, wd_mask
+                )
+            )(weight_decay=wd),
+            optax.scale_by_learning_rate(schedule),
+        )
+        if cfg.clip_grad is not None:
+            tx = optax.chain(optax.clip_by_global_norm(cfg.clip_grad), tx)
+        return tx, schedule
     if name in ("sgd", "momentum", "nesterov"):
         tx = optax.chain(
             optax.add_decayed_weights(cfg.weight_decay, wd_mask),
