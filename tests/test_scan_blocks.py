@@ -1,0 +1,60 @@
+import dataclasses
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuwsi.models.vit import VisionTransformer, vit_tiny
+
+
+def _cfg(scan):
+    return dataclasses.replace(
+        vit_tiny(num_classes=0, img_size=32, dtype=jnp.float32,
+                 use_pallas_attention=False),
+        depth=3, embed_dim=64, num_heads=2, scan_blocks=scan,
+    )
+
+
+def _stack_loop_params_into_scan(loop_params, scan_params):
+    """blocks_0..blocks_{D-1} trees → stacked blocks_scan tree."""
+    lp = flax.traverse_util.flatten_dict(flax.core.unfreeze(loop_params))
+    sp = flax.traverse_util.flatten_dict(flax.core.unfreeze(scan_params))
+    out = dict(sp)
+    for path in sp:
+        if path[1] == "blocks_scan":
+            rest = path[2:]
+            stacked = jnp.stack(
+                [lp[("params", f"blocks_{i}") + rest] for i in range(3)]
+            )
+            out[path] = stacked
+        else:
+            out[path] = lp[path]
+    return flax.traverse_util.unflatten_dict(out)
+
+
+def test_scan_blocks_match_loop_blocks():
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    loop_model = VisionTransformer(_cfg(False))
+    scan_model = VisionTransformer(_cfg(True))
+    loop_params = loop_model.init(jax.random.PRNGKey(1), x)
+    scan_params = scan_model.init(jax.random.PRNGKey(2), x)
+    scan_params = _stack_loop_params_into_scan(loop_params, scan_params)
+
+    out_loop = np.asarray(loop_model.apply(loop_params, x))
+    out_scan = np.asarray(scan_model.apply(scan_params, x))
+    np.testing.assert_allclose(out_scan, out_loop, atol=1e-5, rtol=1e-5)
+
+
+def test_scan_blocks_droppath_trains():
+    cfg = dataclasses.replace(_cfg(True), drop_path_rate=0.2)
+    model = VisionTransformer(cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (4, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(1), x)
+    out = model.apply(
+        params, x, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(2), "droppath": jax.random.PRNGKey(3)},
+    )
+    assert np.isfinite(np.asarray(out)).all()
+    g = jax.grad(lambda p: model.apply(p, x).sum())(params)
+    assert np.isfinite(np.asarray(jax.tree_util.tree_leaves(g)[0])).all()
