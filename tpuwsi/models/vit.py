@@ -58,7 +58,9 @@ class ViTConfig:
     # order of magnitude smaller XLA graph and much faster compiles (remote
     # compiles here take minutes). Parameter tree gets a stacked leading
     # depth dim (use scan=False for timm-checkpoint-compatible trees or the
-    # attention/intermediate introspection paths).
+    # attention/intermediate introspection paths). NOTE: combine with
+    # use_pallas_attention=False on this image — the remote TPU compile
+    # service 500s on pallas_call inside lax.scan (tracked for round 2).
     scan_blocks: bool = False
 
     @property
@@ -276,7 +278,9 @@ class _ScanBlockBody(nn.Module):
             rng = self.make_rng("droppath")
             keep = 1.0 - dpr
             mask = jax.random.bernoulli(rng, keep, (y.shape[0],) + (1,) * (y.ndim - 1))
-            return jnp.where(mask, y / keep, jnp.zeros_like(y))
+            # keep is a traced f32 scalar — cast so the residual stream dtype
+            # is preserved (scan carry types must be invariant).
+            return jnp.where(mask, y / keep.astype(y.dtype), jnp.zeros_like(y))
 
         y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
         y, _ = Attention(
