@@ -58,9 +58,9 @@ class ViTConfig:
     # order of magnitude smaller XLA graph and much faster compiles (remote
     # compiles here take minutes). Parameter tree gets a stacked leading
     # depth dim (use scan=False for timm-checkpoint-compatible trees or the
-    # attention/intermediate introspection paths). NOTE: combine with
-    # use_pallas_attention=False on this image — the remote TPU compile
-    # service 500s on pallas_call inside lax.scan (tracked for round 2).
+    # attention/intermediate introspection paths). NOTE: this image's remote
+    # TPU compile service 500s on the scanned full DINO step (with or without
+    # pallas attention) — works on CPU/local XLA; tracked for round 2.
     scan_blocks: bool = False
 
     @property
