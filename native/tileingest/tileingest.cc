@@ -137,33 +137,60 @@ int read_level_rect(Slide* s, TIFF* tif, int level, int64_t x0, int64_t y0,
 }
 
 // Bilinear resize RGB8 (in: sw×sh) → (out: dw×dh).
+// Fast paths: identity memcpy; exact 2:1 box filter (the dominant WSI case:
+// read at 2× then halve). General path uses 8.8 fixed-point weights with
+// per-column mappings precomputed once.
 void resize_bilinear(const uint8_t* in, int64_t sw, int64_t sh, uint8_t* out,
                      int64_t dw, int64_t dh) {
   if (sw == dw && sh == dh) {
     std::memcpy(out, in, static_cast<size_t>(dw) * dh * 3);
     return;
   }
+  if (sw == 2 * dw && sh == 2 * dh) {
+    for (int64_t y = 0; y < dh; ++y) {
+      const uint8_t* r0 = in + (2 * y) * sw * 3;
+      const uint8_t* r1 = r0 + sw * 3;
+      uint8_t* o = out + y * dw * 3;
+      for (int64_t x = 0; x < dw; ++x) {
+        const int64_t i = 2 * x * 3;
+        for (int c = 0; c < 3; ++c) {
+          o[x * 3 + c] = static_cast<uint8_t>(
+              (static_cast<unsigned>(r0[i + c]) + r0[i + 3 + c] +
+               r1[i + c] + r1[i + 3 + c] + 2) >> 2);
+        }
+      }
+    }
+    return;
+  }
+  std::vector<int32_t> xi0(dw), xi1(dw);
+  std::vector<int32_t> xw(dw);  // 0..256 fixed-point
+  for (int64_t x = 0; x < dw; ++x) {
+    const float fx = (x + 0.5f) * sw / dw - 0.5f;
+    int64_t x0 = static_cast<int64_t>(fx);
+    x0 = std::clamp<int64_t>(x0, 0, sw - 1);
+    xi0[x] = static_cast<int32_t>(x0 * 3);
+    xi1[x] = static_cast<int32_t>(std::min<int64_t>(x0 + 1, sw - 1) * 3);
+    xw[x] = static_cast<int32_t>(
+        std::clamp(fx - x0, 0.0f, 1.0f) * 256.0f + 0.5f);
+  }
   for (int64_t y = 0; y < dh; ++y) {
-    const double fy = (y + 0.5) * sh / dh - 0.5;
+    const float fy = (y + 0.5f) * sh / dh - 0.5f;
     int64_t y0 = static_cast<int64_t>(fy);
     y0 = std::clamp<int64_t>(y0, 0, sh - 1);
     const int64_t y1 = std::min<int64_t>(y0 + 1, sh - 1);
-    const double wy = std::clamp(fy - y0, 0.0, 1.0);
+    const int32_t wy = static_cast<int32_t>(
+        std::clamp(fy - y0, 0.0f, 1.0f) * 256.0f + 0.5f);
+    const uint8_t* r0 = in + y0 * sw * 3;
+    const uint8_t* r1 = in + y1 * sw * 3;
+    uint8_t* o = out + y * dw * 3;
     for (int64_t x = 0; x < dw; ++x) {
-      const double fx = (x + 0.5) * sw / dw - 0.5;
-      int64_t x0 = static_cast<int64_t>(fx);
-      x0 = std::clamp<int64_t>(x0, 0, sw - 1);
-      const int64_t x1 = std::min<int64_t>(x0 + 1, sw - 1);
-      const double wx = std::clamp(fx - x0, 0.0, 1.0);
+      const int32_t wx = xw[x];
+      const int32_t i0 = xi0[x], i1 = xi1[x];
       for (int c = 0; c < 3; ++c) {
-        const double a = in[(y0 * sw + x0) * 3 + c];
-        const double b = in[(y0 * sw + x1) * 3 + c];
-        const double cc = in[(y1 * sw + x0) * 3 + c];
-        const double d = in[(y1 * sw + x1) * 3 + c];
-        const double top = a * (1 - wx) + b * wx;
-        const double bot = cc * (1 - wx) + d * wx;
-        out[(y * dw + x) * 3 + c] =
-            static_cast<uint8_t>(top * (1 - wy) + bot * wy + 0.5);
+        const int32_t top = r0[i0 + c] * (256 - wx) + r0[i1 + c] * wx;
+        const int32_t bot = r1[i0 + c] * (256 - wx) + r1[i1 + c] * wx;
+        o[x * 3 + c] = static_cast<uint8_t>(
+            (top * (256 - wy) + bot * wy + (1 << 15)) >> 16);
       }
     }
   }

@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Native tile-ingest throughput benchmark.
+
+Measures the C++ batch extractor (decode JPEG-compressed pyramid tiles +
+bilinear resize to 256²) against the pure-Python PIL path — the reference's
+data-pipeline hot spot (SURVEY §3.2, hard part #1: host ingest rate).
+
+Usage: python scripts/bench_ingest.py [n_tiles] [n_threads]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from tpuwsi.io.ingest import (  # noqa: E402
+    CTileReader,
+    NativeBatchExtractor,
+    native_available,
+    write_synthetic_slide,
+)
+
+
+def main():
+    if not native_available():
+        print("libtileingest.so not built — run native/build.sh")
+        return
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    threads = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    path = "/tmp/ingest_bench.tif"
+    write_synthetic_slide(path, 8192, 8192, levels=3, tile=256, seed=3)
+    reader = CTileReader(path)
+    rng = np.random.default_rng(0)
+    xs = rng.integers(0, 8192 - 512, size=n)
+    ys = rng.integers(0, 8192 - 512, size=n)
+
+    ex = NativeBatchExtractor(n_threads=threads)
+    reqs = [(reader, 0, int(x), int(y), 512) for x, y in zip(xs, ys)]
+    # warmup
+    ex.extract(reqs[:16], out_size=256)
+    t0 = time.perf_counter()
+    out = ex.extract(reqs, out_size=256)
+    dt = time.perf_counter() - t0
+    print(
+        f"native ingest: {n} tiles (512² read → 256² out) in {dt:.3f}s "
+        f"= {n/dt:.1f} tiles/s (failures: {ex.failures})"
+    )
+
+    # PIL reference path on the same tiles
+    from PIL import Image
+
+    t0 = time.perf_counter()
+    for x, y in zip(xs[:64], ys[:64]):
+        tile = reader.read_region((int(x), int(y)), 0, (512, 512))
+        Image.fromarray(tile).resize((256, 256))
+    dt_py = (time.perf_counter() - t0) / 64 * n
+    print(f"python path (extrapolated): {n/dt_py:.1f} tiles/s")
+    print(f"speedup: {dt_py/dt:.2f}x")
+    reader.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -84,6 +84,24 @@ class WSITileSampler:
 
     # -- sampling --------------------------------------------------------------
     def sample_slide(self, idx: int, rng: np.random.Generator, n: int) -> np.ndarray:
+        if self.table.dataset.startswith("TMA"):
+            # TMA core images (datasets.py:471-478): whole jpg, crop the width
+            # margin to 1440, resize to 512²; BGR channel order reproduced by
+            # the mirrored reader + 'Amir' normalization bank.
+            from PIL import Image
+
+            from tpuwsi.io.slide_readers import ImageSlideReader
+
+            reader = ImageSlideReader(self.table.slide_path(idx), mirror_bgr=True)
+            arr = reader.read_region((0, 0), 0, reader.dimensions)
+            w_margin = (arr.shape[1] - 1440) // 2
+            if w_margin > 0:
+                arr = arr[:, w_margin:-w_margin]
+            out_sz = self.table.tile_size
+            arr = np.asarray(
+                Image.fromarray(arr).resize((out_sz, out_sz), Image.BILINEAR)
+            )
+            return np.repeat(arr[None], n, axis=0)
         if self.table.cohort_ids[idx] == "ABCTB_TILES":
             # presaved-tile cohort (datasets.py:452-467)
             from tpuwsi.io.presaved import sample_presaved_tiles, tiles_dir_for_slide
