@@ -258,6 +258,8 @@ def main(argv=None):
                     mesh, {"images": batch["images"], "labels": batch["labels"]}
                 )
                 state, metrics = jit_step(state, sb, rng)
+                if args.dispatch_ahead and i % args.dispatch_ahead == 0:
+                    float(metrics["loss"])  # bound device run-ahead
                 if args.log_interval and i % args.log_interval == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     rate = (i + 1) * args.batch_size / (time.time() - t0)
@@ -505,6 +507,8 @@ def train_ssl(args, output_dir):
                     break
                 sb = shard_batch(mesh, {"images": batch["images"]})
                 state, metrics = step(state, sb, rng)
+                if args.dispatch_ahead and i % args.dispatch_ahead == 0:
+                    float(metrics["loss"])  # bound device run-ahead
                 if args.log_interval and i % args.log_interval == 0:
                     logging.info(
                         "ssl epoch %d step %d loss %.4f momentum %.5f",
