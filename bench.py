@@ -74,10 +74,14 @@ def main():
     state, m = step(state, batch, rng)
     float(m["loss"])
 
-    n_iters = 20
+    # bounded run-ahead (sync every 4 steps): unbounded queues pin dozens of
+    # optimizer states in HBM and collapse sustained throughput (BENCH.md).
+    n_iters = 40
     t0 = time.perf_counter()
-    for _ in range(n_iters):
+    for i in range(n_iters):
         state, m = step(state, batch, rng)
+        if i % 4 == 3:
+            float(m["loss"])
     float(m["loss"])
     dt = time.perf_counter() - t0
 
