@@ -150,3 +150,30 @@ def test_cli_ssl_mode(patch_folder, tmp_path):
         "--output", out,
     ])
     assert int(state.step) == 1
+
+
+def test_cli_extract_features_mode(wsi_cohort, tmp_path):
+    from tpuwsi.cli.train import main
+
+    out = str(tmp_path / "runs_ef")
+    agg = main([
+        "--dataset", "TCGA",
+        "--data-root", wsi_cohort,
+        "--model", "vit_tiny_patch16_224",
+        "--tile-size", "32",
+        "-tf", "1",
+        "-ef",
+        "-nt", "6",
+        "-tpi", "4",
+        "--output", out,
+    ])
+    # features extracted for the fold-1 slides, reference-format export exists
+    assert len(agg.results) == 2
+    assert agg.results[0].features.shape[1] == 192  # ViT-T embed dim
+    run_dir = [os.path.join(out, e) for e in os.listdir(out)
+               if e.startswith("Exp_")][0]
+    feat_dir = os.path.join(run_dir, "features")
+    assert os.path.isfile(os.path.join(feat_dir, "inference.data"))
+    import glob
+
+    assert len(glob.glob(os.path.join(feat_dir, "*_features.pt"))) == 2
