@@ -139,3 +139,82 @@ def test_bootstrap_auc():
     mean, std = agg.bootstrap_slide_auc(n_boot=200)
     assert mean > 0.9
     assert 0.0 <= std < 0.2
+
+
+def test_balanced_sampling_excludes_unknown_labels():
+    """Reference train.py:719-731 initializes weights to zeros and only sets
+    Positive/Negative entries — unknown (-1) slides are never sampled."""
+    from tpuwsi.io.metadata import SlideTable
+    from tpuwsi.io.wsi import WSITileSampler
+
+    table = SlideTable(
+        dataset="TCGA", tile_size=32, desired_magnification=10,
+        file_names=[f"s{i}" for i in range(10)],
+        path_names=["/x"] * 10, cohort_ids=["TCGA"] * 10,
+        folds=[2], tissue_tiles=[9] * 10,
+        targets=["Positive"] * 2 + ["Negative"] * 2 + ["Missing Data"] * 6,
+        magnifications=[10] * 10, patient_barcodes=[f"P{i}" for i in range(10)],
+    )
+    sampler = WSITileSampler(table, n_tiles=10, balanced_sampling=True)
+    idx = sampler.epoch_indices(np.random.default_rng(0))
+    labels = table.labels()[idx, 0]
+    assert (labels == -1).sum() == 0          # unknowns never drawn
+    assert 0.3 < (labels == 1).mean() < 0.7   # remaining classes balanced
+
+
+def test_save_inference_data_targets_distinct_from_labels(tmp_path):
+    """Targets in the MIL pickle preserve -1 (unknown) independently of the
+    eval label (reference 8-tuple, datasets.py:1048-1055 / :1195-1196)."""
+    import pickle
+
+    from tpuwsi.infer.aggregate import SlideAggregator, SlideResult
+
+    agg = SlideAggregator()
+    agg.results.append(SlideResult(
+        slide_name="a.svs", slide_dataset="TCGA", patient_barcode="P0",
+        label=1, target=-1,
+        tile_probs=np.asarray([0.7]), tile_locations=[(0, 0)],
+    ))
+    agg.results.append(SlideResult(
+        slide_name="b.svs", slide_dataset="TCGA", patient_barcode="P1",
+        label=0,
+        tile_probs=np.asarray([0.2]), tile_locations=[(0, 0)],
+    ))
+    path = str(tmp_path / "out.data")
+    agg.save_inference_data(path)
+    with open(path, "rb") as f:
+        labels, targets, *_ = pickle.load(f)
+    assert list(labels) == [1, 0]
+    assert list(targets) == [-1, 0]  # -1 preserved; default falls back to label
+
+
+def test_cox_breslow_ties_sort_order_invariant():
+    """With tied event times the loss must not depend on argsort tie-breaking,
+    and each event's risk set must include its ties (Breslow)."""
+    import jax.numpy as jnp
+
+    from tpuwsi.train.losses import cox_partial_likelihood
+
+    risk = np.asarray([0.3, -0.8, 1.2, 0.1], dtype=np.float32)
+    times = np.asarray([5.0, 5.0, 2.0, 7.0], dtype=np.float32)
+    events = np.asarray([1.0, 1.0, 1.0, 0.0], dtype=np.float32)
+
+    base = float(cox_partial_likelihood(jnp.asarray(risk), jnp.asarray(times),
+                                        jnp.asarray(events)))
+    for perm in ([1, 0, 2, 3], [3, 2, 1, 0], [2, 3, 0, 1]):
+        p = np.asarray(perm)
+        got = float(cox_partial_likelihood(
+            jnp.asarray(risk[p]), jnp.asarray(times[p]), jnp.asarray(events[p])
+        ))
+        assert abs(got - base) < 1e-5
+
+    # hand-computed Breslow: risk set of each t=5 event is {t=5, t=5, t=7}
+    def lse(v):
+        return float(np.log(np.sum(np.exp(np.asarray(v)))))
+
+    expected = -(
+        (0.3 - lse([0.3, -0.8, 0.1]))
+        + (-0.8 - lse([0.3, -0.8, 0.1]))
+        + (1.2 - lse([0.3, -0.8, 1.2, 0.1]))
+    ) / 3.0
+    assert abs(base - expected) < 1e-5

@@ -50,6 +50,13 @@ class SlideResult:
     tile_probs: np.ndarray  # (n_tiles,) class-1 probability
     tile_locations: List
     features: Optional[np.ndarray] = None  # (n_tiles, D)
+    # Raw slide target, -1 allowed for unknown; kept distinct from `label`
+    # (reference MIL pickle layout, datasets.py:1048-1055 / :1195-1196).
+    target: Optional[int] = None
+
+    @property
+    def resolved_target(self) -> int:
+        return self.label if self.target is None else self.target
 
     @property
     def slide_score(self) -> float:
@@ -84,6 +91,7 @@ class SlideAggregator:
                     tile_probs=np.concatenate(self._probs),
                     tile_locations=list(self._locs),
                     features=np.concatenate(self._feats) if self._feats else None,
+                    target=getattr(chunk, "target", None),
                 )
             )
             self._probs, self._feats, self._locs = [], [], []
@@ -138,7 +146,7 @@ class SlideAggregator:
             0,
         )
         labels = np.array([r.label for r in self.results])
-        targets = np.array([r.label for r in self.results])
+        targets = np.array([r.resolved_target for r in self.results])
         scores = np.array([r.slide_score for r in self.results])
         patch_scores = np.full((n, max_tiles), np.nan, dtype=np.float32)
         features = np.full((n, 1, max_tiles, dim), np.nan, dtype=np.float32)

@@ -41,6 +41,10 @@ class InferChunk:
     initial_num_tiles: int
     is_last_batch: bool
     locations: List[Tuple[int, int]]  # valid tile locations (level-0)
+    # Raw per-slide target (can be -1 for unknown); the reference keeps this
+    # distinct from `label` in the MIL feature pickles (datasets.py:1048-1055,
+    # :1195-1196). Defaults to the label for callers with a single column.
+    target: Optional[int] = None
 
 
 class SlideWalker:
@@ -150,6 +154,7 @@ class SlideWalker:
                     initial_num_tiles=n,
                     is_last_batch=(start + tpi >= n),
                     locations=chunk_locs,
+                    target=int(np.asarray(label).ravel()[0]),
                 )
             reader.close()
 

@@ -138,10 +138,20 @@ class WSITileSampler:
     def epoch_indices(self, rng: np.random.Generator) -> np.ndarray:
         if self.balanced_sampling:
             # WeightedRandomSampler parity (train.py:719-731): sample slides
-            # with replacement, weight ∝ 1 / class frequency.
+            # with replacement, weight ∝ 1 / class frequency.  The reference
+            # initializes weights to zero and only assigns 'Positive'/'Negative'
+            # entries, so unknown targets (label -1) get weight 0 — never
+            # sampled — and do not distort the class counts.
             labels = self.table.labels().reshape(len(self.table), -1)[:, 0]
-            counts = np.bincount(np.maximum(labels, 0))
-            weights = 1.0 / np.maximum(counts[np.maximum(labels, 0)], 1)
+            weights = np.zeros(len(labels), dtype=np.float64)
+            n_pos = int(np.sum(labels == 1))
+            n_neg = int(np.sum(labels == 0))
+            if n_pos:
+                weights[labels == 1] = 1.0 / n_pos
+            if n_neg:
+                weights[labels == 0] = 1.0 / n_neg
+            if weights.sum() == 0:
+                weights[:] = 1.0
             weights = weights / weights.sum()
             return rng.choice(
                 len(self.table), size=len(self), replace=True, p=weights

@@ -149,6 +149,11 @@ def make_dino_train_step(
         t_temp = temp_sched(state.step)
         momentum = ema_sched(state.step)
 
+        # Independent stochastic-depth/dropout masks per view group and per
+        # collection (reference torch semantics: every forward draws fresh
+        # randomness; a shared key would correlate drop masks across views).
+        g_drop, g_path, l_drop, l_path = jax.random.split(drop_key, 4)
+
         def compute_loss(params):
             # Student sees all views. Global views share one forward (stacked
             # on batch) — locals separately (different resolution).
@@ -157,14 +162,14 @@ def make_dino_train_step(
                 params,
                 g_views.reshape((-1,) + g_views.shape[2:]),
                 deterministic=False,
-                rngs={"dropout": drop_key, "droppath": drop_key},
+                rngs={"dropout": g_drop, "droppath": g_path},
             ).reshape(vg, b, -1)
             vl = l_views.shape[0]
             s_l = student_apply(
                 params,
                 l_views.reshape((-1,) + l_views.shape[2:]),
                 deterministic=False,
-                rngs={"dropout": drop_key, "droppath": drop_key},
+                rngs={"dropout": l_drop, "droppath": l_path},
             ).reshape(vl, b, -1)
             s_out = jnp.concatenate([s_g, s_l], axis=0)
 

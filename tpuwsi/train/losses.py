@@ -68,12 +68,23 @@ def jsd_cross_entropy(logits_clean, logits_aug1, logits_aug2, labels, alpha=12.0
 
 def cox_partial_likelihood(risk_scores, times, events):
     """Censored-survival loss for the survival dataset family
-    (datasets.py:2354-3461 targets: time, censored flag). Breslow ties."""
-    order = jnp.argsort(-times)  # descending time: risk set is a prefix
-    risk = risk_scores[order]
-    ev = events[order]
-    log_cumsum = jax.lax.cumlogsumexp(risk)
-    return -jnp.sum((risk - log_cumsum) * ev) / jnp.maximum(ev.sum(), 1.0)
+    (datasets.py:2354-3461 targets: time, censored flag).
+
+    Breslow tie handling: the risk set for event i is {j : t_j >= t_i}
+    INCLUDING tied event times, computed with an explicit (B, B) mask so the
+    result is deterministic and sort-order independent (a prefix-cumlogsumexp
+    over a descending sort would let argsort tie-breaking decide whether a
+    tied subject's own ties enter its denominator). O(B^2) but B is a
+    training batch; XLA fuses the masked logsumexp.
+    """
+    risk = risk_scores.reshape(-1).astype(jnp.float32)
+    times = times.reshape(-1)
+    ev = events.reshape(-1).astype(jnp.float32)
+    in_risk_set = times[None, :] >= times[:, None]  # row i: risk set of i
+    log_denom = jax.scipy.special.logsumexp(
+        risk[None, :], b=in_risk_set.astype(jnp.float32), axis=1
+    )
+    return -jnp.sum((risk - log_denom) * ev) / jnp.maximum(ev.sum(), 1.0)
 
 
 def multi_target_cross_entropy(logits, labels, smoothing: float = 0.0):
