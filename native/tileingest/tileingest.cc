@@ -323,10 +323,16 @@ int ti_open(const char* path) {
   if (!tif) return -1;
   auto slide = std::make_unique<Slide>();
   slide->path = path;
-  // Enumerate directories as pyramid levels (full-resolution first; skip
-  // directories that are not reduced-resolution pages, e.g. SVS label/macro
-  // images, by requiring monotonically shrinking dims).
-  int64_t base_w = 0;
+  // Enumerate directories as pyramid levels. Real Aperio SVS layout is:
+  // dir 0 base (tiled), dir 1 strip thumbnail, then the tiled reduced
+  // levels, then strip label/macro pages — so "monotonically shrinking
+  // width" mis-selects the thumbnail and drops every genuine level. Accept
+  // a non-base directory only when it is marked FILETYPE_REDUCEDIMAGE or is
+  // tiled (Aperio levels carry no SUBFILETYPE), is strictly smaller than
+  // the base, is not a mask page, and matches the base aspect ratio (label/
+  // macro pages do not). Sort by width afterwards so on-file directory
+  // order never matters.
+  int64_t base_w = 0, base_h = 0;
   do {
     uint32_t w = 0, h = 0;
     TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &w);
@@ -334,8 +340,18 @@ int ti_open(const char* path) {
     if (w == 0 || h == 0) continue;
     if (slide->levels.empty()) {
       base_w = w;
-    } else if (static_cast<int64_t>(w) >= slide->levels.back().width) {
-      continue;  // not a smaller pyramid level (label/macro page)
+      base_h = h;
+    } else {
+      uint32_t subfile = 0;
+      TIFFGetFieldDefaulted(tif, TIFFTAG_SUBFILETYPE, &subfile);
+      if ((subfile & FILETYPE_MASK) != 0) continue;
+      const bool reduced = (subfile & FILETYPE_REDUCEDIMAGE) != 0;
+      const bool tiled = TIFFIsTiled(tif) != 0;
+      if (!reduced && !tiled) continue;  // strip thumbnail/label/macro
+      if (static_cast<int64_t>(w) >= base_w) continue;
+      const double base_ar = static_cast<double>(base_w) / base_h;
+      const double ar = static_cast<double>(w) / h;
+      if (ar > base_ar * 1.05 || ar < base_ar * 0.95) continue;
     }
     Level lv;
     lv.dir = TIFFCurrentDirectory(tif);
@@ -348,6 +364,8 @@ int ti_open(const char* path) {
     TIFFClose(tif);
     return -2;
   }
+  std::sort(slide->levels.begin() + 1, slide->levels.end(),
+            [](const Level& a, const Level& b) { return a.width > b.width; });
   slide->handles.push_back(tif);
   std::lock_guard<std::mutex> lk(g_slides_mu);
   g_slides.push_back(std::move(slide));
@@ -424,54 +442,95 @@ int ti_extract_batch(const TiRequest* reqs, int n, uint8_t* out) {
   return failures.load();
 }
 
-int ti_write_synthetic(const char* path, int64_t width, int64_t height,
-                       int levels, int tile, uint32_t seed) {
-  TIFF* tif = TIFFOpen(path, "w");
-  if (!tif) return -1;
-  for (int lvl = 0; lvl < levels; ++lvl) {
-    const int64_t w = width >> lvl;
-    const int64_t h = height >> lvl;
-    TIFFSetField(tif, TIFFTAG_IMAGEWIDTH, static_cast<uint32_t>(w));
-    TIFFSetField(tif, TIFFTAG_IMAGELENGTH, static_cast<uint32_t>(h));
-    TIFFSetField(tif, TIFFTAG_SAMPLESPERPIXEL, 3);
-    TIFFSetField(tif, TIFFTAG_BITSPERSAMPLE, 8);
-    TIFFSetField(tif, TIFFTAG_ORIENTATION, ORIENTATION_TOPLEFT);
-    TIFFSetField(tif, TIFFTAG_PLANARCONFIG, PLANARCONFIG_CONTIG);
-    TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
+namespace {
+
+// Writes one directory with the level-0-consistent procedural pattern
+// (coordinates scaled by `ds` so every level shows the same smoothed
+// content). `tile` > 0 → tiled JPEG page; `tile` == 0 → strip page
+// (uncompressed scanlines, like SVS thumbnail/label/macro pages).
+int write_pattern_dir(TIFF* tif, int64_t w, int64_t h, int64_t ds, int tile,
+                      uint32_t seed, uint32_t subfiletype) {
+  TIFFSetField(tif, TIFFTAG_IMAGEWIDTH, static_cast<uint32_t>(w));
+  TIFFSetField(tif, TIFFTAG_IMAGELENGTH, static_cast<uint32_t>(h));
+  TIFFSetField(tif, TIFFTAG_SAMPLESPERPIXEL, 3);
+  TIFFSetField(tif, TIFFTAG_BITSPERSAMPLE, 8);
+  TIFFSetField(tif, TIFFTAG_ORIENTATION, ORIENTATION_TOPLEFT);
+  TIFFSetField(tif, TIFFTAG_PLANARCONFIG, PLANARCONFIG_CONTIG);
+  TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
+  if (subfiletype) TIFFSetField(tif, TIFFTAG_SUBFILETYPE, subfiletype);
+  auto pixel = [&](int64_t gx, int64_t gy, uint8_t* p) {
+    p[0] = static_cast<uint8_t>((gx / 7 + seed) % 256);
+    p[1] = static_cast<uint8_t>((gy / 7 + seed * 3) % 256);
+    p[2] = static_cast<uint8_t>(((gx + gy) / 11 + seed * 5) % 256);
+  };
+  if (tile > 0) {
     TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_JPEG);
     TIFFSetField(tif, TIFFTAG_JPEGQUALITY, 90);
     TIFFSetField(tif, TIFFTAG_TILEWIDTH, static_cast<uint32_t>(tile));
     TIFFSetField(tif, TIFFTAG_TILELENGTH, static_cast<uint32_t>(tile));
-    if (lvl > 0) TIFFSetField(tif, TIFFTAG_SUBFILETYPE, FILETYPE_REDUCEDIMAGE);
     std::vector<uint8_t> buf(static_cast<size_t>(tile) * tile * 3);
     for (int64_t ty = 0; ty < h; ty += tile) {
       for (int64_t tx = 0; tx < w; tx += tile) {
-        for (int64_t yy = 0; yy < tile; ++yy) {
-          for (int64_t xx = 0; xx < tile; ++xx) {
-            // Level-0-consistent pattern: coordinates scaled by downsample so
-            // every level shows the same (smoothed) content.
-            const int64_t gx = (tx + xx) << lvl;
-            const int64_t gy = (ty + yy) << lvl;
-            uint8_t* p = buf.data() + (yy * tile + xx) * 3;
-            p[0] = static_cast<uint8_t>((gx / 7 + seed) % 256);
-            p[1] = static_cast<uint8_t>((gy / 7 + seed * 3) % 256);
-            p[2] = static_cast<uint8_t>(((gx + gy) / 11 + seed * 5) % 256);
-          }
-        }
+        for (int64_t yy = 0; yy < tile; ++yy)
+          for (int64_t xx = 0; xx < tile; ++xx)
+            pixel((tx + xx) * ds, (ty + yy) * ds,
+                  buf.data() + (yy * tile + xx) * 3);
         if (TIFFWriteTile(tif, buf.data(), static_cast<uint32_t>(tx),
-                          static_cast<uint32_t>(ty), 0, 0) < 0) {
-          TIFFClose(tif);
+                          static_cast<uint32_t>(ty), 0, 0) < 0)
           return -2;
-        }
       }
     }
-    if (!TIFFWriteDirectory(tif)) {
-      TIFFClose(tif);
-      return -3;
+  } else {
+    TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_NONE);
+    TIFFSetField(tif, TIFFTAG_ROWSPERSTRIP, 16);
+    std::vector<uint8_t> row(static_cast<size_t>(w) * 3);
+    for (int64_t y = 0; y < h; ++y) {
+      for (int64_t x = 0; x < w; ++x) pixel(x * ds, y * ds, row.data() + x * 3);
+      if (TIFFWriteScanline(tif, row.data(), static_cast<uint32_t>(y), 0) < 0)
+        return -2;
     }
   }
+  return TIFFWriteDirectory(tif) ? 0 : -3;
+}
+
+}  // namespace
+
+int ti_write_synthetic(const char* path, int64_t width, int64_t height,
+                       int levels, int tile, uint32_t seed) {
+  TIFF* tif = TIFFOpen(path, "w");
+  if (!tif) return -1;
+  int rc = 0;
+  for (int lvl = 0; lvl < levels && rc == 0; ++lvl) {
+    rc = write_pattern_dir(tif, width >> lvl, height >> lvl,
+                           static_cast<int64_t>(1) << lvl, tile, seed,
+                           lvl > 0 ? FILETYPE_REDUCEDIMAGE : 0);
+  }
   TIFFClose(tif);
-  return 0;
+  return rc;
+}
+
+int ti_write_synthetic_svs(const char* path, int64_t width, int64_t height,
+                           int levels, int tile, uint32_t seed) {
+  // Realistic Aperio SVS directory layout: base (tiled, no SUBFILETYPE),
+  // then a STRIP thumbnail as directory 1, then the tiled reduced levels
+  // (Aperio levels carry no SUBFILETYPE either), then strip label/macro
+  // pages with non-tissue aspect ratios. Exercises the level-detection
+  // logic in ti_open against the real-world ordering.
+  TIFF* tif = TIFFOpen(path, "w");
+  if (!tif) return -1;
+  int rc = write_pattern_dir(tif, width, height, 1, tile, seed, 0);
+  const int64_t tds = static_cast<int64_t>(1) << levels;
+  if (rc == 0)  // strip thumbnail, same aspect as the tissue image
+    rc = write_pattern_dir(tif, width / tds, height / tds, tds, 0, seed, 0);
+  for (int lvl = 1; lvl < levels && rc == 0; ++lvl)
+    rc = write_pattern_dir(tif, width >> lvl, height >> lvl,
+                           static_cast<int64_t>(1) << lvl, tile, seed, 0);
+  if (rc == 0)  // label page: strip, square-ish aspect
+    rc = write_pattern_dir(tif, 96, 96, 1, 0, seed, 0);
+  if (rc == 0)  // macro page: strip, wide aspect, flagged reduced
+    rc = write_pattern_dir(tif, 320, 80, 1, 0, seed, FILETYPE_REDUCEDIMAGE);
+  TIFFClose(tif);
+  return rc;
 }
 
 }  // extern "C"

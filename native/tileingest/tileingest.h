@@ -63,6 +63,13 @@ int ti_extract_batch(const TiRequest* reqs, int n, uint8_t* out);
 int ti_write_synthetic(const char* path, int64_t width, int64_t height,
                        int levels, int tile, uint32_t seed);
 
+// Same pattern but with a realistic Aperio SVS directory layout: base,
+// STRIP thumbnail at dir 1, tiled reduced levels without SUBFILETYPE,
+// then strip label/macro pages (wrong aspect ratio). For level-detection
+// tests.
+int ti_write_synthetic_svs(const char* path, int64_t width, int64_t height,
+                           int levels, int tile, uint32_t seed);
+
 // Version/health probe.
 int ti_abi_version();
 

@@ -101,3 +101,27 @@ def test_works_with_tiles_layer(synthetic_svs):
     assert tiles.shape == (4, 256, 256, 3)
     assert tiles.std() > 5
     reader.close()
+
+
+def test_svs_layout_level_detection(tmp_path):
+    """Real Aperio SVS ordering: dir 0 base, dir 1 STRIP thumbnail, then the
+    tiled reduced levels (no SUBFILETYPE), then strip label/macro pages.
+    The old monotonic-shrink heuristic admitted the thumbnail as 'level 1'
+    and dropped every genuine level; ti_open must pick exactly the tissue
+    pyramid (advisor finding, round 1)."""
+    from tpuwsi.io.ingest import write_synthetic_svs_layout
+
+    path = str(tmp_path / "aperio_like.svs")
+    write_synthetic_svs_layout(path, 2048, 1536, levels=3, tile=256, seed=7)
+    r = CTileReader(path)
+    assert r.dimensions == (2048, 1536)
+    assert len(r.level_downsamples) == 3
+    assert [round(d) for d in r.level_downsamples] == [1, 2, 4]
+    # genuine level 1 (1024x768), not the 256x192 thumbnail or label/macro
+    assert r._level_dims[1] == (1024, 768)
+    assert r._level_dims[2] == (512, 384)
+    # content at level 1 matches the level-0-consistent pattern
+    tile = r.read_region((512, 512), 1, (64, 64))
+    expected_r = (512 // 7 + 7) % 256
+    assert abs(int(tile[0, 0, 0]) - expected_r) < 12
+    r.close()

@@ -77,6 +77,11 @@ def _load():
                 ctypes.c_int, ctypes.c_int, ctypes.c_uint32,
             ]
             lib.ti_write_synthetic.restype = ctypes.c_int
+            if hasattr(lib, "ti_write_synthetic_svs"):
+                lib.ti_write_synthetic_svs.argtypes = (
+                    lib.ti_write_synthetic.argtypes
+                )
+                lib.ti_write_synthetic_svs.restype = ctypes.c_int
             _lib = lib
             return _lib
     raise OSError("libtileingest.so not built (see tpuwsi/io/ingest.py)")
@@ -97,6 +102,18 @@ def write_synthetic_slide(path: str, width: int, height: int, levels: int = 3,
     )
     if rc != 0:
         raise IOError(f"ti_write_synthetic failed ({rc})")
+
+
+def write_synthetic_svs_layout(path: str, width: int, height: int,
+                               levels: int = 3, tile: int = 256,
+                               seed: int = 0):
+    """Synthetic slide with the real Aperio SVS directory ordering (strip
+    thumbnail at dir 1, label/macro pages) for level-detection tests."""
+    rc = _load().ti_write_synthetic_svs(
+        path.encode(), width, height, levels, tile, seed
+    )
+    if rc != 0:
+        raise IOError(f"ti_write_synthetic_svs failed ({rc})")
 
 
 class CTileReader(SlideReader):
