@@ -57,3 +57,81 @@ def test_cpu_dispatch_falls_back_to_xla():
     out = fused_attention(q, k, v)
     ref = attention_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_mha_qkv_sharded_batch_matches_reference():
+    """custom_partitioning: the whole-seq kernel runs per-shard under a
+    batch-sharded mesh axis; values AND grads must match the XLA path
+    (VERDICT round-1 item 3 — multi-chip-usable Pallas attention)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from tpuwsi.ops.attention import _mha_reference, mha_from_qkv
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "model"))
+    b, n, d, heads = 8, 197, 96, 3
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (b, n, 3 * d), jnp.float32)
+    qkv_sh = jax.device_put(qkv, NamedSharding(mesh, P("data", None, None)))
+    scale = (d // heads) ** -0.5
+
+    def loss_pallas(x):
+        return jnp.sum(mha_from_qkv(x, heads, interpret=True) ** 2)
+
+    def loss_ref(x):
+        return jnp.sum(_mha_reference(x, heads, scale) ** 2)
+
+    with mesh:
+        out = jax.jit(lambda x: mha_from_qkv(x, heads, interpret=True))(qkv_sh)
+        g = jax.jit(jax.grad(loss_pallas))(qkv_sh)
+    ref = _mha_reference(qkv, heads, scale)
+    g_ref = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=8e-3, rtol=8e-3)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_flash_sharded_batch_matches_reference():
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8,), ("data",))
+    q, k, v = _rand_qkv(jax.random.PRNGKey(5), b=8, h=2, s=128, d=32)
+    sh = NamedSharding(mesh, P("data", None, None, None))
+    qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+
+    def loss(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, interpret=True) ** 2)
+
+    with mesh:
+        out = jax.jit(
+            lambda a, b_, c: fused_attention(a, b_, c, interpret=True)
+        )(qs, ks, vs)
+        grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(qs, ks, vs)
+    ref = attention_reference(q, k, v)
+    g_ref = jax.grad(
+        lambda a, b_, c: jnp.sum(attention_reference(a, b_, c) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=8e-3, rtol=8e-3)
+    for a, b_ in zip(grads, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-2, rtol=3e-2)
+
+
+def test_flash_kv_lengths_sharded_batch():
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8,), ("data",))
+    q, k, v = _rand_qkv(jax.random.PRNGKey(6), b=8, h=2, s=128, d=32)
+    lengths = jnp.asarray([128, 57, 1, 90, 128, 32, 64, 5], dtype=jnp.int32)
+    sh = NamedSharding(mesh, P("data", None, None, None))
+    qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+    ls = jax.device_put(lengths, NamedSharding(mesh, P("data")))
+    with mesh:
+        out = jax.jit(
+            lambda a, b_, c, l: fused_attention(a, b_, c, kv_lengths=l,
+                                                interpret=True)
+        )(qs, ks, vs, ls)
+    ref = attention_reference(q, k, v, kv_lengths=lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=8e-3, rtol=8e-3)

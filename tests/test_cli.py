@@ -60,6 +60,7 @@ def test_cli_folder_mode_end_to_end(patch_folder, tmp_path):
         "--output", out,
         "--log-interval", "1",
         "--eval_rate", "100",
+        "--val-split", "0",
     ])
     assert int(state.step) == 2
     # ledger + summary written
@@ -177,3 +178,51 @@ def test_cli_extract_features_mode(wsi_cohort, tmp_path):
     import glob
 
     assert len(glob.glob(os.path.join(feat_dir, "*_features.pt"))) == 2
+
+
+def test_cli_folder_mode_validation(tmp_path):
+    """Folder mode must validate per epoch (timm_train.py:951-1025 parity):
+    eval metrics exist in summary.csv and the best checkpoint tracks them.
+    Uses an explicit train/ + val/ tree (timm convention)."""
+    import csv
+
+    from tpuwsi.cli.train import main
+
+    rng = np.random.default_rng(0)
+    for split, n in (("train", 8), ("val", 4)):
+        for cls, base in (("neg", 40), ("pos", 200)):
+            os.makedirs(tmp_path / "data" / split / cls)
+            for i in range(n):
+                arr = np.clip(
+                    rng.normal(base, 20, (32, 32, 3)), 0, 255
+                ).astype(np.uint8)
+                Image.fromarray(arr).save(
+                    tmp_path / "data" / split / cls / f"{i}.png"
+                )
+    out = str(tmp_path / "runs")
+    main([
+        "--data-dir", str(tmp_path / "data"),
+        "--model", "vit_tiny_patch16_224",
+        "--img-size", "32",
+        "-b", "8",
+        "--epochs", "1",
+        "--max-steps-per-epoch", "2",
+        "--warmup-epochs", "0",
+        "--opt", "adamw",
+        "--lr", "1e-3",
+        "--transform_type", "flip",
+        "--output", out,
+        "--eval_rate", "1",
+        "--eval-metric", "top1",
+    ])
+    run_dir = os.path.join(
+        out, [e for e in os.listdir(out) if e.startswith("Exp_")][0]
+    )
+    rows = list(csv.DictReader(open(os.path.join(run_dir, "summary.csv"))))
+    assert "eval_top1" in rows[0], rows[0].keys()
+    assert 0.0 <= float(rows[0]["eval_top1"]) <= 1.0
+    assert "eval_top5" in rows[0]
+    assert "eval_auc" in rows[0]  # binary folder → AUC reported
+    # checkpoint ranking consumed the eval metric
+    ckpts = os.path.join(run_dir, "checkpoints")
+    assert os.path.isdir(ckpts) and len(os.listdir(ckpts)) > 0

@@ -285,3 +285,121 @@ def test_image_folder_dataset(tmp_path):
     batches = list(ds.batches(4, rng=np.random.default_rng(0)))
     assert len(batches) == 2
     assert batches[0]["images"].shape == (4, 32, 32, 3)
+
+
+# ---------------------------------------------------------------------------
+# --loan localized annotation labels (utils.py:144-149, 183-196)
+# ---------------------------------------------------------------------------
+
+
+def test_loan_annotation_labels_from_mask(synthetic_cohort):
+    from tpuwsi.io.loan import LoanAnnotation, load_loan_annotation
+
+    root = synthetic_cohort / "Breast" / "TCGA"
+    os.makedirs(root / "local_labels", exist_ok=True)
+    # 640² slide at ds=8 → 80² mask; left half (cols < 40) red==250
+    mask = np.zeros((80, 80, 3), dtype=np.uint8)
+    mask[:, :40, 0] = 250
+    Image.fromarray(mask).save(root / "local_labels" / "slide_0-labels.png")
+
+    ann = load_loan_annotation(str(root / "slide_0.png"))
+    assert isinstance(ann, LoanAnnotation)
+    # fully-red tile → 1; boundary tile (50% red) → 1; clear tile → 0
+    assert ann.label(0, 0, 128) == 1
+    assert ann.label(0, 256, 128) == 1
+    assert ann.label(0, 320, 128) == 0
+    assert ann.label(0, 384, 128) == 0
+    # slide without an annotation file → None
+    assert load_loan_annotation(str(root / "slide_1.png")) is None
+
+
+def test_loan_sampler_emits_tile_labels(synthetic_cohort):
+    root = synthetic_cohort / "Breast" / "TCGA"
+    os.makedirs(root / "local_labels", exist_ok=True)
+    mask = np.zeros((80, 80, 3), dtype=np.uint8)
+    mask[:, :, 0] = 250  # everything annotated → every tile label 1
+    for i in range(6):
+        Image.fromarray(mask).save(
+            root / "local_labels" / f"slide_{i}-labels.png"
+        )
+    table = load_slide_table(
+        "TCGA", tile_size=128, target_kind="ER", test_fold=1, train=True,
+        train_type="REG", n_tiles=4, data_root=str(synthetic_cohort),
+    )
+    sampler = WSITileSampler(
+        table, n_tiles=4, bag_size=1, random_shift=False, loan=True,
+        print_timing=True,
+    )
+    b = next(iter(sampler.batches(np.random.default_rng(0), 8)))
+    assert b["labels"].shape == (8,)
+    assert (b["labels"] == 1).all()  # tile labels, not the slide ER target
+    # -time: the stage timer accumulated extraction timings
+    td = sampler.stage_timer.time_dict()
+    assert td["Average time to extract a tile"] > 0
+
+
+# ---------------------------------------------------------------------------
+# --slide_per_block (datasets.py:167-181, CARMEL-only)
+# ---------------------------------------------------------------------------
+
+
+def _carmel_cohort(tmp_path):
+    root = tmp_path / "CARMEL_BLOCKS"
+    os.makedirs(root / "Grids_10", exist_ok=True)
+    rng = np.random.default_rng(0)
+    files, barcodes = [], []
+    # 3 blocks × 2 slides each: barcode[:-2] identifies the block
+    for block in range(3):
+        for s in range(2):
+            name = f"c{block}_{s}.png"
+            Image.fromarray(
+                rng.integers(0, 255, (640, 640, 3), dtype=np.uint8)
+            ).save(root / name)
+            grid = [(r, c) for r in range(0, 512, 128) for c in range(0, 512, 128)]
+            save_grid_pickle(str(grid_file_path(str(root), name, 10, 128)), grid)
+            files.append(name)
+            barcodes.append(f"77{block}5-{s}")
+    total_col, legit_col = grid_data_columns(128, 10)
+    from tpuwsi.utils.minixlsx import write_xlsx
+
+    n = len(files)
+    write_xlsx(
+        str(root / "slides_data_CARMEL.xlsx"),
+        pd.DataFrame({
+            "file": files, "id": ["CARMEL"] * n,
+            "patient barcode": barcodes,
+            "ER status": ["Positive"] * n,
+            "test fold idx": [2] * n,
+            "Manipulated Objective Power": [10] * n,
+        }),
+    )
+    write_xlsx(
+        str(root / "Grids_10" / "Grid_data.xlsx"),
+        pd.DataFrame({"file": files, total_col: [16] * n, legit_col: [16] * n}),
+    )
+    return {"CARMEL": str(root)}
+
+
+def test_slide_per_block_keeps_one_slide_per_block(tmp_path):
+    dir_dict = _carmel_cohort(tmp_path)
+    full = load_slide_table(
+        "CARMEL", tile_size=128, target_kind="ER", test_fold=1, train=True,
+        train_type="REG", n_tiles=4, dir_dict=dir_dict,
+    )
+    assert len(full) == 6
+    dedup = load_slide_table(
+        "CARMEL", tile_size=128, target_kind="ER", test_fold=1, train=True,
+        train_type="REG", n_tiles=4, dir_dict=dir_dict, slide_per_block=True,
+    )
+    assert len(dedup) == 3
+    blocks = [b[:-2] for b in dedup.patient_barcodes]
+    assert len(set(blocks)) == 3
+
+
+def test_slide_per_block_rejects_non_carmel(synthetic_cohort):
+    with pytest.raises(ValueError):
+        load_slide_table(
+            "TCGA", tile_size=128, target_kind="ER", test_fold=1, train=True,
+            train_type="REG", n_tiles=4, data_root=str(synthetic_cohort),
+            slide_per_block=True,
+        )

@@ -74,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--output", default="", type=str)
     parser.add_argument("--experiment", default="", type=str)
     parser.add_argument("--eval-metric", default="auc", type=str)
+    # folder-mode validation split when no explicit val/ subtree exists
+    # (timm --val-split analogue); 0 disables folder-mode validation.
+    parser.add_argument("--val-split", default=0.2, type=float)
     parser.add_argument("--resume", default="", type=str)
     parser.add_argument("--initial-checkpoint", default="", type=str)
     parser.add_argument("--num-classes", type=int, default=None)

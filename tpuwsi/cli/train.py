@@ -34,6 +34,31 @@ def _setup_jax():
         pass
 
 
+def save_batch_images(images, labels, out_dir: str, filename: str,
+                      max_tiles: int = 16):
+    """-im manual-QA image dump: a grid PNG of raw (pre-augmentation) tiles,
+    label stamped in the filename row order (datasets.py:504-508 returns the
+    untransformed images; reference train keeps them for debugging)."""
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    imgs = np.asarray(images)[:max_tiles]
+    if imgs.ndim == 5:  # (B, bag, h, w, 3) → first tile of each bag
+        imgs = imgs[:, 0]
+    n = len(imgs)
+    cols = min(n, 4)
+    rows = -(-n // cols)
+    h, w = imgs.shape[1:3]
+    grid = np.zeros((rows * h, cols * w, 3), dtype=np.uint8)
+    for i, im in enumerate(imgs):
+        r, c = divmod(i, cols)
+        grid[r * h : (r + 1) * h, c * w : (c + 1) * w] = im
+    Image.fromarray(grid).save(os.path.join(out_dir, filename))
+    if labels is not None:
+        with open(os.path.join(out_dir, filename + ".labels.txt"), "w") as f:
+            f.write(",".join(str(int(l)) for l in np.asarray(labels).ravel()[:max_tiles]))
+
+
 def _fitting_mesh(batch_size: int):
     """Largest data axis that divides the batch (batch must shard evenly)."""
     import math
@@ -93,7 +118,18 @@ def main(argv=None):
     # ---------------- data ----------------
     folder_mode = bool(args.data_dir)
     if folder_mode:
-        train_ds = ImageFolderDataset(args.data_dir, image_size=args.img_size)
+        from tpuwsi.io.folder import load_folder_datasets
+
+        # train/ + val/ subtrees when present (timm convention), else an
+        # 80/20 random split — folder mode validates every epoch like the
+        # reference trainer (timm_train.py:951-1025).
+        train_ds, val_ds = load_folder_datasets(
+            args.data_dir, image_size=args.img_size
+        )
+        if val_ds is None and args.val_split > 0 and len(train_ds) >= 10:
+            train_ds, val_ds = train_ds.split(
+                1.0 - args.val_split, np.random.default_rng(args.seed)
+            )
         num_classes = args.num_output or train_ds.num_classes
         steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
     else:
@@ -111,6 +147,7 @@ def main(argv=None):
             er_eq_pr=args.er_eq_pr,
             ram_saver=args.RAM_saver,
             balanced_dataset=args.balanced_dataset,
+            slide_per_block=args.slide_per_block,
             data_root=args.data_root,
         )
         if args.supervised:
@@ -127,6 +164,8 @@ def main(argv=None):
             bag_size=1,
             num_threads=args.workers,
             balanced_sampling=args.balanced_sampling,
+            loan=args.loan,
+            print_timing=args.time,
         )
         num_classes = args.num_output or 2
         steps_per_epoch = max(len(sampler) // args.batch_size, 1)
@@ -254,6 +293,15 @@ def main(argv=None):
             for i, batch in enumerate(batches):
                 if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:
                     break
+                if args.images and i == 0:
+                    # -im parity (train.py:378, datasets.py:504-508): dump the
+                    # un-augmented input tiles for manual QA (our batches are
+                    # raw uint8 — augmentation runs on device afterwards).
+                    save_batch_images(
+                        batch["images"], batch.get("labels"),
+                        os.path.join(output_dir, "images"),
+                        f"epoch{epoch}_batch0.png",
+                    )
                 sb = shard_batch(
                     mesh, {"images": batch["images"], "labels": batch["labels"]}
                 )
@@ -275,8 +323,32 @@ def main(argv=None):
                 ):
                     ckpt.save(int(state.step), state, {"recovery": 1.0})
             train_metrics = {k: float(v) for k, v in metrics.items()}
+            if args.time and not folder_mode:
+                # -time parity (datasets.py:512-526): per-stage pipeline times
+                td = sampler.stage_timer.time_dict()
+                logging.info("epoch %d time dict: %s", epoch, td)
+                tracker.log(
+                    {"extract_tile_sec": td["Average time to extract a tile"]},
+                    step=int(state.step),
+                )
 
             eval_metrics = {}
+            if (
+                (epoch % args.eval_rate == 0 or epoch == args.epochs - 1)
+                and folder_mode
+                and val_ds is not None
+                and len(val_ds) > 0
+            ):
+                # folder-mode per-epoch validation: top-1/top-5/loss (+ AUC
+                # for binary) — timm_train.py:951-1025 validate() parity.
+                eval_metrics = evaluate_folder(
+                    val_ds, state, eval_step, args.batch_size
+                )
+                logging.info("epoch %d folder eval: %s", epoch, eval_metrics)
+                tracker.log(
+                    {f"eval_{k}": v for k, v in eval_metrics.items()},
+                    step=int(state.step),
+                )
             if (epoch % args.eval_rate == 0 or epoch == args.epochs - 1) and not folder_mode:
                 eval_metrics, agg = evaluate_slides(args, state, eval_step)
                 logging.info("epoch %d eval: %s", epoch, eval_metrics)
@@ -307,6 +379,44 @@ def main(argv=None):
     ckpt.wait()
     tracker.finish()
     return state
+
+
+def evaluate_folder(val_ds, state, eval_step, batch_size: int):
+    """Folder-mode validation (timm_train.py:951-1025): top-1/top-5 accuracy
+    and mean CE loss over the val set; binary AUC when there are 2 classes."""
+    import jax.numpy as jnp
+
+    from tpuwsi.infer.aggregate import roc_auc
+
+    n_correct1 = n_correct5 = n_total = 0
+    loss_sum = 0.0
+    all_scores, all_labels = [], []
+    for batch in val_ds.batches(batch_size, shuffle=False, drop_last=False):
+        logits, probs = eval_step(state, {"images": jnp.asarray(batch["images"])})
+        logits = np.asarray(logits, dtype=np.float32)
+        probs = np.asarray(probs)
+        labels = batch["labels"]
+        k = min(5, logits.shape[-1])
+        topk = np.argsort(-logits, axis=-1)[:, :k]
+        n_correct1 += int((topk[:, 0] == labels).sum())
+        n_correct5 += int((topk == labels[:, None]).any(axis=1).sum())
+        n_total += len(labels)
+        logz = logits - logits.max(axis=-1, keepdims=True)
+        logp = logz - np.log(np.exp(logz).sum(axis=-1, keepdims=True))
+        loss_sum += float(-logp[np.arange(len(labels)), labels].sum())
+        if probs.shape[-1] == 2:
+            all_scores.extend(probs[:, 1].tolist())
+            all_labels.extend(labels.tolist())
+    if n_total == 0:
+        return {}
+    metrics = {
+        "top1": n_correct1 / n_total,
+        "top5": n_correct5 / n_total,
+        "loss": loss_sum / n_total,
+    }
+    if all_scores:
+        metrics["auc"] = roc_auc(all_scores, all_labels)
+    return metrics
 
 
 def evaluate_slides(args, state, eval_step):

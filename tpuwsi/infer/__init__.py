@@ -1,5 +1,11 @@
 from tpuwsi.infer.slide_walker import InferChunk, SlideWalker
 from tpuwsi.infer.aggregate import SlideAggregator, SlideResult, roc_auc
+from tpuwsi.infer.survival_walker import (
+    SurvivalAggregator,
+    SurvivalSlideResult,
+    SurvivalSlideWalker,
+    infer_survival_slides,
+)
 
 __all__ = [
     "InferChunk",
@@ -7,4 +13,8 @@ __all__ = [
     "SlideAggregator",
     "SlideResult",
     "roc_auc",
+    "SurvivalAggregator",
+    "SurvivalSlideResult",
+    "SurvivalSlideWalker",
+    "infer_survival_slides",
 ]

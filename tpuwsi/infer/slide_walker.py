@@ -45,6 +45,10 @@ class InferChunk:
     # distinct from `label` in the MIL feature pickles (datasets.py:1048-1055,
     # :1195-1196). Defaults to the label for callers with a single column.
     target: Optional[int] = None
+    # Survival walker extras (Infer_Dataset_Survival, datasets.py:3449-3461)
+    binary_target: Optional[int] = None
+    time_target: Optional[float] = None
+    censored: Optional[bool] = None
 
 
 class SlideWalker:

@@ -15,6 +15,32 @@ from PIL import Image
 
 IMG_EXTS = (".png", ".jpg", ".jpeg", ".tif", ".tiff", ".bmp", ".webp")
 
+VAL_DIR_NAMES = ("val", "validation", "valid")
+
+
+def load_folder_datasets(root: str, image_size: Optional[int] = None):
+    """(train_ds, val_ds) for a folder tree.
+
+    timm convention (timm_train.py:563-583): if the root has a ``train/``
+    subtree and a ``val``/``validation`` subtree, use them; otherwise the
+    whole root is the train set and the caller decides how to split.
+    """
+    subdirs = {
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+    }
+    if "train" in subdirs:
+        val_name = next((v for v in VAL_DIR_NAMES if v in subdirs), None)
+        train_ds = ImageFolderDataset(
+            os.path.join(root, "train"), image_size=image_size
+        )
+        val_ds = (
+            ImageFolderDataset(os.path.join(root, val_name), image_size=image_size)
+            if val_name
+            else None
+        )
+        return train_ds, val_ds
+    return ImageFolderDataset(root, image_size=image_size), None
+
 
 class ImageFolderDataset:
     def __init__(self, root: str, image_size: Optional[int] = None):
@@ -36,6 +62,22 @@ class ImageFolderDataset:
     @property
     def num_classes(self) -> int:
         return len(self.class_to_idx)
+
+    def subset(self, indices) -> "ImageFolderDataset":
+        """Shallow view over a sample subset (same class map)."""
+        import copy
+
+        ds = copy.copy(self)
+        ds.samples = [self.samples[int(i)] for i in indices]
+        return ds
+
+    def split(self, fraction: float = 0.8, rng=None):
+        """Random train/val split (timm --val-split analogue for folder
+        trees without an explicit val/ directory)."""
+        rng = rng or np.random.default_rng(0)
+        order = rng.permutation(len(self.samples))
+        n_train = int(round(len(order) * fraction))
+        return self.subset(order[:n_train]), self.subset(order[n_train:])
 
     def __len__(self):
         return len(self.samples)

@@ -128,6 +128,7 @@ def load_slide_table(
     er_eq_pr: bool = False,
     ram_saver: bool = False,
     balanced_dataset: bool = False,
+    slide_per_block: bool = False,
     data_root: Optional[str] = None,
     dir_dict: Optional[Dict[str, str]] = None,
     rng: Optional[np.random.Generator] = None,
@@ -194,14 +195,33 @@ def load_slide_table(
     else:
         all_targets = list(df[f"{target_kind} status"])
 
-    # LEUKEMIA day filters (datasets.py:182-188)
+    # --slide_per_block (datasets.py:167-181): CARMEL-only — a patient
+    # barcode's last two characters index the slide within its tissue block;
+    # keep only the first slide per block. (The reference's non-CARMEL branch
+    # constructs an IOError without raising it — we raise properly.)
     excess = set()
+    if slide_per_block:
+        if dataset == "CARMEL":
+            barcodes = list(df["patient barcode"])
+            blocks = [
+                b[:-2] if isinstance(b, str) else str(b) for b in barcodes
+            ]
+            _, unique_inds = np.unique(
+                np.asarray(blocks, dtype=object).astype(str), return_index=True
+            )
+            excess |= set(range(len(df))) - set(int(i) for i in unique_inds)
+        else:
+            raise ValueError(
+                "slide_per_block only implemented for CARMEL dataset"
+            )
+
+    # LEUKEMIA day filters (datasets.py:182-188)
     if dataset in ("LEUKEMIA", "ALL"):
         day_col = "Day_0/15/33_fixed"
         want = {"MRD_day33": 33, "MRD_day15": 15}.get(
             target_kind if isinstance(target_kind, str) else "", 0
         )
-        excess = set(df.index[df[day_col] != want])
+        excess |= set(df.index[df[day_col] != want])
 
     # Valid labels (datasets.py:192-213)
     if target_kind == "Survival_Time":

@@ -89,8 +89,15 @@ def get_tiles(
     random_shift: bool = False,
     oversized_hc_tiles: bool = False,
     stats: Optional[TileStats] = None,
+    loan=None,  # Optional[tpuwsi.io.loan.LoanAnnotation]
 ) -> np.ndarray:
-    """Extract len(locations) tiles → uint8 (N, output, output, 3)."""
+    """Extract len(locations) tiles → uint8 (N, output, output, 3).
+
+    With ``loan`` set, returns (tiles, labels) where labels are the per-tile
+    localized-annotation labels computed from each tile's post-shift origin
+    (utils.py:183-196 parity: red-zone fraction of the QuPath mask over the
+    adjusted tile extent).
+    """
     if oversized_hc_tiles:
         adjusted_tile_size *= 2
         output_tile_size *= 2
@@ -98,11 +105,14 @@ def get_tiles(
     out = np.zeros(
         (len(locations), output_tile_size, output_tile_size, 3), dtype=np.uint8
     )
+    loan_labels = np.zeros(len(locations), dtype=np.int64) - 1
     for i, loc in enumerate(locations):
         top, left = shifted_origin(
             rng, loc, tile_size_level_0, reader.dimensions,
             random_shift, oversized_hc_tiles,
         )
+        if loan is not None:
+            loan_labels[i] = loan.label(top, left, adjusted_tile_size)
         try:
             tile = reader.read_region(
                 (left, top), best_slide_level, (adjusted_tile_size, adjusted_tile_size)
@@ -124,6 +134,8 @@ def get_tiles(
                 Image.fromarray(tile).resize((output_tile_size, output_tile_size))
             )
         out[i] = tile
+    if loan is not None:
+        return out, loan_labels
     return out
 
 

@@ -38,6 +38,8 @@ class WSITileSampler:
         num_threads: int = 8,
         balanced_sampling: bool = False,
         test_time_augmentation: bool = False,
+        loan: bool = False,
+        print_timing: bool = False,
     ):
         self.table = table
         # TTA draws each slide 4× at eval (datasets.py:433-435)
@@ -45,12 +47,21 @@ class WSITileSampler:
         self.bag_size = bag_size
         self.random_shift = random_shift
         self.balanced_sampling = balanced_sampling
+        # --loan: per-tile labels from QuPath local_labels masks replace the
+        # slide target (train.py:380, utils.py:144-149/183-196)
+        self.loan = loan
         self.stats = TileStats()
+        from tpuwsi.utils.profiling import StageTimer
+
+        # -time parity (datasets.py:512-526): per-stage extraction timing
+        self.stage_timer = StageTimer(enabled=print_timing)
         self._readers = readers or {}
         self._grids: Dict[int, list] = {}
+        self._loans: Dict[int, object] = {}
         self._level_cache: Dict[int, tuple] = {}
         self._pool = ThreadPoolExecutor(max_workers=num_threads)
-        self._lock = threading.Lock()
+        # RLock: _loan() holds the lock and opens the reader via _reader()
+        self._lock = threading.RLock()
 
     # -- lazy per-slide state -------------------------------------------------
     def _reader(self, idx: int) -> SlideReader:
@@ -119,17 +130,35 @@ class WSITileSampler:
         grid = self._grid(idx)
         best_level, adjusted, level0 = self._levels(idx)
         locs = choose_locations(rng, grid, n)
-        return get_tiles(
-            reader,
-            locs,
-            level0,
-            adjusted,
-            self.table.tile_size,
-            best_level,
-            rng=rng,
-            random_shift=self.random_shift,
-            stats=self.stats,
-        )
+        with self.stage_timer.stage("Average time to extract a tile"):
+            result = get_tiles(
+                reader,
+                locs,
+                level0,
+                adjusted,
+                self.table.tile_size,
+                best_level,
+                rng=rng,
+                random_shift=self.random_shift,
+                stats=self.stats,
+                loan=self._loan(idx) if self.loan else None,
+            )
+        if self.loan and not isinstance(result, tuple):
+            # loan requested but this slide has no annotation file: label -1
+            result = (result, np.zeros(n, dtype=np.int64) - 1)
+        return result
+
+    def _loan(self, idx: int):
+        with self._lock:
+            if idx not in self._loans:
+                from tpuwsi.io.loan import load_loan_annotation
+
+                reader = self._reader(idx)
+                self._loans[idx] = load_loan_annotation(
+                    self.table.slide_path(idx),
+                    bounds=getattr(reader, "bounds", (0, 0)),
+                )
+            return self._loans[idx]
 
     def __len__(self):
         # REG virtual epoch length (datasets.py:427-429, 445-446)
@@ -190,11 +219,28 @@ class WSITileSampler:
                 )
                 for i, s in zip(chunk, seeds)
             ]
-            tiles = np.stack([f.result() for f in futures])  # (B, bag, ts, ts, 3)
+            results = [f.result() for f in futures]
+            if self.loan:
+                tiles = np.stack(
+                    [r[0] if isinstance(r, tuple) else r for r in results]
+                )
+                tile_labels = np.stack(
+                    [
+                        r[1] if isinstance(r, tuple)
+                        else np.zeros(bs, dtype=np.int64) - 1
+                        for r in results
+                    ]
+                )  # (B, bag)
+                batch_labels = tile_labels[:, 0] if bs == 1 else tile_labels
+            else:
+                tiles = np.stack(results)  # (B, bag, ts, ts, 3)
+                batch_labels = (
+                    labels[chunk][:, 0]
+                    if labels.ndim > 1 and not self.table.multi_target
+                    else labels[chunk]
+                )
             batch = {
-                "labels": labels[chunk][:, 0]
-                if labels.ndim > 1 and not self.table.multi_target
-                else labels[chunk],
+                "labels": batch_labels,
                 "slide_indices": chunk.astype(np.int64),
             }
             if bs == 1:

@@ -26,6 +26,7 @@ class WeightNormDense(nn.Module):
 
     features: int
     fixed_gain: bool = False  # DINO norm_last_layer=True → g frozen at 1
+    dtype: jnp.dtype = jnp.float32  # GEMM I/O dtype; norm math stays fp32
 
     @nn.compact
     def __call__(self, x):
@@ -35,7 +36,13 @@ class WeightNormDense(nn.Module):
         if self.fixed_gain:
             g = jax.lax.stop_gradient(g)
         w = v / (jnp.linalg.norm(v, axis=0, keepdims=True) + 1e-12) * g
-        return x @ w
+        # bf16 prototype GEMM with fp32 accumulation on the MXU: the weight
+        # normalisation itself stays fp32 (tiny), only the (B, in) x (in, K)
+        # product runs at bf16 rate.
+        return jax.lax.dot(
+            x.astype(self.dtype), w.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
 
 
 class DINOHead(nn.Module):
@@ -46,28 +53,34 @@ class DINOHead(nn.Module):
     use_bn: bool = False
     norm_last_layer: bool = True
     gelu_approx: bool = False
+    # bf16 GEMMs (fp32 params/accum) — the L2-normalise before the prototype
+    # layer stays fp32. fp32 default preserves checkpoint-parity numerics.
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = x.astype(jnp.float32)
+        x = x.astype(self.dtype)
         n = max(self.nlayers, 1)
+        dense_kw = dict(
+            dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init(),
+        )
         if n == 1:
-            x = nn.Dense(self.bottleneck_dim, kernel_init=trunc_normal_init())(x)
+            x = nn.Dense(self.bottleneck_dim, **dense_kw)(x)
         else:
             for i in range(n - 1):
-                x = nn.Dense(
-                    self.hidden_dim, kernel_init=trunc_normal_init(), name=f"mlp_{i}"
-                )(x)
+                x = nn.Dense(self.hidden_dim, name=f"mlp_{i}", **dense_kw)(x)
                 if self.use_bn:
                     x = nn.BatchNorm(
-                        use_running_average=deterministic, name=f"bn_{i}"
+                        use_running_average=deterministic, name=f"bn_{i}",
+                        dtype=jnp.float32,
                     )(x)
                 x = nn.gelu(x, approximate=self.gelu_approx)
-            x = nn.Dense(
-                self.bottleneck_dim, kernel_init=trunc_normal_init(), name="mlp_out"
-            )(x)
+            x = nn.Dense(self.bottleneck_dim, name="mlp_out", **dense_kw)(x)
+        x = x.astype(jnp.float32)
         x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
         x = WeightNormDense(
-            self.out_dim, fixed_gain=self.norm_last_layer, name="last_layer"
+            self.out_dim, fixed_gain=self.norm_last_layer, dtype=self.dtype,
+            name="last_layer",
         )(x)
         return x

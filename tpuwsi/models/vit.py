@@ -49,7 +49,14 @@ class ViTConfig:
     drop_path_rate: float = 0.0
     num_classes: int = 0  # 0 → no head (feature extractor)
     dtype: Dtype = jnp.bfloat16
+    # LayerNorm compute dtype. fp32 is the safe default; bf16 halves the
+    # elementwise HBM traffic of the residual stream (A/B via bench).
+    ln_dtype: Dtype = jnp.float32
     use_pallas_attention: bool = True
+    # Run the Pallas kernels in interpreter mode (forces the kernel path on
+    # non-TPU backends — used to validate the custom_partitioning sharded
+    # lowering on the CPU test mesh; never enable on real hardware).
+    pallas_interpret: bool = False
     # tanh-approx GELU is ~17% faster per forward on v5e (erf is VPU-heavy);
     # default False for activation parity with timm/DINO checkpoints — enable
     # for from-scratch (SSL) training.
@@ -123,6 +130,7 @@ class Attention(nn.Module):
     proj_drop: float = 0.0
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool = True
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool, return_attn: bool = False):
@@ -158,7 +166,10 @@ class Attention(nn.Module):
                 # consumes the raw qkv GEMM output (no transposes at all);
                 # dispatches itself to the XLA reference / flash kernel by
                 # measured sequence-length rules.
-                out = mha_from_qkv(qkv, self.num_heads)
+                out = mha_from_qkv(
+                    qkv, self.num_heads,
+                    interpret=self.pallas_interpret or None,
+                )
             else:
                 qkv_r = qkv.reshape(b, n, 3, self.num_heads, head_dim)
                 q, k, v = [
@@ -223,13 +234,15 @@ class Block(nn.Module):
     attn_drop: float
     drop_path: float
     dtype: Dtype = jnp.bfloat16
+    ln_dtype: Dtype = jnp.float32
     use_pallas: bool = True
+    pallas_interpret: bool = False
     gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool, return_attn: bool = False):
         d = x.shape[-1]
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        y = nn.LayerNorm(dtype=self.ln_dtype, name="norm1")(x)
         y, attn = Attention(
             num_heads=self.num_heads,
             qkv_bias=self.qkv_bias,
@@ -237,10 +250,11 @@ class Block(nn.Module):
             proj_drop=self.drop,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret,
             name="attn",
         )(y.astype(self.dtype), deterministic, return_attn)
         x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        y = nn.LayerNorm(dtype=self.ln_dtype, name="norm2")(x)
         y = Mlp(
             hidden_dim=int(d * self.mlp_ratio),
             out_dim=d,
@@ -263,7 +277,9 @@ class _ScanBlockBody(nn.Module):
     drop: float
     attn_drop: float
     dtype: Dtype
+    ln_dtype: Dtype
     use_pallas: bool
+    pallas_interpret: bool
     gelu_approx: bool
     deterministic: bool
 
@@ -282,7 +298,7 @@ class _ScanBlockBody(nn.Module):
             # is preserved (scan carry types must be invariant).
             return jnp.where(mask, y / keep.astype(y.dtype), jnp.zeros_like(y))
 
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        y = nn.LayerNorm(dtype=self.ln_dtype, name="norm1")(x)
         y, _ = Attention(
             num_heads=self.num_heads,
             qkv_bias=self.qkv_bias,
@@ -290,10 +306,11 @@ class _ScanBlockBody(nn.Module):
             proj_drop=self.drop,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret,
             name="attn",
         )(y.astype(self.dtype), det, False)
         x = x + droppath(y)
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        y = nn.LayerNorm(dtype=self.ln_dtype, name="norm2")(x)
         y = Mlp(
             hidden_dim=int(d * self.mlp_ratio),
             out_dim=d,
@@ -396,7 +413,9 @@ class VisionTransformer(nn.Module):
                 drop=cfg.drop_rate,
                 attn_drop=cfg.attn_drop_rate,
                 dtype=cfg.dtype,
+                ln_dtype=cfg.ln_dtype,
                 use_pallas=cfg.use_pallas_attention,
+                pallas_interpret=cfg.pallas_interpret,
                 gelu_approx=cfg.gelu_approx,
                 deterministic=deterministic,
                 name="blocks_scan",
@@ -411,7 +430,9 @@ class VisionTransformer(nn.Module):
                 attn_drop=cfg.attn_drop_rate,
                 drop_path=dpr[i],
                 dtype=cfg.dtype,
+                ln_dtype=cfg.ln_dtype,
                 use_pallas=cfg.use_pallas_attention,
+                pallas_interpret=cfg.pallas_interpret,
                 gelu_approx=cfg.gelu_approx,
                 name=f"blocks_{i}",
             )(x, deterministic, want_attn)
@@ -420,7 +441,7 @@ class VisionTransformer(nn.Module):
             if intermediate_layers and i >= cfg.depth - intermediate_layers:
                 intermediates.append(x)
 
-        final_norm = nn.LayerNorm(dtype=jnp.float32, name="norm")
+        final_norm = nn.LayerNorm(dtype=cfg.ln_dtype, name="norm")
         x = final_norm(x)
 
         if return_last_attention:

@@ -26,9 +26,21 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 NEG_INF = -1e30
+
+
+def _keep_leading_spec(mesh, shape_with_sharding, n_lead):
+    """Sharding that keeps the operand's leading (batch/head) axis placement
+    and replicates every trailing axis — the per-shard contract of the
+    whole-sequence kernels (each program consumes full rows of seq × dim)."""
+    spec = shape_with_sharding.sharding.spec
+    lead = tuple(spec[i] if i < len(spec) else None for i in range(n_lead))
+    ndim = len(shape_with_sharding.shape)
+    return NamedSharding(mesh, P(*lead, *([None] * (ndim - n_lead))))
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -188,13 +200,76 @@ def _flash_forward(q, k, v, kv_lengths, scale, tile_q, tile_k, interpret):
     return out.reshape(b, h, s_q, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _fused_attention(q, k, v, scale, tile_q, tile_k, interpret):
+# Partitioner registration for the flash kernel: batch and head axes may be
+# sharded (the grid is (B·H, …) — fully independent programs); seq/head_dim
+# replicated. See the _mha_qkv registration below for rationale.
+@functools.partial(custom_partitioning, static_argnums=(3, 4, 5, 6))
+def _flash_forward_p(q, k, v, scale, tile_q, tile_k, interpret):
     return _flash_forward(q, k, v, None, scale, tile_q, tile_k, interpret)
 
 
+def _flash_infer(scale, tile_q, tile_k, interpret, mesh, arg_shapes,
+                 result_shape):
+    return _keep_leading_spec(mesh, arg_shapes[0], 2)
+
+
+def _flash_partition(scale, tile_q, tile_k, interpret, mesh, arg_shapes,
+                     result_shape):
+    shs = tuple(_keep_leading_spec(mesh, a, 2) for a in arg_shapes)
+
+    def lower(q, k, v):
+        return _flash_forward(q, k, v, None, scale, tile_q, tile_k, interpret)
+
+    return mesh, lower, shs[0], shs
+
+
+_flash_forward_p.def_partition(
+    partition=_flash_partition,
+    infer_sharding_from_operands=_flash_infer,
+    sharding_rule="b h s d, b h t d, b h t d -> b h s d",
+    need_replication_factors=("s", "d", "t"),  # first-appearance order
+)
+
+
+@functools.partial(custom_partitioning, static_argnums=(4, 5, 6, 7))
+def _flash_forward_masked_p(q, k, v, kv_lengths, scale, tile_q, tile_k,
+                            interpret):
+    return _flash_forward(q, k, v, kv_lengths, scale, tile_q, tile_k,
+                          interpret)
+
+
+def _flash_masked_infer(scale, tile_q, tile_k, interpret, mesh, arg_shapes,
+                        result_shape):
+    return _keep_leading_spec(mesh, arg_shapes[0], 2)
+
+
+def _flash_masked_partition(scale, tile_q, tile_k, interpret, mesh,
+                            arg_shapes, result_shape):
+    shs = tuple(_keep_leading_spec(mesh, a, 2) for a in arg_shapes[:3])
+    len_sh = _keep_leading_spec(mesh, arg_shapes[3], 1)
+
+    def lower(q, k, v, lengths):
+        return _flash_forward(q, k, v, lengths, scale, tile_q, tile_k,
+                              interpret)
+
+    return mesh, lower, shs[0], shs + (len_sh,)
+
+
+_flash_forward_masked_p.def_partition(
+    partition=_flash_masked_partition,
+    infer_sharding_from_operands=_flash_masked_infer,
+    sharding_rule="b h s d, b h t d, b h t d, b -> b h s d",
+    need_replication_factors=("s", "d", "t"),  # first-appearance order
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _fused_attention(q, k, v, scale, tile_q, tile_k, interpret):
+    return _flash_forward_p(q, k, v, scale, tile_q, tile_k, interpret)
+
+
 def _fused_fwd(q, k, v, scale, tile_q, tile_k, interpret):
-    out = _flash_forward(q, k, v, None, scale, tile_q, tile_k, interpret)
+    out = _flash_forward_p(q, k, v, scale, tile_q, tile_k, interpret)
     return out, (q, k, v)
 
 
@@ -387,19 +462,83 @@ def _mha_reference(qkv, num_heads, scale):
     return o.reshape(b, n, d).astype(qkv.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def _mha_qkv(qkv, num_heads, scale, interpret):
+# -- GSPMD integration: pallas_call is opaque to the partitioner, so the
+# whole-sequence kernels are registered with custom_partitioning. Under a
+# batch-sharded mesh axis each device lowers the kernel on its LOCAL batch
+# shard (attention is independent per batch element — no cross-shard
+# communication); seq/feature axes are required replicated. This is what
+# lets the measured single-chip kernels ride unchanged under dp×tp meshes
+# (reference keeps its cuDNN kernels under DDP, train.py:624-635).
+
+
+@functools.partial(custom_partitioning, static_argnums=(1, 2, 3))
+def _mha_qkv_forward_p(qkv, num_heads, scale, interpret):
     return _mha_qkv_forward(qkv, num_heads, scale, interpret)
 
 
+def _mha_fwd_infer(num_heads, scale, interpret, mesh, arg_shapes, result_shape):
+    return _keep_leading_spec(mesh, arg_shapes[0], 1)
+
+
+def _mha_fwd_partition(num_heads, scale, interpret, mesh, arg_shapes,
+                       result_shape):
+    sh = _keep_leading_spec(mesh, arg_shapes[0], 1)
+
+    def lower(qkv):
+        return _mha_qkv_forward(qkv, num_heads, scale, interpret)
+
+    return mesh, lower, sh, (sh,)
+
+
+_mha_qkv_forward_p.def_partition(
+    partition=_mha_fwd_partition,
+    infer_sharding_from_operands=_mha_fwd_infer,
+    sharding_rule="b s d -> b s e",
+    need_replication_factors=("s", "d", "e"),
+)
+
+
+@functools.partial(custom_partitioning, static_argnums=(2, 3, 4))
+def _mha_qkv_backward_p(qkv, g, num_heads, scale, interpret):
+    return _mha_qkv_backward(qkv, g, num_heads, scale, interpret)
+
+
+def _mha_bwd_infer(num_heads, scale, interpret, mesh, arg_shapes, result_shape):
+    return _keep_leading_spec(mesh, arg_shapes[0], 1)
+
+
+def _mha_bwd_partition(num_heads, scale, interpret, mesh, arg_shapes,
+                       result_shape):
+    qkv_sh = _keep_leading_spec(mesh, arg_shapes[0], 1)
+    g_sh = _keep_leading_spec(mesh, arg_shapes[1], 1)
+
+    def lower(qkv, g):
+        return _mha_qkv_backward(qkv, g, num_heads, scale, interpret)
+
+    return mesh, lower, qkv_sh, (qkv_sh, g_sh)
+
+
+_mha_qkv_backward_p.def_partition(
+    partition=_mha_bwd_partition,
+    infer_sharding_from_operands=_mha_bwd_infer,
+    sharding_rule="b s d, b s e -> b s d",
+    need_replication_factors=("s", "d", "e"),
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _mha_qkv(qkv, num_heads, scale, interpret):
+    return _mha_qkv_forward_p(qkv, num_heads, scale, interpret)
+
+
 def _mha_qkv_fwd(qkv, num_heads, scale, interpret):
-    return _mha_qkv_forward(qkv, num_heads, scale, interpret), (qkv,)
+    return _mha_qkv_forward_p(qkv, num_heads, scale, interpret), (qkv,)
 
 
 def _mha_qkv_bwd(num_heads, scale, interpret, res, g):
     (qkv,) = res
     # Analytic Pallas backward (flash-style: only qkv saved, p recomputed).
-    return (_mha_qkv_backward(qkv, g, num_heads, scale, interpret),)
+    return (_mha_qkv_backward_p(qkv, g, num_heads, scale, interpret),)
 
 
 _mha_qkv.defvjp(_mha_qkv_fwd, _mha_qkv_bwd)
@@ -418,11 +557,10 @@ def mha_from_qkv(
     Returns (B, N, D). Pallas whole-sequence kernel on TPU for ViT-length
     sequences; XLA reference elsewhere.
 
-    Multi-chip note: under GSPMD with the batch axis sharded, pallas_call is
-    opaque to the partitioner — wrap the train step in shard_map (per-shard
-    batch) or register jax.experimental.custom_partitioning before using the
-    kernel on a sharded axis; the 37-token local-crop and non-TPU paths are
-    plain XLA and partition freely.
+    Multi-chip: the kernels are registered with custom_partitioning (batch
+    axis shardable, per-device local lowering), so they ride unchanged under
+    dp×tp meshes; the 37-token local-crop and non-TPU paths are plain XLA
+    and partition freely.
     """
     d = qkv.shape[-1] // 3
     if scale is None:
@@ -474,7 +612,8 @@ def fused_attention(
     if not use_pallas:
         return attention_reference(q, k, v, kv_lengths, scale)
     if kv_lengths is not None:
-        return _flash_forward(
-            q, k, v, kv_lengths, scale, tile_q, tile_k, bool(interpret)
+        return _flash_forward_masked_p(
+            q, k, v, kv_lengths.astype(jnp.int32), scale, tile_q, tile_k,
+            bool(interpret)
         )
     return _fused_attention(q, k, v, scale, tile_q, tile_k, bool(interpret))

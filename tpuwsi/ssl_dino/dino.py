@@ -56,6 +56,8 @@ class DINOConfig:
     ema_final: float = 1.0
     total_steps: int = 100_000
     freeze_last_layer_steps: int = 0
+    # Run the (B, 65536) cross-view contractions in bf16 (fp32 accumulation).
+    loss_pair_bf16: bool = False
 
 
 @flax.struct.dataclass
@@ -94,12 +96,20 @@ def dino_loss(
     student_temp: float,
     teacher_temp,
     n_global: int,
+    pair_dtype=jnp.float32,
 ):
     """Cross-entropy between teacher (centered+sharpened) and student views,
-    skipping same-view pairs; returns (loss, new_batch_center)."""
+    skipping same-view pairs; returns (loss, new_batch_center).
+
+    The softmax/log-softmax reductions run fp32; the (B, K=65536) per-pair
+    contraction can run bf16 with fp32 accumulation (``pair_dtype``) —
+    halves the HBM traffic of the largest tensors in the step.
+    """
     t_logits = (teacher_out - center) / teacher_temp
     t_probs = jax.lax.stop_gradient(jax.nn.softmax(t_logits, axis=-1))
     s_logp = jax.nn.log_softmax(student_out / student_temp, axis=-1)
+    t_pair = t_probs.astype(pair_dtype)
+    s_pair = s_logp.astype(pair_dtype)
 
     n_s = s_logp.shape[0]
     total = 0.0
@@ -108,9 +118,11 @@ def dino_loss(
         for si in range(n_s):
             if si == ti:
                 continue  # same global view: skip (DINO rule)
-            total = total + jnp.mean(
-                -jnp.sum(t_probs[ti] * s_logp[si], axis=-1)
+            ce = -jnp.einsum(
+                "bk,bk->b", t_pair[ti], s_pair[si],
+                preferred_element_type=jnp.float32,
             )
+            total = total + jnp.mean(ce)
             count += 1
     loss = total / count
     # Batch center over ALL teacher outputs and the global batch: with the
@@ -187,6 +199,7 @@ def make_dino_train_step(
                 cfg.student_temp,
                 t_temp,
                 cfg.n_global,
+                pair_dtype=jnp.bfloat16 if cfg.loss_pair_bf16 else jnp.float32,
             )
             return loss, batch_center
 
