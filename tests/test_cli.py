@@ -226,3 +226,22 @@ def test_cli_folder_mode_validation(tmp_path):
     # checkpoint ranking consumed the eval metric
     ckpts = os.path.join(run_dir, "checkpoints")
     assert os.path.isdir(ckpts) and len(os.listdir(ckpts)) > 0
+
+
+def test_config_recipes_parse():
+    """configs/ YAML recipes (run-book parity, train_instruct.txt:16-31) load
+    through the two-stage --config parse and set the expected fields."""
+    from tpuwsi.cli.args import parse_args
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    a = parse_args(["--config", os.path.join(root, "ssl.yaml")])
+    assert a.ssl and a.model == "vit_small_patch16_224_dino"
+    assert a.batch_size == 1024 and a.dataset == "CAT"
+    a = parse_args(["--config", os.path.join(root, "supervised.yaml")])
+    assert a.supervised and a.opt == "adam" and a.sched == "cosine"
+    # command line wins over config values
+    a = parse_args(["--config", os.path.join(root, "supervised.yaml"),
+                    "-b", "32"])
+    assert a.batch_size == 32
+    a = parse_args(["--config", os.path.join(root, "extract-features.yaml")])
+    assert a.extract_features

@@ -82,3 +82,56 @@ def test_update_summary(tmp_path):
     rows = list(csv.DictReader(open(f)))
     assert len(rows) == 2
     assert float(rows[1]["eval_auc"]) == 0.8
+
+
+def test_metadata_backup_merge_unmerge(tmp_path):
+    """Dataset_Maker/dataset_utils.py:80-113 parity: timestamped backup,
+    group merge, and id-routed unmerge of slides_data xlsx files."""
+    import datetime
+
+    import pandas as pd
+
+    from tpuwsi.utils.metadata_tools import (
+        backup_all_dataset_group_metadata,
+        backup_dataset_metadata,
+        merge_dataset_group_metadata,
+        unmerge_dataset_group_metadata,
+    )
+    from tpuwsi.utils.minixlsx import read_table, write_xlsx
+
+    dir_dict = {}
+    for cid, n in (("TCGA", 3), ("CARMEL", 2)):
+        d = tmp_path / cid
+        os.makedirs(d)
+        dir_dict[cid] = str(d)
+        write_xlsx(
+            str(d / f"slides_data_{cid}.xlsx"),
+            pd.DataFrame({
+                "file": [f"{cid.lower()}_{i}.svs" for i in range(n)],
+                "id": [cid] * n,
+                "ER status": ["Positive"] * n,
+            }),
+        )
+
+    # backup: timestamped copies appear next to the originals
+    backups = backup_all_dataset_group_metadata("CAT", "_bak", dir_dict=dir_dict)
+    assert len(backups) == 2
+    for b in backups:
+        assert os.path.isfile(b) and "_bak_" in os.path.basename(b)
+    b2 = backup_dataset_metadata(
+        str(tmp_path / "TCGA" / "slides_data_TCGA.xlsx"), "_v1",
+        now=datetime.datetime(2026, 8, 16, 12, 0, 0),
+    )
+    assert os.path.basename(b2) == "slides_data_TCGA_v1_160826_120000.xlsx"
+
+    # merge: one frame with all rows
+    merged = merge_dataset_group_metadata("CAT", dir_dict=dir_dict)
+    assert len(merged) == 5 and set(merged["id"]) == {"TCGA", "CARMEL"}
+
+    # edit + unmerge: rows route back by id
+    merged.loc[merged["id"] == "CARMEL", "ER status"] = "Negative"
+    unmerge_dataset_group_metadata(merged, "CAT", dir_dict=dir_dict)
+    back = read_table(str(tmp_path / "CARMEL" / "slides_data_CARMEL.xlsx"))
+    assert len(back) == 2 and (back["ER status"] == "Negative").all()
+    back_t = read_table(str(tmp_path / "TCGA" / "slides_data_TCGA.xlsx"))
+    assert (back_t["ER status"] == "Positive").all()
