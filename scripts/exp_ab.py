@@ -44,9 +44,49 @@ def build(variant: str, batch_size: int = 64):
         jnp.bfloat16 if variant in ("ln_bf16", "all_bf16") else jnp.float32
     )
     use_pallas = on_tpu and variant != "xla_attn"
+    if variant.startswith("oflash"):
+        # official tuned TPU flash-attention kernel, padded to 128-multiples
+        # with segment-id key masking (padded q rows sliced off)
+        import tpuwsi.models.vit as vitmod
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds,
+            flash_attention,
+        )
+
+        def oflash(qkv, num_heads, scale=None, interpret=None):
+            b, n, d3 = qkv.shape
+            d = d3 // 3
+            hd = d // num_heads
+            if n < 64:  # local crops: XLA wins below ~64 tokens
+                from tpuwsi.ops.attention import _mha_reference
+
+                return _mha_reference(qkv, num_heads, hd ** -0.5)
+            x = qkv.reshape(b, n, 3, num_heads, hd)
+            q = x[:, :, 0].transpose(0, 2, 1, 3)
+            k = x[:, :, 1].transpose(0, 2, 1, 3)
+            v = x[:, :, 2].transpose(0, 2, 1, 3)
+            npad = -(-n // 128) * 128
+            pad = npad - n
+            if pad:
+                q, k, v = (
+                    jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                    for t in (q, k, v)
+                )
+            seg = jnp.concatenate(
+                [jnp.ones((b, n), jnp.int32), jnp.zeros((b, pad), jnp.int32)],
+                axis=1,
+            )
+            o = flash_attention(
+                q, k, v, segment_ids=SegmentIds(seg, seg),
+                sm_scale=hd ** -0.5 if scale is None else scale,
+            )
+            return o[:, :, :n, :].transpose(0, 2, 1, 3).reshape(b, n, d)
+
+        vitmod.mha_from_qkv = oflash
     backbone = VisionTransformer(
         vit_small(num_classes=0, img_size=224, use_pallas_attention=use_pallas,
-                  gelu_approx=True, ln_dtype=ln_dtype)
+                  gelu_approx=True, ln_dtype=ln_dtype,
+                  remat_blocks=(variant == "remat"))
     )
     model = DINOModel(
         backbone=backbone,
@@ -86,12 +126,14 @@ def run(variant: str, batch_size: int = 64, n_iters: int = 40):
     dt = time.perf_counter() - t0
     tiles = batch_size * n_iters / dt
     print(
-        f"{variant:16s} {dt / n_iters * 1e3:7.2f} ms/step  "
+        f"{variant:16s} b{batch_size:<4d} {dt / n_iters * 1e3:7.2f} ms/step  "
         f"{tiles:7.1f} tiles/s  {tiles * 8:8.1f} views/s  loss0={loss0:.4f}"
     )
 
 
 if __name__ == "__main__":
+    # each arg: "variant" or "variant:batch"
     variants = sys.argv[1:] or ["base"]
     for v in variants:
-        run(v)
+        name, _, b = v.partition(":")
+        run(name, int(b) if b else 64)

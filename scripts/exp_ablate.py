@@ -33,6 +33,14 @@ def build(name: str, batch_size: int = 64):
     from tpuwsi.train.ema import cosine_momentum_schedule, ema_update
 
     on_tpu = jax.default_backend() == "tpu"
+    if name == "no_attn":
+        # identity "attention": isolates the softmax-attention cost from the
+        # GEMM/LN/residual skeleton (qkv/proj GEMMs stay)
+        import tpuwsi.models.vit as vitmod
+
+        vitmod.mha_from_qkv = (
+            lambda qkv, h, **kw: qkv[..., : qkv.shape[-1] // 3]
+        )
     backbone = VisionTransformer(
         vit_small(num_classes=0, img_size=224, use_pallas_attention=on_tpu,
                   gelu_approx=True)

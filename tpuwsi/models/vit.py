@@ -52,6 +52,10 @@ class ViTConfig:
     # LayerNorm compute dtype. fp32 is the safe default; bf16 halves the
     # elementwise HBM traffic of the residual stream (A/B via bench).
     ln_dtype: Dtype = jnp.float32
+    # jax.checkpoint each transformer block: trades ~1/3 more FLOPs in the
+    # backward for O(depth) less activation memory — lets bigger batches fit
+    # HBM (BASELINE headroom item: batch-128 regression).
+    remat_blocks: bool = False
     use_pallas_attention: bool = True
     # Run the Pallas kernels in interpreter mode (forces the kernel path on
     # non-TPU backends — used to validate the custom_partitioning sharded
@@ -420,9 +424,14 @@ class VisionTransformer(nn.Module):
                 deterministic=deterministic,
                 name="blocks_scan",
             )(x, jnp.asarray(dpr, dtype=jnp.float32))
+        BlockCls = (
+            nn.remat(Block, static_argnums=(2, 3))
+            if cfg.remat_blocks
+            else Block
+        )
         for i in range(cfg.depth) if not use_scan else ():
             want_attn = return_last_attention and i == cfg.depth - 1
-            x, attn = Block(
+            x, attn = BlockCls(
                 num_heads=cfg.num_heads,
                 mlp_ratio=cfg.mlp_ratio,
                 qkv_bias=cfg.qkv_bias,

@@ -274,8 +274,15 @@ def _fused_fwd(q, k, v, scale, tile_q, tile_k, interpret):
 
 
 def _fused_bwd(scale, tile_q, tile_k, interpret, res, g):
-    # Rematerialised backward in XLA: attention matrices are recomputed, so
-    # only q/k/v are held — the flash-memory property is preserved.
+    # Rematerialised backward in XLA: only q/k/v are saved as residuals (the
+    # flash-memory property holds for the FORWARD), but this backward
+    # materializes the (B, H, S, S) attention and dS matrices transiently —
+    # O(S²) peak memory during the grad computation. Every long-sequence
+    # consumer in the framework (MIL bags, full-slide token streams,
+    # datasets.py:694-699 chunking) runs the flash path at inference only;
+    # no reference training config differentiates ≥512-token attention. If
+    # such a path appears, a blockwise Pallas backward (the whole-sequence
+    # kernel already has one, _mha_qkv_bwd_kernel) must replace this.
     q, k, v = res
     s = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
