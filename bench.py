@@ -46,13 +46,17 @@ def build(batch_size: int, tile: int = 224):
     )
     model = DINOModel(
         backbone=backbone,
+        # bf16 head GEMMs / loss pair contractions: measured ≥0 full-step
+        # (+3% at b64 in round 2's first pass, ~+0.6% with the wide kernel)
         head=DINOHead(out_dim=65536, hidden_dim=2048, bottleneck_dim=256,
-                      gelu_approx=True),
+                      gelu_approx=True,
+                      dtype=jnp.bfloat16 if on_tpu else jnp.float32),
     )
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
     )
-    dcfg = DINOConfig(out_dim=65536, n_local=6, total_steps=1000)
+    dcfg = DINOConfig(out_dim=65536, n_local=6, total_steps=1000,
+                      loss_pair_bf16=on_tpu)
     ocfg = OptimConfig(opt="adamw", lr=5e-4, weight_decay=0.04)
     tx, _ = make_optimizer(ocfg, params, global_batch_size=batch_size)
     state = create_dino_state(params, tx, dcfg)
@@ -62,7 +66,7 @@ def build(batch_size: int, tile: int = 224):
 
 
 def main():
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 96
     tile = 256  # raw WSI tile size fed to multi-crop (train.py:414: 256 default)
     state, step = build(batch_size)
     rng = jax.random.PRNGKey(1)

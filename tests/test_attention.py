@@ -135,3 +135,61 @@ def test_flash_kv_lengths_sharded_batch():
     ref = attention_reference(q, k, v, kv_lengths=lengths)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=8e-3, rtol=8e-3)
+
+
+def test_mha_qkv_packed_local_crops_matches_reference():
+    """Sequence packing: short sequences (37-token local crops) are stacked
+    pack=128//n per program with a block-diagonal mask — values and grads
+    must match XLA, including a batch NOT divisible by the pack factor."""
+    from tpuwsi.ops.attention import _mha_reference, mha_from_qkv
+
+    b, n, heads, d = 7, 37, 6, 96  # pack=3, b_pad=9 exercises batch padding
+    qkv = jax.random.normal(jax.random.PRNGKey(7), (b, n, 3 * d), jnp.float32)
+    scale = (d // heads) ** -0.5
+
+    out = mha_from_qkv(qkv, heads, interpret=True, training=True)
+    ref = _mha_reference(qkv, heads, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=8e-3, rtol=8e-3)
+
+    g = jax.grad(
+        lambda x: jnp.sum(mha_from_qkv(x, heads, interpret=True,
+                                       training=True) ** 2)
+    )(qkv)
+    g_ref = jax.grad(
+        lambda x: jnp.sum(_mha_reference(x, heads, scale) ** 2)
+    )(qkv)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_mha_qkv_packed_sharded_batch():
+    """Packed short-sequence path under a batch-sharded mesh axis: the
+    pad→reshape→kernel→reshape→slice chain must partition (custom_partitioning
+    keeps the kernel per-shard; the reshapes are plain XLA)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from tpuwsi.ops.attention import _mha_reference, mha_from_qkv
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8,), ("data",))
+    b, n, heads, d = 24, 37, 3, 96  # 24/3-pack = 8 programs, 1 per device
+    qkv = jax.random.normal(jax.random.PRNGKey(8), (b, n, 3 * d), jnp.float32)
+    qkv_sh = jax.device_put(qkv, NamedSharding(mesh, P("data", None, None)))
+    scale = (d // heads) ** -0.5
+
+    with mesh:
+        out = jax.jit(
+            lambda x: mha_from_qkv(x, heads, interpret=True, training=True)
+        )(qkv_sh)
+        g = jax.jit(jax.grad(
+            lambda x: jnp.sum(mha_from_qkv(x, heads, interpret=True,
+                                           training=True) ** 2)
+        ))(qkv_sh)
+    ref = _mha_reference(qkv, heads, scale)
+    g_ref = jax.grad(
+        lambda x: jnp.sum(_mha_reference(x, heads, scale) ** 2)
+    )(qkv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=8e-3, rtol=8e-3)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=3e-2, rtol=3e-2)

@@ -173,6 +173,7 @@ class Attention(nn.Module):
                 out = mha_from_qkv(
                     qkv, self.num_heads,
                     interpret=self.pallas_interpret or None,
+                    training=not deterministic,
                 )
             else:
                 qkv_r = qkv.reshape(b, n, 3, self.num_heads, head_dim)

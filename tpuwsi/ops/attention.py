@@ -315,36 +315,66 @@ MIN_PALLAS_SEQ = 512
 # ---------------------------------------------------------------------------
 
 
-def _mha_qkv_kernel(q_len_ref, qkv_ref, o_ref, *, num_heads: int, seq_pad: int,
-                    scale: float):
+def _mha_qkv_kernel(q_len_ref, qkv_ref, o_ref, st_ref, *, num_heads: int,
+                    seq_pad: int, scale: float, block_len: int):
+    """Whole-sequence MHA, one program per batch element, ALL heads.
+
+    Structure (measured on v5e, scripts/exp_attn2.py): per-head QKᵀ/PV dots
+    are near their shape-limited MXU ceiling, but per-head softmax VPU work
+    dominates when interleaved — so the H score matrices are written into ONE
+    (H·S, S) scratch and the masked softmax runs as a single wide VPU pass
+    (26% faster fwd, 1.57× fwd+bwd vs the interleaved per-head version).
+    Layout: st[h·S + j, i] = k_hj · q_hi (keys on rows → the key mask is a
+    plain row mask, and both dots consume st without transposes).
+
+    Sequence packing: when block_len < seq_pad, the "sequence" axis is a
+    concatenation of several independent short sequences of block_len tokens
+    (multi-crop local views: 37 tokens would waste 91% of the 128-row tile).
+    The mask becomes block-diagonal (key j attends query i only when
+    j//block_len == i//block_len), which costs nothing extra — it fuses into
+    the same wide masked-softmax pass. Fully padded query columns softmax to
+    uniform (finite NEG_INF ⇒ exp(0)) and are sliced away by the caller.
+    """
     qkv = qkv_ref[0]  # (S_pad, 3D)
     d = qkv.shape[1] // 3
     hd = d // num_heads
+    R = num_heads * seq_pad
     n = q_len_ref[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (seq_pad, seq_pad), 1)
-    key_mask = col < n  # mask padded keys per row
+    # Fold the softmax scale into q once: (S, D) multiply instead of a
+    # per-head (S, S) multiply on every score matrix.
+    q_all = (qkv[:, :d].astype(jnp.float32) * scale).astype(qkv.dtype)
     for h in range(num_heads):
-        q = qkv[:, h * hd : (h + 1) * hd]
         k = qkv[:, d + h * hd : d + (h + 1) * hd]
+        st_ref[h * seq_pad : (h + 1) * seq_pad, :] = jax.lax.dot_general(
+            k, q_all[:, h * hd : (h + 1) * hd],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+    rowj = jax.lax.broadcasted_iota(jnp.int32, (R, seq_pad), 0)
+    keyj = rowj % seq_pad
+    valid = keyj < n
+    if block_len < seq_pad:
+        coli = jax.lax.broadcasted_iota(jnp.int32, (R, seq_pad), 1)
+        valid &= (keyj // block_len) == (coli // block_len)
+    st = jnp.where(valid, st_ref[:], NEG_INF)
+    s3 = st.reshape(num_heads, seq_pad, seq_pad)
+    m = jnp.max(s3, axis=1, keepdims=True)
+    e = jnp.exp(s3 - m)
+    l = jnp.sum(e, axis=1, keepdims=True)
+    p = (e / l).reshape(R, seq_pad).astype(qkv.dtype)
+    for h in range(num_heads):
         v = qkv[:, 2 * d + h * hd : 2 * d + (h + 1) * hd]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        s = jnp.where(key_mask, s, NEG_INF)
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        p = p / l
         o = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            p[h * seq_pad : (h + 1) * seq_pad, :], v,
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         o_ref[0, :, h * hd : (h + 1) * hd] = o.astype(o_ref.dtype)
 
 
-def _mha_qkv_forward(qkv, num_heads, scale, interpret):
+def _mha_qkv_forward(qkv, num_heads, scale, interpret, block_len=0):
     b, n, d3 = qkv.shape
     seq_pad = max(_cdiv(n, 128) * 128, 128)
+    if not block_len:
+        block_len = seq_pad
     if seq_pad != n:
         qkv = jnp.pad(qkv, ((0, 0), (0, seq_pad - n), (0, 0)))
     lengths = jnp.full((1,), n, dtype=jnp.int32)
@@ -355,10 +385,14 @@ def _mha_qkv_forward(qkv, num_heads, scale, interpret):
         out_specs=pl.BlockSpec(
             (1, seq_pad, d3 // 3), lambda i, lens: (i, 0, 0)
         ),
+        scratch_shapes=[
+            pltpu.VMEM((num_heads * seq_pad, seq_pad), jnp.float32),
+        ],
     )
     out = pl.pallas_call(
         functools.partial(
-            _mha_qkv_kernel, num_heads=num_heads, seq_pad=seq_pad, scale=scale
+            _mha_qkv_kernel, num_heads=num_heads, seq_pad=seq_pad,
+            scale=scale, block_len=block_len,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, seq_pad, d3 // 3), qkv.dtype),
@@ -370,60 +404,92 @@ def _mha_qkv_forward(qkv, num_heads, scale, interpret):
     return out[:, :n, :]
 
 
-def _mha_qkv_bwd_kernel(q_len_ref, qkv_ref, g_ref, dqkv_ref, *,
-                        num_heads: int, seq_pad: int, scale: float):
+def _mha_qkv_bwd_kernel(q_len_ref, qkv_ref, g_ref, dqkv_ref, st_ref, dp_ref,
+                        *, num_heads: int, seq_pad: int, scale: float,
+                        block_len: int):
     """Analytic attention backward, one program per batch element, all heads;
     recomputes p from qkv (flash-style: nothing else saved) and writes dqkv
-    in the fused [which, head, hd] layout — no transposes."""
+    in the fused [which, head, hd] layout — no transposes.
+
+    Same wide-softmax structure as the forward: score/softmax/dS elementwise
+    work runs as single (H·S, S) VPU passes instead of per-head, and the five
+    dots per head run in bf16 (fp32 accumulate) instead of fp32 operands —
+    measured 1.57× faster fwd+bwd on v5e (scripts/exp_attn2.py). Padded
+    queries need no explicit mask: padded g rows are zero, so dv/dp columns
+    and ds columns vanish, which zeroes padded dq rows in turn (this holds
+    for packed blocks too: p is finite everywhere, so 0·p stays 0).
+    """
     qkv = qkv_ref[0]  # (S_pad, 3D)
     g = g_ref[0]  # (S_pad, D)
     d = qkv.shape[1] // 3
     hd = d // num_heads
+    R = num_heads * seq_pad
     n = q_len_ref[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (seq_pad, seq_pad), 1)
-    key_mask = col < n
-    row = jax.lax.broadcasted_iota(jnp.int32, (seq_pad, 1), 0)
-    row_mask = (row < n).astype(jnp.float32)
+    q_all = (qkv[:, :d].astype(jnp.float32) * scale).astype(qkv.dtype)
     for h in range(num_heads):
+        k = qkv[:, d + h * hd : d + (h + 1) * hd]
+        st_ref[h * seq_pad : (h + 1) * seq_pad, :] = jax.lax.dot_general(
+            k, q_all[:, h * hd : (h + 1) * hd],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # [h·S + j, i] = s_h[i, j]
+    rowj = jax.lax.broadcasted_iota(jnp.int32, (R, seq_pad), 0)
+    keyj = rowj % seq_pad
+    valid = keyj < n
+    if block_len < seq_pad:
+        coli = jax.lax.broadcasted_iota(jnp.int32, (R, seq_pad), 1)
+        valid &= (keyj // block_len) == (coli // block_len)
+    st = jnp.where(valid, st_ref[:], NEG_INF)
+    s3 = st.reshape(num_heads, seq_pad, seq_pad)
+    m = jnp.max(s3, axis=1, keepdims=True)
+    e = jnp.exp(s3 - m)
+    l = jnp.sum(e, axis=1, keepdims=True)
+    p = (e / l).reshape(R, seq_pad)  # f32
+    for h in range(num_heads):
+        v = qkv[:, 2 * d + h * hd : 2 * d + (h + 1) * hd]
+        gh = g[:, h * hd : (h + 1) * hd]
+        # dp[j, i] = sum_c v[j, c] g[i, c]
+        dp_ref[h * seq_pad : (h + 1) * seq_pad, :] = jax.lax.dot_general(
+            v, gh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dv[j, c] = sum_i p[hS+j, i] g[i, c]
+        dv = jax.lax.dot_general(
+            p[h * seq_pad : (h + 1) * seq_pad, :].astype(gh.dtype), gh,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[0, :, 2 * d + h * hd : 2 * d + (h + 1) * hd] = dv.astype(
+            dqkv_ref.dtype
+        )
+    dp3 = dp_ref[:].reshape(num_heads, seq_pad, seq_pad)
+    p3 = p.reshape(num_heads, seq_pad, seq_pad)
+    t3 = jnp.sum(p3 * dp3, axis=1, keepdims=True)
+    # scale folded once here instead of into both dq and dk
+    ds = ((p3 * (dp3 - t3) * scale).reshape(R, seq_pad)).astype(qkv.dtype)
+    for h in range(num_heads):
+        dsh = ds[h * seq_pad : (h + 1) * seq_pad, :]
         q = qkv[:, h * hd : (h + 1) * hd]
         k = qkv[:, d + h * hd : d + (h + 1) * hd]
-        v = qkv[:, 2 * d + h * hd : 2 * d + (h + 1) * hd]
-        gh = g[:, h * hd : (h + 1) * hd].astype(jnp.float32) * row_mask
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        s = jnp.where(key_mask, s, NEG_INF)
-        m = jnp.max(s, axis=1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=1, keepdims=True)  # (S, S) f32
-        # dv = pᵀ g
-        dv = jax.lax.dot_general(
-            p, gh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        # dp = g vᵀ
-        dp = jax.lax.dot_general(
-            gh, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - jnp.sum(p * dp, axis=1, keepdims=True))  # (S, S)
+        # dq[i, c] = sum_j ds[hS+j, i] k[j, c]
         dq = jax.lax.dot_general(
-            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            dsh, k, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
+        )
+        # dk[j, c] = sum_i ds[hS+j, i] q[i, c]
         dk = jax.lax.dot_general(
-            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            dsh, q, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
+        )
         dqkv_ref[0, :, h * hd : (h + 1) * hd] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, d + h * hd : d + (h + 1) * hd] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, 2 * d + h * hd : 2 * d + (h + 1) * hd] = dv.astype(
+        dqkv_ref[0, :, d + h * hd : d + (h + 1) * hd] = dk.astype(
             dqkv_ref.dtype
         )
 
 
-def _mha_qkv_backward(qkv, g, num_heads, scale, interpret):
+def _mha_qkv_backward(qkv, g, num_heads, scale, interpret, block_len=0):
     b, n, d3 = qkv.shape
     seq_pad = max(_cdiv(n, 128) * 128, 128)
+    if not block_len:
+        block_len = seq_pad
     if seq_pad != n:
         qkv = jnp.pad(qkv, ((0, 0), (0, seq_pad - n), (0, 0)))
         g = jnp.pad(g, ((0, 0), (0, seq_pad - n), (0, 0)))
@@ -436,11 +502,15 @@ def _mha_qkv_backward(qkv, g, num_heads, scale, interpret):
             pl.BlockSpec((1, seq_pad, d3 // 3), lambda i, lens: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, seq_pad, d3), lambda i, lens: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((num_heads * seq_pad, seq_pad), jnp.float32),
+            pltpu.VMEM((num_heads * seq_pad, seq_pad), jnp.float32),
+        ],
     )
     dqkv = pl.pallas_call(
         functools.partial(
             _mha_qkv_bwd_kernel, num_heads=num_heads, seq_pad=seq_pad,
-            scale=scale,
+            scale=scale, block_len=block_len,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, seq_pad, d3), qkv.dtype),
@@ -478,21 +548,22 @@ def _mha_reference(qkv, num_heads, scale):
 # (reference keeps its cuDNN kernels under DDP, train.py:624-635).
 
 
-@functools.partial(custom_partitioning, static_argnums=(1, 2, 3))
-def _mha_qkv_forward_p(qkv, num_heads, scale, interpret):
-    return _mha_qkv_forward(qkv, num_heads, scale, interpret)
+@functools.partial(custom_partitioning, static_argnums=(1, 2, 3, 4))
+def _mha_qkv_forward_p(qkv, num_heads, scale, interpret, block_len=0):
+    return _mha_qkv_forward(qkv, num_heads, scale, interpret, block_len)
 
 
-def _mha_fwd_infer(num_heads, scale, interpret, mesh, arg_shapes, result_shape):
+def _mha_fwd_infer(num_heads, scale, interpret, block_len, mesh, arg_shapes,
+                   result_shape):
     return _keep_leading_spec(mesh, arg_shapes[0], 1)
 
 
-def _mha_fwd_partition(num_heads, scale, interpret, mesh, arg_shapes,
-                       result_shape):
+def _mha_fwd_partition(num_heads, scale, interpret, block_len, mesh,
+                       arg_shapes, result_shape):
     sh = _keep_leading_spec(mesh, arg_shapes[0], 1)
 
     def lower(qkv):
-        return _mha_qkv_forward(qkv, num_heads, scale, interpret)
+        return _mha_qkv_forward(qkv, num_heads, scale, interpret, block_len)
 
     return mesh, lower, sh, (sh,)
 
@@ -505,22 +576,24 @@ _mha_qkv_forward_p.def_partition(
 )
 
 
-@functools.partial(custom_partitioning, static_argnums=(2, 3, 4))
-def _mha_qkv_backward_p(qkv, g, num_heads, scale, interpret):
-    return _mha_qkv_backward(qkv, g, num_heads, scale, interpret)
+@functools.partial(custom_partitioning, static_argnums=(2, 3, 4, 5))
+def _mha_qkv_backward_p(qkv, g, num_heads, scale, interpret, block_len=0):
+    return _mha_qkv_backward(qkv, g, num_heads, scale, interpret, block_len)
 
 
-def _mha_bwd_infer(num_heads, scale, interpret, mesh, arg_shapes, result_shape):
+def _mha_bwd_infer(num_heads, scale, interpret, block_len, mesh, arg_shapes,
+                   result_shape):
     return _keep_leading_spec(mesh, arg_shapes[0], 1)
 
 
-def _mha_bwd_partition(num_heads, scale, interpret, mesh, arg_shapes,
-                       result_shape):
+def _mha_bwd_partition(num_heads, scale, interpret, block_len, mesh,
+                       arg_shapes, result_shape):
     qkv_sh = _keep_leading_spec(mesh, arg_shapes[0], 1)
     g_sh = _keep_leading_spec(mesh, arg_shapes[1], 1)
 
     def lower(qkv, g):
-        return _mha_qkv_backward(qkv, g, num_heads, scale, interpret)
+        return _mha_qkv_backward(qkv, g, num_heads, scale, interpret,
+                                 block_len)
 
     return mesh, lower, qkv_sh, (qkv_sh, g_sh)
 
@@ -533,19 +606,24 @@ _mha_qkv_backward_p.def_partition(
 )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def _mha_qkv(qkv, num_heads, scale, interpret):
-    return _mha_qkv_forward_p(qkv, num_heads, scale, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _mha_qkv(qkv, num_heads, scale, interpret, block_len=0):
+    return _mha_qkv_forward_p(qkv, num_heads, scale, interpret, block_len)
 
 
-def _mha_qkv_fwd(qkv, num_heads, scale, interpret):
-    return _mha_qkv_forward_p(qkv, num_heads, scale, interpret), (qkv,)
+def _mha_qkv_fwd(qkv, num_heads, scale, interpret, block_len):
+    return (
+        _mha_qkv_forward_p(qkv, num_heads, scale, interpret, block_len),
+        (qkv,),
+    )
 
 
-def _mha_qkv_bwd(num_heads, scale, interpret, res, g):
+def _mha_qkv_bwd(num_heads, scale, interpret, block_len, res, g):
     (qkv,) = res
     # Analytic Pallas backward (flash-style: only qkv saved, p recomputed).
-    return (_mha_qkv_backward_p(qkv, g, num_heads, scale, interpret),)
+    return (
+        _mha_qkv_backward_p(qkv, g, num_heads, scale, interpret, block_len),
+    )
 
 
 _mha_qkv.defvjp(_mha_qkv_fwd, _mha_qkv_bwd)
@@ -556,6 +634,7 @@ def mha_from_qkv(
     num_heads: int,
     scale: float | None = None,
     interpret: bool | None = None,
+    training: bool = False,
 ) -> jax.Array:
     """Multi-head attention directly from the fused qkv projection output.
 
@@ -572,15 +651,36 @@ def mha_from_qkv(
     d = qkv.shape[-1] // 3
     if scale is None:
         scale = (d // num_heads) ** -0.5
-    # Measured on v5e: 3.3× faster than XLA at 197 tokens (2.2 vs 7.1 ms for
-    # 128 heads×6); slower below ~64 tokens (128-row padding dominates) and
-    # past ~1024 tokens the whole-sequence block outgrows VMEM — use the
+    # Measured on v5e (scripts/exp_attn2.py): the wide-softmax kernel is 1.6×
+    # XLA fwd at 197 tokens and 1.25× fwd+bwd; below ~64 tokens the 128-row
+    # padding makes XLA win the FORWARD (0.29 vs 0.81 ms at 576×37) but the
+    # kernel still wins fwd+bwd (1.62 vs 1.79 ms) because XLA's attention
+    # backward is weak — so training forwards (student local crops) dispatch
+    # to the kernel at any length, inference forwards only at ≥64 tokens.
+    # Past ~1024 tokens the whole-sequence block outgrows VMEM — use the
     # flash kernel (fused_attention) there instead.
+    min_seq = 2 if training else 64
     use_pallas = (
-        jax.default_backend() == "tpu" and 64 <= qkv.shape[1] <= 1024
+        jax.default_backend() == "tpu" and min_seq <= qkv.shape[1] <= 1024
     ) or interpret
     if not use_pallas:
         return _mha_reference(qkv, num_heads, scale)
+    b, n = qkv.shape[0], qkv.shape[1]
+    pack = 128 // n if n <= 64 else 1
+    if pack > 1:
+        # Sequence packing: 37-token local crops pad to 128 rows, wasting
+        # ~91% of every score tile. Stack `pack` batch elements along the
+        # sequence axis (row-major reshape keeps each element contiguous)
+        # and run the kernel with a block-diagonal mask — `pack`× fewer
+        # programs for the same per-program cost. The pad/reshape/slice sit
+        # OUTSIDE custom_vjp, so XLA autodiff routes cotangents through
+        # them automatically.
+        b_pad = _cdiv(b, pack) * pack
+        if b_pad != b:
+            qkv = jnp.pad(qkv, ((0, b_pad - b), (0, 0), (0, 0)))
+        packed = qkv.reshape(b_pad // pack, pack * n, qkv.shape[-1])
+        out = _mha_qkv(packed, num_heads, scale, bool(interpret), n)
+        return out.reshape(b_pad, n, d)[:b]
     return _mha_qkv(qkv, num_heads, scale, bool(interpret))
 
 
