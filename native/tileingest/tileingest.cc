@@ -54,12 +54,16 @@ struct Slide {
 };
 
 std::mutex g_slides_mu;
-std::vector<std::unique_ptr<Slide>> g_slides;
+// shared_ptr, not unique_ptr: a worker mid-read holds its own reference, so
+// ti_close during an in-flight batch (prefetcher shutdown races the last
+// extract) releases the Slide only after the job finishes — never a
+// use-after-free on handles/levels.
+std::vector<std::shared_ptr<Slide>> g_slides;
 
-Slide* get_slide(int id) {
+std::shared_ptr<Slide> get_slide(int id) {
   std::lock_guard<std::mutex> lk(g_slides_mu);
   if (id < 0 || id >= static_cast<int>(g_slides.size())) return nullptr;
-  return g_slides[id].get();
+  return g_slides[id];
 }
 
 // Reads the full rect (x0,y0,w,h) in LEVEL coordinates into out RGB8.
@@ -257,9 +261,14 @@ class Pool {
         q_.pop();
       }
       run_job(job);
-      if (job.remaining->fetch_sub(1) == 1) {
+      {
+        // The decrement MUST happen under done_mu: if it preceded the lock,
+        // a spurious wakeup in ti_extract_batch could observe remaining==0
+        // and destroy the stack-allocated mutex/cv/atomics while this
+        // thread is still about to lock them (use-after-scope → the
+        // "corrupted double-linked list" abort seen under load).
         std::lock_guard<std::mutex> lk(*job.done_mu);
-        job.done_cv->notify_all();
+        if (job.remaining->fetch_sub(1) == 1) job.done_cv->notify_all();
       }
     }
   }
@@ -268,7 +277,7 @@ class Pool {
     const TiRequest& r = job.req;
     uint8_t* out = job.out + r.index * static_cast<int64_t>(r.out_size) *
                                 r.out_size * 3;
-    Slide* s = get_slide(r.slide);
+    std::shared_ptr<Slide> s = get_slide(r.slide);
     if (!s || r.level < 0 ||
         r.level >= static_cast<int>(s->levels.size())) {
       std::memset(out, 0, static_cast<size_t>(r.out_size) * r.out_size * 3);
@@ -286,7 +295,7 @@ class Pool {
     }
     std::vector<uint8_t> buf(static_cast<size_t>(r.adjusted_size) *
                              r.adjusted_size * 3);
-    int rc = read_level_rect(s, tif, r.level, lx, ly, r.adjusted_size,
+    int rc = read_level_rect(s.get(), tif, r.level, lx, ly, r.adjusted_size,
                              r.adjusted_size, buf.data());
     s->release(tif);
     if (rc != 0) {
@@ -321,7 +330,7 @@ int ti_open(const char* path) {
   TIFFSetWarningHandler(nullptr);
   TIFF* tif = TIFFOpen(path, "r");
   if (!tif) return -1;
-  auto slide = std::make_unique<Slide>();
+  auto slide = std::make_shared<Slide>();
   slide->path = path;
   // Enumerate directories as pyramid levels. Real Aperio SVS layout is:
   // dir 0 base (tiled), dir 1 strip thumbnail, then the tiled reduced
@@ -379,12 +388,12 @@ void ti_close(int slide) {
 }
 
 int ti_levels(int slide) {
-  Slide* s = get_slide(slide);
+  std::shared_ptr<Slide> s = get_slide(slide);
   return s ? static_cast<int>(s->levels.size()) : -1;
 }
 
 int ti_level_dims(int slide, int level, int64_t* width, int64_t* height) {
-  Slide* s = get_slide(slide);
+  std::shared_ptr<Slide> s = get_slide(slide);
   if (!s || level < 0 || level >= static_cast<int>(s->levels.size()))
     return -1;
   *width = s->levels[level].width;
@@ -393,7 +402,7 @@ int ti_level_dims(int slide, int level, int64_t* width, int64_t* height) {
 }
 
 double ti_level_downsample(int slide, int level) {
-  Slide* s = get_slide(slide);
+  std::shared_ptr<Slide> s = get_slide(slide);
   if (!s || level < 0 || level >= static_cast<int>(s->levels.size()))
     return -1.0;
   return s->levels[level].downsample;
@@ -401,13 +410,13 @@ double ti_level_downsample(int slide, int level) {
 
 int ti_read_region(int slide, int level, int64_t x, int64_t y, int64_t w,
                    int64_t h, uint8_t* out) {
-  Slide* s = get_slide(slide);
+  std::shared_ptr<Slide> s = get_slide(slide);
   if (!s || level < 0 || level >= static_cast<int>(s->levels.size()))
     return -1;
   const double ds = s->levels[level].downsample;
   TIFF* tif = s->acquire();
   if (!tif) return -2;
-  int rc = read_level_rect(s, tif, level, static_cast<int64_t>(x / ds),
+  int rc = read_level_rect(s.get(), tif, level, static_cast<int64_t>(x / ds),
                            static_cast<int64_t>(y / ds), w, h, out);
   s->release(tif);
   return rc;

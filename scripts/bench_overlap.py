@@ -25,6 +25,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, "/root/repo")
+
 
 def main():
     from tpuwsi.io.ingest import (
@@ -102,6 +104,12 @@ def main():
     float(m["loss"])
     dt = time.perf_counter() - t0
     stop.set()
+    # Drain so producers blocked on q.put see stop, then join BEFORE closing
+    # readers — a producer mid-extract must not race ti_close.
+    while not q.empty():
+        q.get_nowait()
+    for t in threads:
+        t.join(timeout=10.0)
 
     sustained = batch * n_steps / dt
     print(
