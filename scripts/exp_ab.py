@@ -21,6 +21,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, "/root/repo")
+
 
 def build(variant: str, batch_size: int = 64):
     from tpuwsi.models import DINOHead
@@ -86,7 +88,8 @@ def build(variant: str, batch_size: int = 64):
     backbone = VisionTransformer(
         vit_small(num_classes=0, img_size=224, use_pallas_attention=use_pallas,
                   gelu_approx=True, ln_dtype=ln_dtype,
-                  remat_blocks=(variant == "remat"))
+                  remat_blocks=(variant in ("remat", "scan_remat")),
+                  scan_blocks=(variant in ("scan", "scan_remat")))
     )
     model = DINOModel(
         backbone=backbone,

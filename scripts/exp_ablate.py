@@ -20,6 +20,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, "/root/repo")
 import optax
 
 

@@ -58,3 +58,25 @@ def test_scan_blocks_droppath_trains():
     assert np.isfinite(np.asarray(out)).all()
     g = jax.grad(lambda p: model.apply(p, x).sum())(params)
     assert np.isfinite(np.asarray(jax.tree_util.tree_leaves(g)[0])).all()
+
+
+def test_scan_remat_matches_scan():
+    """remat-in-scan (the HBM-OOM fix for the scanned DINO step) must be a
+    pure memory/recompute trade: values and grads identical to plain scan."""
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    scan_model = VisionTransformer(_cfg(True))
+    remat_model = VisionTransformer(
+        dataclasses.replace(_cfg(True), remat_blocks=True)
+    )
+    params = scan_model.init(jax.random.PRNGKey(1), x)
+
+    out_scan = np.asarray(scan_model.apply(params, x))
+    out_remat = np.asarray(remat_model.apply(params, x))
+    np.testing.assert_allclose(out_remat, out_scan, atol=1e-6, rtol=1e-6)
+
+    g_scan = jax.grad(lambda p: scan_model.apply(p, x).sum())(params)
+    g_remat = jax.grad(lambda p: remat_model.apply(p, x).sum())(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_scan),
+                    jax.tree_util.tree_leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)

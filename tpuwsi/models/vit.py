@@ -69,9 +69,12 @@ class ViTConfig:
     # order of magnitude smaller XLA graph and much faster compiles (remote
     # compiles here take minutes). Parameter tree gets a stacked leading
     # depth dim (use scan=False for timm-checkpoint-compatible trees or the
-    # attention/intermediate introspection paths). NOTE: this image's remote
-    # TPU compile service 500s on the scanned full DINO step (with or without
-    # pallas attention) — works on CPU/local XLA; tracked for round 2.
+    # attention/intermediate introspection paths). The round-1 "remote
+    # compile 500" on the scanned DINO step was an HBM OOM (22.6G > 15.75G:
+    # scan stacks every layer's residuals for the backward) — combine with
+    # remat_blocks=True, which remats the scan body and runs the full step
+    # on one v5e (measured 172 ms/step at b96 vs 126 unrolled; scan is the
+    # fast-compile/low-memory option, unrolled is the throughput option).
     scan_blocks: bool = False
 
     @property
@@ -404,8 +407,21 @@ class VisionTransformer(nn.Module):
             and not intermediate_layers
         )
         if use_scan:
+            # remat inside scan: without it the scanned backward stacks every
+            # layer's residuals (≈22.6 GB for the ViT-S DINO step at b96 —
+            # the round-1 "remote compile 500" was this HBM OOM, not a
+            # compiler bug). Rematerializing the block body keeps the scan's
+            # memory at O(1) layers for ~1/3 extra backward FLOPs.
+            body = (
+                nn.remat(
+                    _ScanBlockBody,
+                    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                )
+                if cfg.remat_blocks
+                else _ScanBlockBody
+            )
             ScanBlocks = nn.scan(
-                _ScanBlockBody,
+                body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True, "droppath": True},
                 in_axes=0,
