@@ -114,6 +114,12 @@ def build(variant: str, batch_size: int = 64):
 
 
 def run(variant: str, batch_size: int = 64, n_iters: int = 40):
+    if variant == "rbg":
+        # threefry key derivation + bit generation is serialized scalar work
+        # on TPU; rbg uses the hardware RNG path. The augmentation pipeline
+        # draws ~77M samples/step — A/B the generator as a full-step delta.
+        jax.config.update("jax_default_prng_impl", "rbg")
+        variant = "base"
     state, step = build(variant, batch_size)
     rng = jax.random.PRNGKey(1)
     imgs = np.random.randint(0, 255, (batch_size, 256, 256, 3), dtype=np.uint8)

@@ -175,4 +175,5 @@ if __name__ == "__main__":
                              "no_locals", "no_globals", "no_multicrop",
                              "fwd_only"]
     for n in names:
-        run(n)
+        name, _, b = n.partition(":")
+        run(name, int(b) if b else 64)
