@@ -193,3 +193,25 @@ def test_mha_qkv_packed_sharded_batch():
                                atol=8e-3, rtol=8e-3)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                atol=3e-2, rtol=3e-2)
+
+
+def test_flash_blockwise_backward_multitile_unaligned():
+    """Blockwise flash backward across several q/k tiles with an unaligned
+    sequence (197 → padded 256, tiles of 64): dq/dk/dv must match autodiff
+    through the XLA reference — exercises tile accumulation order, padded-key
+    masking, and padded-query zero-cotangent handling."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(9), b=2, h=2, s=197, d=32)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(
+            fused_attention(q, k, v, tile_q=64, tile_k=64, interpret=True) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-2, rtol=2e-2)

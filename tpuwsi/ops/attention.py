@@ -11,8 +11,9 @@ forward (reference: train.py:1045 model(...) → timm blocks). Design:
   slide-inference chunks and variable-length MIL bags (datasets.py:694-699
   ``tiles_per_iter`` chunking; bag axis up to 500 tiles) attend only to real
   tokens.
-- Backward pass recomputes attention with XLA ops (rematerialised — nothing
-  but q/k/v saved), so the fused forward is usable inside jitted train steps.
+- Blockwise Pallas backward (FlashAttention-2 style): the stats forward saves
+  the per-row logsumexp, and dQ/dK/dV kernels rebuild p tile-by-tile — O(S)
+  memory in BOTH directions, so long-bag training never materializes (S, S).
 
 On non-TPU backends (CPU test mesh) we fall back to the XLA reference
 implementation; the Pallas kernel itself is additionally unit-tested in
@@ -139,7 +140,27 @@ def _flash_kernel(
         o_ref[0] = (acc_scratch[:] / l).astype(o_ref.dtype)
 
 
-def _flash_forward(q, k, v, kv_lengths, scale, tile_q, tile_k, interpret):
+def _flash_kernel_stats(
+    lengths_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+    m_scratch, l_scratch, acc_scratch, *, scale: float, tile_k: int,
+):
+    """Forward variant that also writes the per-row logsumexp L = m + log(l)
+    — the only residual (besides q/k/v/o) the blockwise backward needs."""
+    _flash_kernel(
+        lengths_ref, q_ref, k_ref, v_ref, o_ref,
+        m_scratch, l_scratch, acc_scratch, scale=scale, tile_k=tile_k,
+    )
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == nk - 1)
+    def _write_lse():
+        l = jnp.maximum(l_scratch[:, 0:1], 1e-30)
+        lse_ref[0] = (m_scratch[:, 0:1] + jnp.log(l))[:, 0]
+
+
+def _flash_forward(q, k, v, kv_lengths, scale, tile_q, tile_k, interpret,
+                   return_stats=False):
     b, h, s_q, d = q.shape
     s_k = k.shape[2]
     bh = b * h
@@ -167,6 +188,21 @@ def _flash_forward(q, k, v, kv_lengths, scale, tile_q, tile_k, interpret):
     nq = qf.shape[1] // tile_q
     nk = kf.shape[1] // tile_k
 
+    out_specs = pl.BlockSpec((1, tile_q, d), lambda bh, qi, ki, lens: (bh, qi, 0))
+    out_shape = jax.ShapeDtypeStruct(qf.shape, q.dtype)
+    kernel = functools.partial(_flash_kernel, scale=scale, tile_k=tile_k)
+    if return_stats:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((1, tile_q), lambda bh, qi, ki, lens: (bh, qi)),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((bh, qf.shape[1]), jnp.float32),
+        ]
+        kernel = functools.partial(
+            _flash_kernel_stats, scale=scale, tile_k=tile_k
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bh, nq, nk),
@@ -175,9 +211,7 @@ def _flash_forward(q, k, v, kv_lengths, scale, tile_q, tile_k, interpret):
             pl.BlockSpec((1, tile_k, d), lambda bh, qi, ki, lens: (bh, ki, 0)),
             pl.BlockSpec((1, tile_k, d), lambda bh, qi, ki, lens: (bh, ki, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, tile_q, d), lambda bh, qi, ki, lens: (bh, qi, 0)
-        ),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((tile_q, 128), jnp.float32),
             pltpu.VMEM((tile_q, 128), jnp.float32),
@@ -186,18 +220,203 @@ def _flash_forward(q, k, v, kv_lengths, scale, tile_q, tile_k, interpret):
     )
 
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, tile_k=tile_k),
+        kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(lengths_bh, qf, kf, vf)
 
+    if return_stats:
+        out, lse = out
+        if pad_q:
+            out = out[:, :s_q, :]
+        return out.reshape(b, h, s_q, d), lse  # lse stays (BH, SQpad)
+
     if pad_q:
         out = out[:, :s_q, :]
     return out.reshape(b, h, s_q, d)
+
+
+def _flash_bwd_dq_kernel(
+    lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dq_scratch, *, scale: float, tile_k: int,
+):
+    """Blockwise dQ: grid (BH, nq, nk) with K innermost; for each K tile,
+    rebuild p from (q, k, L) FlashAttention-2 style and accumulate
+    dq += dS·K in VMEM. O(tile²) memory, never the full (S, S) matrix."""
+    bh = pl.program_id(0)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    # Transposed layout (keys on rows, like the whole-seq kernels): lse and
+    # delta arrive as (1, TQ) row vectors and broadcast along rows without
+    # any in-kernel transpose or column reshape.
+    st = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (TK, TQ)
+    kv_len = lengths_ref[bh]
+    gk = ki * tile_k + jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+    st = jnp.where(gk < kv_len, st, NEG_INF)
+    pt = jnp.exp(st - lse_ref[...])  # (TK, TQ) f32
+    dpt = jax.lax.dot_general(
+        v_ref[0], do_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TK, TQ)
+    dst = (pt * (dpt - delta_ref[...]) * scale).astype(k.dtype)
+    # dq[i, c] = Σ_j dst[j, i] k[j, c]
+    dq_scratch[:] += jax.lax.dot_general(
+        dst, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ki == nk - 1)
+    def _fin():
+        dq_ref[0] = dq_scratch[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref, dk_scratch, dv_scratch, *, scale: float, tile_k: int,
+):
+    """Blockwise dK/dV: grid (BH, nk, nq) with Q innermost; scores built
+    transposed (keys on rows) so dV = pᵀ·dO and dK = dSᵀ·Q come out without
+    in-kernel transposes."""
+    bh = pl.program_id(0)
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    st = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (TK, TQ)
+    kv_len = lengths_ref[bh]
+    gk = ki * tile_k + jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+    st = jnp.where(gk < kv_len, st, NEG_INF)
+    pt = jnp.exp(st - lse_ref[...])  # (TK, TQ) f32
+    do = do_ref[0]
+    dv_scratch[:] += jax.lax.dot_general(
+        pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dpt = jax.lax.dot_general(
+        v_ref[0], do, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dst = (pt * (dpt - delta_ref[...]) * scale).astype(q.dtype)
+    dk_scratch[:] += jax.lax.dot_general(
+        dst, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(qi == nq - 1)
+    def _fin():
+        dk_ref[0] = dk_scratch[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, o, do, lse, scale, tile_q, tile_k, interpret):
+    """Blockwise flash backward (ADVICE round-1: the previous backward
+    materialized the full (B, H, S, S) attention in XLA, so training-time
+    memory regressed to O(S²) exactly on the long sequences the flash
+    forward exists for). Residuals: q/k/v/o + per-row logsumexp from the
+    stats forward; delta = rowsum(dO∘O) computed in XLA (cheap elementwise).
+    """
+    b, h, s_q, d = q.shape
+    s_k = k.shape[2]
+    bh = b * h
+    tile_q = min(tile_q, max(s_q, 8))
+    tile_k = min(tile_k, max(s_k, 8))
+    pad_q = _cdiv(s_q, tile_q) * tile_q - s_q
+    pad_k = _cdiv(s_k, tile_k) * tile_k - s_k
+
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    ).reshape(bh, s_q)
+    qf = q.reshape(bh, s_q, d)
+    kf = k.reshape(bh, s_k, d)
+    vf = v.reshape(bh, s_k, d)
+    dof = do.reshape(bh, s_q, d)
+    lsef = lse.reshape(bh, -1)  # already padded to SQpad by the forward
+    if pad_q:
+        qf = jnp.pad(qf, ((0, 0), (0, pad_q), (0, 0)))
+        dof = jnp.pad(dof, ((0, 0), (0, pad_q), (0, 0)))
+        delta = jnp.pad(delta, ((0, 0), (0, pad_q)))
+    if pad_k:
+        kf = jnp.pad(kf, ((0, 0), (0, pad_k), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, pad_k), (0, 0)))
+
+    lengths_bh = jnp.full((bh,), s_k, dtype=jnp.int32)
+    nq = qf.shape[1] // tile_q
+    nk = kf.shape[1] // tile_k
+
+    qspec = pl.BlockSpec((1, tile_q, d), lambda bh, qi, ki, lens: (bh, qi, 0))
+    kspec = pl.BlockSpec((1, tile_k, d), lambda bh, qi, ki, lens: (bh, ki, 0))
+    rowq = pl.BlockSpec((1, tile_q), lambda bh, qi, ki, lens: (bh, qi))
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, tile_k=tile_k),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, nq, nk),
+            in_specs=[qspec, kspec, kspec, qspec, rowq, rowq],
+            out_specs=qspec,
+            scratch_shapes=[pltpu.VMEM((tile_q, d), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths_bh, qf, kf, vf, dof, lsef, delta)
+
+    qspec2 = pl.BlockSpec((1, tile_q, d), lambda bh, ki, qi, lens: (bh, qi, 0))
+    kspec2 = pl.BlockSpec((1, tile_k, d), lambda bh, ki, qi, lens: (bh, ki, 0))
+    rowq2 = pl.BlockSpec((1, tile_q), lambda bh, ki, qi, lens: (bh, qi))
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, tile_k=tile_k),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, nk, nq),
+            in_specs=[qspec2, kspec2, kspec2, qspec2, rowq2, rowq2],
+            out_specs=[kspec2, kspec2],
+            scratch_shapes=[
+                pltpu.VMEM((tile_k, d), jnp.float32),
+                pltpu.VMEM((tile_k, d), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(kf.shape, k.dtype),
+            jax.ShapeDtypeStruct(vf.shape, v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths_bh, qf, kf, vf, dof, lsef, delta)
+
+    if pad_q:
+        dq = dq[:, :s_q, :]
+    if pad_k:
+        dk = dk[:, :s_k, :]
+        dv = dv[:, :s_k, :]
+    return (
+        dq.reshape(b, h, s_q, d),
+        dk.reshape(b, h, s_k, d),
+        dv.reshape(b, h, s_k, d),
+    )
 
 
 # Partitioner registration for the flash kernel: batch and head axes may be
@@ -268,33 +487,94 @@ def _fused_attention(q, k, v, scale, tile_q, tile_k, interpret):
     return _flash_forward_p(q, k, v, scale, tile_q, tile_k, interpret)
 
 
+@functools.partial(custom_partitioning, static_argnums=(3, 4, 5, 6))
+def _flash_forward_stats_p(q, k, v, scale, tile_q, tile_k, interpret):
+    out, lse = _flash_forward(q, k, v, None, scale, tile_q, tile_k,
+                              interpret, return_stats=True)
+    b, h = q.shape[0], q.shape[1]
+    return out, lse.reshape(b, h, -1)
+
+
+def _flash_stats_infer(scale, tile_q, tile_k, interpret, mesh, arg_shapes,
+                       result_shape):
+    o_sh = _keep_leading_spec(mesh, arg_shapes[0], 2)
+    lse_sh = NamedSharding(
+        mesh, P(*o_sh.spec[:2], None)
+    )
+    return (o_sh, lse_sh)
+
+
+def _flash_stats_partition(scale, tile_q, tile_k, interpret, mesh, arg_shapes,
+                           result_shape):
+    shs = tuple(_keep_leading_spec(mesh, a, 2) for a in arg_shapes)
+    out_sh = _flash_stats_infer(scale, tile_q, tile_k, interpret, mesh,
+                                arg_shapes, result_shape)
+
+    def lower(q, k, v):
+        out, lse = _flash_forward(q, k, v, None, scale, tile_q, tile_k,
+                                  interpret, return_stats=True)
+        return out, lse.reshape(q.shape[0], q.shape[1], -1)
+
+    return mesh, lower, out_sh, shs
+
+
+_flash_forward_stats_p.def_partition(
+    partition=_flash_stats_partition,
+    infer_sharding_from_operands=_flash_stats_infer,
+    sharding_rule="b h s d, b h t d, b h t d -> b h s d, b h p",
+    need_replication_factors=("s", "d", "t", "p"),
+)
+
+
+@functools.partial(custom_partitioning, static_argnums=(6, 7, 8, 9))
+def _flash_backward_p(q, k, v, o, do, lse, scale, tile_q, tile_k, interpret):
+    return _flash_backward(q, k, v, o, do, lse, scale, tile_q, tile_k,
+                           interpret)
+
+
+def _flash_bwd_infer(scale, tile_q, tile_k, interpret, mesh, arg_shapes,
+                     result_shape):
+    return tuple(_keep_leading_spec(mesh, a, 2) for a in arg_shapes[:3])
+
+
+def _flash_bwd_partition(scale, tile_q, tile_k, interpret, mesh, arg_shapes,
+                         result_shape):
+    shs = tuple(_keep_leading_spec(mesh, a, 2) for a in arg_shapes)
+
+    def lower(q, k, v, o, do, lse):
+        return _flash_backward(q, k, v, o, do, lse, scale, tile_q, tile_k,
+                               interpret)
+
+    return mesh, lower, shs[:3], shs
+
+
+_flash_backward_p.def_partition(
+    partition=_flash_bwd_partition,
+    infer_sharding_from_operands=_flash_bwd_infer,
+    sharding_rule=(
+        "b h s d, b h t d, b h t d, b h s d, b h s d, b h p "
+        "-> b h s d, b h t d, b h t d"
+    ),
+    need_replication_factors=("s", "d", "t", "p"),
+)
+
+
 def _fused_fwd(q, k, v, scale, tile_q, tile_k, interpret):
-    out = _flash_forward_p(q, k, v, scale, tile_q, tile_k, interpret)
-    return out, (q, k, v)
+    out, lse = _flash_forward_stats_p(q, k, v, scale, tile_q, tile_k,
+                                      interpret)
+    return out, (q, k, v, out, lse)
 
 
 def _fused_bwd(scale, tile_q, tile_k, interpret, res, g):
-    # Rematerialised backward in XLA: only q/k/v are saved as residuals (the
-    # flash-memory property holds for the FORWARD), but this backward
-    # materializes the (B, H, S, S) attention and dS matrices transiently —
-    # O(S²) peak memory during the grad computation. Every long-sequence
-    # consumer in the framework (MIL bags, full-slide token streams,
-    # datasets.py:694-699 chunking) runs the flash path at inference only;
-    # no reference training config differentiates ≥512-token attention. If
-    # such a path appears, a blockwise Pallas backward (the whole-sequence
-    # kernel already has one, _mha_qkv_bwd_kernel) must replace this.
-    q, k, v = res
-    s = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
-    p = jax.nn.softmax(s, axis=-1)
-    g32 = g.astype(jnp.float32)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v.astype(jnp.float32))
-    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    # Blockwise Pallas backward (FlashAttention-2 style): residuals are
+    # q/k/v/o plus the per-row logsumexp from the stats forward; p is rebuilt
+    # tile-by-tile, so training-time memory stays O(S·tile) — the previous
+    # XLA backward materialized the full (B, H, S, S) attention, regressing
+    # to O(S²) exactly on the long sequences this kernel exists for
+    # (MIL bags, full-slide token streams, datasets.py:694-699 chunking).
+    q, k, v, o, lse = res
+    return _flash_backward_p(q, k, v, o, g, lse, scale, tile_q, tile_k,
+                             interpret)
 
 
 _fused_attention.defvjp(_fused_fwd, _fused_bwd)
