@@ -110,6 +110,12 @@ def make_multicrop(cfg: MultiCropConfig):
         return gl, loc
 
     def batch_fn(key, images):
+        # NOTE: a "merge the 8 per-view pipelines into 2 batched ones"
+        # restructure was measured SLOWER end-to-end on v5e (nested-vmap
+        # variant 5,983 views/s, jnp.repeat variant 5,886 vs 6,107 for this
+        # unrolled form at b96) — XLA already schedules the unrolled view
+        # pipelines well, and the merged forms only add layout/broadcast
+        # traffic. Keep the simple structure (BENCH.md round-2 log).
         images = (
             images.astype(jnp.float32) / 255.0
             if images.dtype == jnp.uint8
@@ -119,4 +125,5 @@ def make_multicrop(cfg: MultiCropConfig):
         gl, loc = jax.vmap(per_image)(keys, images)
         return normalize(gl, cfg.norm_type), normalize(loc, cfg.norm_type)
 
+    batch_fn.per_image = per_image  # reference implementation (tests)
     return batch_fn
