@@ -203,32 +203,57 @@ class Attention(nn.Module):
         return out, attn
 
 
+class _DenseParams(nn.Module):
+    """Owns a Dense layer's parameters (same tree: <name>/kernel, <name>/bias)
+    without binding them to nn.Dense's apply — lets Mlp route the SAME params
+    through either the fused Pallas kernel or the plain XLA matmuls."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", trunc_normal_init(),
+            (self.in_features, self.features), jnp.float32,
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return k, b
+
+
 class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
     drop: float = 0.0
     dtype: Dtype = jnp.bfloat16
     gelu_approx: bool = False
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
-        x = nn.Dense(
-            self.hidden_dim,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=trunc_normal_init(),
-            name="fc1",
-        )(x)
+        d = x.shape[-1]
+        w1, b1 = _DenseParams(d, self.hidden_dim, name="fc1")()
+        w2, b2 = _DenseParams(self.hidden_dim, self.out_dim, name="fc2")()
+        dt = self.dtype
+        x = x.astype(dt)
+        # Fused Pallas MLP: gelu(x@W1)@W2 with the 4×-wide hidden activation
+        # resident in VMEM (the largest single HBM-traffic component of the
+        # step — see ops/mlp.py). Dropout needs the unfused path.
+        if self.use_pallas and (self.drop == 0.0 or deterministic):
+            from tpuwsi.ops.mlp import fused_mlp
+
+            return fused_mlp(
+                x, w1, b1, w2, b2, approx=self.gelu_approx,
+                interpret=self.pallas_interpret or None,
+            )
+        x = x @ w1.astype(dt) + b1.astype(dt)
         x = nn.gelu(x, approximate=self.gelu_approx)
         if self.drop > 0.0:
             x = nn.Dropout(self.drop)(x, deterministic=deterministic)
-        x = nn.Dense(
-            self.out_dim,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=trunc_normal_init(),
-            name="fc2",
-        )(x)
+        x = x @ w2.astype(dt) + b2.astype(dt)
         if self.drop > 0.0:
             x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         return x
@@ -269,6 +294,8 @@ class Block(nn.Module):
             drop=self.drop,
             dtype=self.dtype,
             gelu_approx=self.gelu_approx,
+            use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret,
             name="mlp",
         )(y.astype(self.dtype), deterministic)
         x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
@@ -325,6 +352,8 @@ class _ScanBlockBody(nn.Module):
             drop=self.drop,
             dtype=self.dtype,
             gelu_approx=self.gelu_approx,
+            use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret,
             name="mlp",
         )(y.astype(self.dtype), det)
         x = x + droppath(y)

@@ -615,11 +615,18 @@ def _mha_qkv_kernel(q_len_ref, qkv_ref, o_ref, st_ref, *, num_heads: int,
     the same wide masked-softmax pass. Fully padded query columns softmax to
     uniform (finite NEG_INF ⇒ exp(0)) and are sliced away by the caller.
     """
-    qkv = qkv_ref[0]  # (S_pad, 3D)
-    d = qkv.shape[1] // 3
+    d = qkv_ref.shape[2] // 3
     hd = d // num_heads
     R = num_heads * seq_pad
     n = q_len_ref[0]
+    # The caller no longer pads the sequence axis in HBM (a full copy of the
+    # 100+ MB qkv per attention call): the block simply overruns the array
+    # and Pallas masks the ragged edge. OOB reads are UNDEFINED — they can
+    # hold NaN/Inf bit patterns that would poison every dot they touch — so
+    # zero the padded rows explicitly (one cheap VPU pass, exactly the bytes
+    # the old jnp.pad produced).
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (seq_pad, 1), 0)
+    qkv = jnp.where(rowi < n, qkv_ref[0], 0)  # (S_pad, 3D)
     # Fold the softmax scale into q once: (S, D) multiply instead of a
     # per-head (S, S) multiply on every score matrix.
     q_all = (qkv[:, :d].astype(jnp.float32) * scale).astype(qkv.dtype)
@@ -655,8 +662,10 @@ def _mha_qkv_forward(qkv, num_heads, scale, interpret, block_len=0):
     seq_pad = max(_cdiv(n, 128) * 128, 128)
     if not block_len:
         block_len = seq_pad
-    if seq_pad != n:
-        qkv = jnp.pad(qkv, ((0, 0), (0, seq_pad - n), (0, 0)))
+    # No jnp.pad / output slice: blocks overrun the (b, n, ·) arrays and
+    # Pallas masks the ragged edge (OOB reads handled by the in-kernel row
+    # zeroing; OOB writes dropped). The explicit pad+slice pair used to move
+    # ~7 GB/step of pure copy traffic in the DINO step (profiled).
     lengths = jnp.full((1,), n, dtype=jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -675,13 +684,13 @@ def _mha_qkv_forward(qkv, num_heads, scale, interpret, block_len=0):
             scale=scale, block_len=block_len,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, seq_pad, d3 // 3), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n, d3 // 3), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
     )(lengths, qkv)
-    return out[:, :n, :]
+    return out
 
 
 def _mha_qkv_bwd_kernel(q_len_ref, qkv_ref, g_ref, dqkv_ref, st_ref, dp_ref,
@@ -699,12 +708,15 @@ def _mha_qkv_bwd_kernel(q_len_ref, qkv_ref, g_ref, dqkv_ref, st_ref, dp_ref,
     and ds columns vanish, which zeroes padded dq rows in turn (this holds
     for packed blocks too: p is finite everywhere, so 0·p stays 0).
     """
-    qkv = qkv_ref[0]  # (S_pad, 3D)
-    g = g_ref[0]  # (S_pad, D)
-    d = qkv.shape[1] // 3
+    d = qkv_ref.shape[2] // 3
     hd = d // num_heads
     R = num_heads * seq_pad
     n = q_len_ref[0]
+    # Zero the OOB rows (see the forward kernel): padded g rows MUST read as
+    # zero for the "padded queries need no explicit mask" property below.
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (seq_pad, 1), 0)
+    qkv = jnp.where(rowi < n, qkv_ref[0], 0)  # (S_pad, 3D)
+    g = jnp.where(rowi < n, g_ref[0], 0)  # (S_pad, D)
     q_all = (qkv[:, :d].astype(jnp.float32) * scale).astype(qkv.dtype)
     for h in range(num_heads):
         k = qkv[:, d + h * hd : d + (h + 1) * hd]
@@ -770,9 +782,7 @@ def _mha_qkv_backward(qkv, g, num_heads, scale, interpret, block_len=0):
     seq_pad = max(_cdiv(n, 128) * 128, 128)
     if not block_len:
         block_len = seq_pad
-    if seq_pad != n:
-        qkv = jnp.pad(qkv, ((0, 0), (0, seq_pad - n), (0, 0)))
-        g = jnp.pad(g, ((0, 0), (0, seq_pad - n), (0, 0)))
+    # Implicit ragged-edge padding (see _mha_qkv_forward).
     lengths = jnp.full((1,), n, dtype=jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -793,13 +803,13 @@ def _mha_qkv_backward(qkv, g, num_heads, scale, interpret, block_len=0):
             scale=scale, block_len=block_len,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, seq_pad, d3), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n, d3), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
     )(lengths, qkv, g)
-    return dqkv[:, :n, :]
+    return dqkv
 
 
 def _mha_reference(qkv, num_heads, scale):

@@ -1,0 +1,354 @@
+"""Fused transformer-MLP kernel for TPU (Pallas).
+
+Motivation (profiled, BENCH.md round-2): the DINO SSL step is HBM-bound —
+~37 GB/step of GEMM activation traffic at ~620 GB/s. The single largest
+component is the MLP hidden activation h = gelu(x@W1): at mlp_ratio 4 it is
+4× the residual stream, written to HBM by fc1, read back by fc2 in the
+forward, and read twice more in the backward. This kernel keeps h entirely
+in VMEM:
+
+- forward: one pass over row tiles, x@W1 → gelu → @W2, h never leaves VMEM;
+- backward: rematerializes h per row tile (flash-style) and accumulates
+  dW1/dW2/db1/db2 in VMEM f32 scratch across the sequential row grid, so
+  the only HBM traffic is x, dy, dx and the (tiny) weights.
+
+Replaces the reference's two cuDNN GEMM launches + elementwise GELU per MLP
+(timm ViT blocks, reference train.py:1045) with one fused TPU pass.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+ROW_TILE = 512
+# The backward holds ~4 (tile, F) f32 intermediates (u, h, dh, du + the gelu
+# vjp residuals) plus the two f32 weight-grad accumulators — at tile 512 that
+# exceeds the 16 MB scoped-VMEM limit (measured: 23.2 MB). 256 fits.
+ROW_TILE_BWD = 256
+
+
+def _gelu(u, approx):
+    return jax.nn.gelu(u, approximate=approx)
+
+
+_C = 0.7978845608028654  # sqrt(2/pi)
+_A = 0.044715
+_INV_SQRT2 = 0.7071067811865476
+_INV_SQRT2PI = 0.3989422804014327
+
+
+def _gelu_and_grad(u, approx):
+    """(gelu(u), gelu'(u)) computed manually — jax.vjp inside the kernel
+    keeps enough (tile, F) f32 residuals to blow the 16 MB scoped-VMEM
+    limit; this form needs only u and one temporary."""
+    if approx:
+        t = jnp.tanh(_C * (u + _A * u * u * u))
+        g = 0.5 * u * (1.0 + t)
+        dg = 0.5 * (1.0 + t) + 0.5 * u * (1.0 - t * t) * _C * (
+            1.0 + 3.0 * _A * u * u
+        )
+        return g, dg
+    phi = 0.5 * (1.0 + jax.lax.erf(u * _INV_SQRT2))
+    pdf = jnp.exp(-0.5 * u * u) * _INV_SQRT2PI
+    return u * phi, phi + u * pdf
+
+
+def _mlp_fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_ref, *,
+                    rows: int, tile: int, approx: bool):
+    i = pl.program_id(0)
+    rowi = i * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    x = jnp.where(rowi < rows, x_ref[...], 0)  # OOB rows → 0 (ragged edge)
+    u = jax.lax.dot_general(
+        x, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[...].astype(jnp.float32)
+    h = _gelu(u, approx).astype(x.dtype)
+    y = jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[...].astype(jnp.float32)
+    y_ref[...] = y.astype(y_ref.dtype)
+
+
+def _mlp_bwd_kernel(x_ref, dy_ref, w1_ref, b1_ref, w2_ref, dx_ref,
+                    dw1_ref, db1_ref, dw2_ref, db2_ref,
+                    dw1_s, dw2_s, db1_s, db2_s, *,
+                    rows: int, tile: int, approx: bool):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dw1_s[:] = jnp.zeros_like(dw1_s)
+        dw2_s[:] = jnp.zeros_like(dw2_s)
+        db1_s[:] = jnp.zeros_like(db1_s)
+        db2_s[:] = jnp.zeros_like(db2_s)
+
+    rowi = i * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    x = jnp.where(rowi < rows, x_ref[...], 0)
+    dy = jnp.where(rowi < rows, dy_ref[...], 0).astype(jnp.float32)
+    u = jax.lax.dot_general(
+        x, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[...].astype(jnp.float32)
+    h, dgelu = _gelu_and_grad(u, approx)
+    h = h.astype(x.dtype)
+    dy_c = dy.astype(x.dtype)
+    # dh = dy @ W2ᵀ  (contract feature dims — no transpose materialized)
+    dh = jax.lax.dot_general(
+        dy_c, w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    du = dh * dgelu
+    du_c = du.astype(x.dtype)
+    # dx = du @ W1ᵀ
+    dx = jax.lax.dot_general(
+        du_c, w1_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+    # weight/bias gradients accumulate in VMEM across the sequential grid
+    dw1_s[:] += jax.lax.dot_general(
+        x, du_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dw2_s[:] += jax.lax.dot_general(
+        h, dy_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db1_s[:] += jnp.sum(du, axis=0, keepdims=True)
+    db2_s[:] += jnp.sum(dy, axis=0, keepdims=True)
+
+    @pl.when(i == n - 1)
+    def _fin():
+        dw1_ref[...] = dw1_s[:].astype(dw1_ref.dtype)
+        dw2_ref[...] = dw2_s[:].astype(dw2_ref.dtype)
+        db1_ref[...] = db1_s[:].astype(db1_ref.dtype)
+        db2_ref[...] = db2_s[:].astype(db2_ref.dtype)
+
+
+def _mlp_forward(x2, w1, b1, w2, b2, approx, interpret):
+    rows, d = x2.shape
+    f = w1.shape[1]
+    tile = min(ROW_TILE, max(_cdiv(rows, 8) * 8, 8))
+    grid = (_cdiv(rows, tile),)
+    return pl.pallas_call(
+        functools.partial(_mlp_fwd_kernel, rows=rows, tile=tile,
+                          approx=approx),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0)),
+            pl.BlockSpec((d, f), lambda i: (0, 0)),
+            pl.BlockSpec((1, f), lambda i: (0, 0)),
+            pl.BlockSpec((f, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, d), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, d), x2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),  # no cross-tile state in fwd
+        ),
+        interpret=interpret,
+    )(x2, w1, b1.reshape(1, f), w2, b2.reshape(1, d))
+
+
+def _mlp_backward(x2, dy2, w1, b1, w2, approx, interpret):
+    rows, d = x2.shape
+    f = w1.shape[1]
+    tile = min(ROW_TILE_BWD, max(_cdiv(rows, 8) * 8, 8))
+    grid = (_cdiv(rows, tile),)
+    dx, dw1, db1, dw2, db2 = pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, rows=rows, tile=tile,
+                          approx=approx),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0)),
+            pl.BlockSpec((tile, d), lambda i: (i, 0)),
+            pl.BlockSpec((d, f), lambda i: (0, 0)),
+            pl.BlockSpec((1, f), lambda i: (0, 0)),
+            pl.BlockSpec((f, d), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0)),
+            pl.BlockSpec((d, f), lambda i: (0, 0)),
+            pl.BlockSpec((1, f), lambda i: (0, 0)),
+            pl.BlockSpec((f, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, d), x2.dtype),
+            jax.ShapeDtypeStruct((d, f), jnp.float32),
+            jax.ShapeDtypeStruct((1, f), jnp.float32),
+            jax.ShapeDtypeStruct((f, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d, f), jnp.float32),
+            pltpu.VMEM((f, d), jnp.float32),
+            pltpu.VMEM((1, f), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # tile intermediates + the two f32 weight-grad accumulators sit
+            # at ~16.3 MB — just over Mosaic's 16 MB default scoped limit
+            # (the chip has far more physical VMEM).
+            vmem_limit_bytes=int(3e7),
+        ),
+        interpret=interpret,
+    )(x2, dy2, w1, b1.reshape(1, f), w2)
+    return dx, dw1, db1.reshape(f), dw2, db2.reshape(d)
+
+
+def _row_sharded_axes(mesh, arg_shape):
+    """Mesh axis names the leading (row/batch) dim of `arg_shape` is sharded
+    over — the axes weight-gradient partials must be psummed across."""
+    spec = arg_shape.sharding.spec
+    if not spec or spec[0] is None:
+        return ()
+    s = spec[0]
+    return tuple(s) if isinstance(s, tuple) else (s,)
+
+
+@functools.partial(custom_partitioning, static_argnums=(5, 6))
+def _mlp_forward_p(x2, w1, b1, w2, b2, approx, interpret):
+    return _mlp_forward(x2, w1, b1, w2, b2, approx, interpret)
+
+
+def _mlp_fwd_infer(approx, interpret, mesh, arg_shapes, result_shape):
+    spec = arg_shapes[0].sharding.spec
+    lead = spec[0] if spec else None
+    return NamedSharding(mesh, P(lead, None))
+
+
+def _mlp_fwd_partition(approx, interpret, mesh, arg_shapes, result_shape):
+    x_sh = _mlp_fwd_infer(approx, interpret, mesh, arg_shapes, result_shape)
+    rep = NamedSharding(mesh, P(None, None))
+    rep1 = NamedSharding(mesh, P(None))
+
+    def lower(x2, w1, b1, w2, b2):
+        return _mlp_forward(x2, w1, b1, w2, b2, approx, interpret)
+
+    return mesh, lower, x_sh, (x_sh, rep, rep1, rep, rep1)
+
+
+_mlp_forward_p.def_partition(
+    partition=_mlp_fwd_partition,
+    infer_sharding_from_operands=_mlp_fwd_infer,
+    sharding_rule="r d, d f, f, f e, e -> r e",
+    need_replication_factors=("d", "f", "e"),
+)
+
+
+@functools.partial(custom_partitioning, static_argnums=(5, 6))
+def _mlp_backward_p(x2, dy2, w1, b1, w2, approx, interpret):
+    return _mlp_backward(x2, dy2, w1, b1, w2, approx, interpret)
+
+
+def _mlp_bwd_infer(approx, interpret, mesh, arg_shapes, result_shape):
+    spec = arg_shapes[0].sharding.spec
+    lead = spec[0] if spec else None
+    x_sh = NamedSharding(mesh, P(lead, None))
+    rep = NamedSharding(mesh, P(None, None))
+    rep1 = NamedSharding(mesh, P(None))
+    return (x_sh, rep, rep1, rep, rep1)
+
+
+def _mlp_bwd_partition(approx, interpret, mesh, arg_shapes, result_shape):
+    outs = _mlp_bwd_infer(approx, interpret, mesh, arg_shapes, result_shape)
+    x_sh = outs[0]
+    rep = NamedSharding(mesh, P(None, None))
+    rep1 = NamedSharding(mesh, P(None))
+    psum_axes = _row_sharded_axes(mesh, arg_shapes[0])
+
+    def lower(x2, dy2, w1, b1, w2):
+        dx, dw1, db1, dw2, db2 = _mlp_backward(
+            x2, dy2, w1, b1, w2, approx, interpret
+        )
+        if psum_axes:
+            # rows are sharded: weight/bias grads are per-shard partial sums
+            dw1, db1, dw2, db2 = (
+                jax.lax.psum(t, psum_axes) for t in (dw1, db1, dw2, db2)
+            )
+        return dx, dw1, db1, dw2, db2
+
+    return mesh, lower, outs, (x_sh, x_sh, rep, rep1, rep)
+
+
+_mlp_backward_p.def_partition(
+    partition=_mlp_bwd_partition,
+    infer_sharding_from_operands=_mlp_bwd_infer,
+    sharding_rule="r d, r e, d f, f, f e -> r d, d f, f, f e, e",
+    # factor order = first appearance in the rule (r, d, e, f)
+    need_replication_factors=("d", "e", "f"),
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_mlp(x2, w1, b1, w2, b2, approx, interpret):
+    return _mlp_forward_p(x2, w1, b1, w2, b2, approx, interpret)
+
+
+def _fused_mlp_fwd(x2, w1, b1, w2, b2, approx, interpret):
+    y = _mlp_forward_p(x2, w1, b1, w2, b2, approx, interpret)
+    return y, (x2, w1, b1, w2)
+
+
+def _fused_mlp_bwd(approx, interpret, res, dy):
+    x2, w1, b1, w2 = res
+    dx, dw1, db1, dw2, db2 = _mlp_backward_p(
+        x2, dy, w1, b1, w2, approx, interpret
+    )
+    return (
+        dx,
+        dw1.astype(w1.dtype),
+        db1.astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2.astype(w2.dtype),  # b2 isn't a residual; all operands share dtype
+    )
+
+
+_fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
+
+
+def fused_mlp(
+    x: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    *,
+    approx: bool = False,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """y = gelu(x @ w1 + b1) @ w2 + b2 with the hidden activation resident in
+    VMEM (never written to HBM) in both directions.
+
+    x: (..., D); w1: (D, F); w2: (F, D_out). Dispatches to the Pallas kernel
+    on TPU (or in interpret mode); XLA reference elsewhere. Multi-chip: row
+    (batch) axis shardable via custom_partitioning; weight grads psum over
+    the row-sharded mesh axes.
+    """
+    use_pallas = jax.default_backend() == "tpu" or interpret
+    dt = x.dtype
+    if not use_pallas:
+        u = (x @ w1.astype(dt)) + b1.astype(dt)
+        h = jax.nn.gelu(u, approximate=approx)
+        return (h @ w2.astype(dt)) + b2.astype(dt)
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    y = _fused_mlp(
+        x2, w1.astype(dt), b1.astype(dt), w2.astype(dt), b2.astype(dt),
+        bool(approx), bool(interpret),
+    )
+    return y.reshape(*lead, y.shape[-1])
