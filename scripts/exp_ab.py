@@ -55,7 +55,8 @@ def build(variant: str, batch_size: int = 64):
             flash_attention,
         )
 
-        def oflash(qkv, num_heads, scale=None, interpret=None):
+        def oflash(qkv, num_heads, scale=None, interpret=None,
+                   training=False):
             b, n, d3 = qkv.shape
             d = d3 // 3
             hd = d // num_heads
