@@ -223,6 +223,36 @@ class _DenseParams(nn.Module):
         return k, b
 
 
+class _LNParams(nn.Module):
+    """Owns LayerNorm parameters (same tree: <name>/scale, <name>/bias) for
+    routing through the fused pre-norm MLP block kernel."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.features,),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return s, b
+
+
+class _MlpParams(nn.Module):
+    """fc1/fc2 parameter container for the fused pre-norm block path —
+    identical param tree to the Mlp module (<name>/fc{1,2}/{kernel,bias})."""
+
+    in_features: int
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.in_features, self.hidden, name="fc1")()
+        w2, b2 = _DenseParams(self.hidden, self.out, name="fc2")()
+        return w1, b1, w2, b2
+
+
 class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
@@ -287,9 +317,29 @@ class Block(nn.Module):
             name="attn",
         )(y.astype(self.dtype), deterministic, return_attn)
         x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
+        hidden = int(d * self.mlp_ratio)
+        # Fully fused pre-norm MLP sub-block (LN + fc1 + gelu + fc2 +
+        # residual as ONE Pallas op — see ops/mlp.py): active when no
+        # dropout/stochastic-depth applies to this sub-block. Param tree is
+        # identical to the unfused path (norm2/{scale,bias},
+        # mlp/fc{1,2}/{kernel,bias}).
+        fuse_block = self.use_pallas and (
+            deterministic or (self.drop == 0.0 and self.drop_path == 0.0)
+        )
+        if fuse_block:
+            from tpuwsi.ops.mlp import fused_mlp_block
+
+            ls, lb = _LNParams(d, name="norm2")()
+            w1, b1, w2, b2 = _MlpParams(d, hidden, d, name="mlp")()
+            x = fused_mlp_block(
+                x.astype(self.dtype), ls, lb, w1, b1, w2, b2,
+                approx=self.gelu_approx,
+                interpret=self.pallas_interpret or None,
+            )
+            return x, attn
         y = nn.LayerNorm(dtype=self.ln_dtype, name="norm2")(x)
         y = Mlp(
-            hidden_dim=int(d * self.mlp_ratio),
+            hidden_dim=hidden,
             out_dim=d,
             drop=self.drop,
             dtype=self.dtype,
@@ -345,6 +395,22 @@ class _ScanBlockBody(nn.Module):
             name="attn",
         )(y.astype(self.dtype), det, False)
         x = x + droppath(y)
+        # The scan body's drop-path rate is a TRACED per-layer input, so the
+        # fused pre-norm block (which skips drop-path) can only apply when
+        # deterministic — training keeps the unfused path here.
+        if self.use_pallas and det:
+            from tpuwsi.ops.mlp import fused_mlp_block
+
+            ls, lb = _LNParams(d, name="norm2")()
+            w1, b1, w2, b2 = _MlpParams(
+                d, int(d * self.mlp_ratio), d, name="mlp"
+            )()
+            x = fused_mlp_block(
+                x.astype(self.dtype), ls, lb, w1, b1, w2, b2,
+                approx=self.gelu_approx,
+                interpret=self.pallas_interpret or None,
+            )
+            return x, None
         y = nn.LayerNorm(dtype=self.ln_dtype, name="norm2")(x)
         y = Mlp(
             hidden_dim=int(d * self.mlp_ratio),

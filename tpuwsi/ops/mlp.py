@@ -352,3 +352,351 @@ def fused_mlp(
         bool(approx), bool(interpret),
     )
     return y.reshape(*lead, y.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# Fused pre-norm MLP block: y = x + gelu(LN(x) @ W1 + b1) @ W2 + b2
+#
+# Beyond fused_mlp this also folds the LayerNorm and the residual add into
+# the kernel — profiling showed every op boundary in the step costs real
+# time (copies/reshapes at custom-call edges, per-op DMA prologues), so the
+# whole pre-norm MLP sub-block runs as ONE op: LN's f32 intermediate, the
+# MLP hidden state, and the residual read-modify-write never touch HBM.
+# ---------------------------------------------------------------------------
+
+
+def _ln_fwd(xf, g, be, eps):
+    """flax nn.LayerNorm semantics (fast variance, f32 compute)."""
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=1, keepdims=True) - mu * mu
+    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    uhat = (xf - mu) * inv
+    return uhat * g + be, uhat, inv
+
+
+def _mlp_block_fwd_kernel(x_ref, g_ref, be_ref, w1_ref, b1_ref, w2_ref,
+                          b2_ref, y_ref, *, rows: int, tile: int,
+                          approx: bool, eps: float):
+    i = pl.program_id(0)
+    rowi = i * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    x = jnp.where(rowi < rows, x_ref[...], 0)
+    xf = x.astype(jnp.float32)
+    ln, _, _ = _ln_fwd(xf, g_ref[...].astype(jnp.float32),
+                       be_ref[...].astype(jnp.float32), eps)
+    lnc = ln.astype(x.dtype)  # matches the unfused f32→bf16 cast before fc1
+    u = jax.lax.dot_general(
+        lnc, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[...].astype(jnp.float32)
+    h = _gelu(u, approx).astype(x.dtype)
+    y = jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[...].astype(jnp.float32)
+    # residual add in the stream dtype (unfused: bf16 + bf16)
+    y_ref[...] = x + y.astype(y_ref.dtype)
+
+
+def _mlp_block_bwd_kernel(x_ref, dy_ref, g_ref, be_ref, w1_ref, b1_ref,
+                          w2_ref, dx_ref,
+                          dg_ref, dbe_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                          dw1_s, dw2_s, db1_s, db2_s, dg_s, dbe_s, *,
+                          rows: int, tile: int, approx: bool, eps: float):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dw1_s[:] = jnp.zeros_like(dw1_s)
+        dw2_s[:] = jnp.zeros_like(dw2_s)
+        db1_s[:] = jnp.zeros_like(db1_s)
+        db2_s[:] = jnp.zeros_like(db2_s)
+        dg_s[:] = jnp.zeros_like(dg_s)
+        dbe_s[:] = jnp.zeros_like(dbe_s)
+
+    rowi = i * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    x = jnp.where(rowi < rows, x_ref[...], 0)
+    dy = jnp.where(rowi < rows, dy_ref[...], 0).astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    gam = g_ref[...].astype(jnp.float32)
+    ln, uhat, inv = _ln_fwd(xf, gam, be_ref[...].astype(jnp.float32), eps)
+    lnc = ln.astype(x.dtype)
+    u = jax.lax.dot_general(
+        lnc, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[...].astype(jnp.float32)
+    h, dgelu = _gelu_and_grad(u, approx)
+    h = h.astype(x.dtype)
+    dy_c = dy.astype(x.dtype)
+    dh = jax.lax.dot_general(
+        dy_c, w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    du = dh * dgelu
+    du_c = du.astype(x.dtype)
+    dln = jax.lax.dot_general(
+        du_c, w1_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # grad at LN output, f32
+    # LayerNorm backward (per row): dxhat = dln∘γ;
+    # dx_ln = inv·(dxhat − mean(dxhat) − uhat·mean(dxhat∘uhat))
+    dxhat = dln * gam
+    m1 = jnp.mean(dxhat, axis=1, keepdims=True)
+    m2 = jnp.mean(dxhat * uhat, axis=1, keepdims=True)
+    dx_ln = inv * (dxhat - m1 - uhat * m2)
+    dx_ref[...] = (dy + dx_ln).astype(dx_ref.dtype)  # + residual path
+
+    dw1_s[:] += jax.lax.dot_general(
+        lnc, du_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dw2_s[:] += jax.lax.dot_general(
+        h, dy_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db1_s[:] += jnp.sum(du, axis=0, keepdims=True)
+    db2_s[:] += jnp.sum(dy, axis=0, keepdims=True)
+    dg_s[:] += jnp.sum(dln * uhat, axis=0, keepdims=True)
+    dbe_s[:] += jnp.sum(dln, axis=0, keepdims=True)
+
+    @pl.when(i == n - 1)
+    def _fin():
+        dw1_ref[...] = dw1_s[:].astype(dw1_ref.dtype)
+        dw2_ref[...] = dw2_s[:].astype(dw2_ref.dtype)
+        db1_ref[...] = db1_s[:].astype(db1_ref.dtype)
+        db2_ref[...] = db2_s[:].astype(db2_ref.dtype)
+        dg_ref[...] = dg_s[:].astype(dg_ref.dtype)
+        dbe_ref[...] = dbe_s[:].astype(dbe_ref.dtype)
+
+
+def _mlp_block_forward(x2, g, be, w1, b1, w2, b2, approx, eps, interpret):
+    rows, d = x2.shape
+    f = w1.shape[1]
+    tile = min(ROW_TILE, max(_cdiv(rows, 8) * 8, 8))
+    grid = (_cdiv(rows, tile),)
+    return pl.pallas_call(
+        functools.partial(_mlp_block_fwd_kernel, rows=rows, tile=tile,
+                          approx=approx, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((d, f), lambda i: (0, 0)),
+            pl.BlockSpec((1, f), lambda i: (0, 0)),
+            pl.BlockSpec((f, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, d), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, d), x2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(x2, g.reshape(1, d), be.reshape(1, d), w1, b1.reshape(1, f), w2,
+      b2.reshape(1, d))
+
+
+def _mlp_block_backward(x2, dy2, g, be, w1, b1, w2, approx, eps, interpret):
+    rows, d = x2.shape
+    f = w1.shape[1]
+    tile = min(ROW_TILE_BWD, max(_cdiv(rows, 8) * 8, 8))
+    grid = (_cdiv(rows, tile),)
+    outs = pl.pallas_call(
+        functools.partial(_mlp_block_bwd_kernel, rows=rows, tile=tile,
+                          approx=approx, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0)),
+            pl.BlockSpec((tile, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((d, f), lambda i: (0, 0)),
+            pl.BlockSpec((1, f), lambda i: (0, 0)),
+            pl.BlockSpec((f, d), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((d, f), lambda i: (0, 0)),
+            pl.BlockSpec((1, f), lambda i: (0, 0)),
+            pl.BlockSpec((f, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, d), x2.dtype),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, f), jnp.float32),
+            jax.ShapeDtypeStruct((1, f), jnp.float32),
+            jax.ShapeDtypeStruct((f, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d, f), jnp.float32),
+            pltpu.VMEM((f, d), jnp.float32),
+            pltpu.VMEM((1, f), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=int(3e7),
+        ),
+        interpret=interpret,
+    )(x2, dy2, g.reshape(1, d), be.reshape(1, d), w1, b1.reshape(1, f), w2)
+    dx, dg, dbe, dw1, db1, dw2, db2 = outs
+    return (dx, dg.reshape(d), dbe.reshape(d), dw1, db1.reshape(f), dw2,
+            db2.reshape(d))
+
+
+@functools.partial(custom_partitioning, static_argnums=(7, 8, 9))
+def _mlp_block_forward_p(x2, g, be, w1, b1, w2, b2, approx, eps, interpret):
+    return _mlp_block_forward(x2, g, be, w1, b1, w2, b2, approx, eps,
+                              interpret)
+
+
+def _blk_fwd_infer(approx, eps, interpret, mesh, arg_shapes, result_shape):
+    spec = arg_shapes[0].sharding.spec
+    lead = spec[0] if spec else None
+    return NamedSharding(mesh, P(lead, None))
+
+
+def _blk_fwd_partition(approx, eps, interpret, mesh, arg_shapes,
+                       result_shape):
+    x_sh = _blk_fwd_infer(approx, eps, interpret, mesh, arg_shapes,
+                          result_shape)
+    rep = NamedSharding(mesh, P(None, None))
+    rep1 = NamedSharding(mesh, P(None))
+
+    def lower(x2, g, be, w1, b1, w2, b2):
+        return _mlp_block_forward(x2, g, be, w1, b1, w2, b2, approx, eps,
+                                  interpret)
+
+    return mesh, lower, x_sh, (x_sh, rep1, rep1, rep, rep1, rep, rep1)
+
+
+_mlp_block_forward_p.def_partition(
+    partition=_blk_fwd_partition,
+    infer_sharding_from_operands=_blk_fwd_infer,
+    sharding_rule="r d, d, d, d f, f, f e, e -> r e",
+    need_replication_factors=("d", "f", "e"),
+)
+
+
+@functools.partial(custom_partitioning, static_argnums=(7, 8, 9))
+def _mlp_block_backward_p(x2, dy2, g, be, w1, b1, w2, approx, eps, interpret):
+    return _mlp_block_backward(x2, dy2, g, be, w1, b1, w2, approx, eps,
+                               interpret)
+
+
+def _blk_bwd_infer(approx, eps, interpret, mesh, arg_shapes, result_shape):
+    spec = arg_shapes[0].sharding.spec
+    lead = spec[0] if spec else None
+    x_sh = NamedSharding(mesh, P(lead, None))
+    rep = NamedSharding(mesh, P(None, None))
+    rep1 = NamedSharding(mesh, P(None))
+    return (x_sh, rep1, rep1, rep, rep1, rep, rep1)
+
+
+def _blk_bwd_partition(approx, eps, interpret, mesh, arg_shapes,
+                       result_shape):
+    outs = _blk_bwd_infer(approx, eps, interpret, mesh, arg_shapes,
+                          result_shape)
+    x_sh = outs[0]
+    rep = NamedSharding(mesh, P(None, None))
+    rep1 = NamedSharding(mesh, P(None))
+    psum_axes = _row_sharded_axes(mesh, arg_shapes[0])
+
+    def lower(x2, dy2, g, be, w1, b1, w2):
+        res = _mlp_block_backward(x2, dy2, g, be, w1, b1, w2, approx, eps,
+                                  interpret)
+        if psum_axes:
+            dx = res[0]
+            rest = tuple(jax.lax.psum(t, psum_axes) for t in res[1:])
+            return (dx,) + rest
+        return res
+
+    return mesh, lower, outs, (x_sh, x_sh, rep1, rep1, rep, rep1, rep)
+
+
+_mlp_block_backward_p.def_partition(
+    partition=_blk_bwd_partition,
+    infer_sharding_from_operands=_blk_bwd_infer,
+    sharding_rule=(
+        "r d, r e, d, d, d f, f, f e -> r d, d, d, d f, f, f e, e"
+    ),
+    need_replication_factors=("d", "e", "f"),
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _fused_mlp_block(x2, g, be, w1, b1, w2, b2, approx, eps, interpret):
+    return _mlp_block_forward_p(x2, g, be, w1, b1, w2, b2, approx, eps,
+                                interpret)
+
+
+def _fused_mlp_block_fwd(x2, g, be, w1, b1, w2, b2, approx, eps, interpret):
+    y = _mlp_block_forward_p(x2, g, be, w1, b1, w2, b2, approx, eps,
+                             interpret)
+    return y, (x2, g, be, w1, b1, w2)
+
+
+def _fused_mlp_block_bwd(approx, eps, interpret, res, dy):
+    x2, g, be, w1, b1, w2 = res
+    dx, dg, dbe, dw1, db1, dw2, db2 = _mlp_block_backward_p(
+        x2, dy, g, be, w1, b1, w2, approx, eps, interpret
+    )
+    return (
+        dx,
+        dg.astype(g.dtype),
+        dbe.astype(be.dtype),
+        dw1.astype(w1.dtype),
+        db1.astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2.astype(w2.dtype),
+    )
+
+
+_fused_mlp_block.defvjp(_fused_mlp_block_fwd, _fused_mlp_block_bwd)
+
+
+def fused_mlp_block(
+    x: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    *,
+    approx: bool = False,
+    eps: float = 1e-6,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Pre-norm MLP sub-block y = x + gelu(LN(x)@W1+b1)@W2+b2 as ONE TPU op.
+
+    x: (..., D) residual stream. LN runs in f32 (flax fast-variance
+    semantics) with the same f32→stream-dtype cast before fc1 as the
+    unfused module path; the residual add happens in the stream dtype.
+    """
+    use_pallas = jax.default_backend() == "tpu" or interpret
+    dt = x.dtype
+    if not use_pallas:
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+        inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+        ln = ((xf - mu) * inv) * ln_scale + ln_bias
+        h = jax.nn.gelu(ln.astype(dt) @ w1.astype(dt) + b1.astype(dt),
+                        approximate=approx)
+        return x + (h @ w2.astype(dt) + b2.astype(dt)).astype(dt)
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    y = _fused_mlp_block(
+        x2, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
+        w1.astype(dt), b1.astype(dt), w2.astype(dt), b2.astype(dt),
+        bool(approx), float(eps), bool(interpret),
+    )
+    return y.reshape(*lead, y.shape[-1])
