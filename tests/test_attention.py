@@ -215,3 +215,42 @@ def test_flash_blockwise_backward_multitile_unaligned():
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-2, rtol=2e-2)
+
+
+def test_fused_attention_block_matches_reference():
+    """Standalone pre-norm attention block op (LN1 + qkv GEMM + MHA + proj +
+    residual in one kernel): values and all grads vs the composed XLA ops —
+    both the packed short-sequence path and the 197-token path.
+    (Not used in the train step — measured slower than separate ops there,
+    see models/vit.py Block — but kept for small-batch inference.)"""
+    from tpuwsi.ops.attention import _mha_reference, fused_attention_block
+
+    def ref(x, g, be, wqkv, bqkv, wp, bp, h):
+        xf = x
+        mu = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.mean(xf * xf, -1, keepdims=True) - mu * mu
+        ln = (xf - mu) * jax.lax.rsqrt(var + 1e-6) * g + be
+        qkv = ln @ wqkv + bqkv
+        d = x.shape[-1]
+        o = _mha_reference(qkv, h, (d // h) ** -0.5)
+        return x + o @ wp + bp
+
+    for b, n, d, h in [(5, 37, 48, 2), (2, 197, 96, 3)]:
+        ks = jax.random.split(jax.random.PRNGKey(0), 7)
+        x = jax.random.normal(ks[0], (b, n, d), jnp.float32)
+        g = 1.0 + 0.1 * jax.random.normal(ks[1], (d,))
+        be = 0.1 * jax.random.normal(ks[2], (d,))
+        wqkv = jax.random.normal(ks[3], (d, 3 * d)) * 0.1
+        bqkv = jax.random.normal(ks[4], (3 * d,)) * 0.05
+        wp = jax.random.normal(ks[5], (d, d)) * 0.1
+        bp = jax.random.normal(ks[6], (d,)) * 0.05
+        args = (x, g, be, wqkv, bqkv, wp, bp)
+        y = fused_attention_block(*args, h, interpret=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref(*args, h)),
+                                   atol=1e-3, rtol=1e-3)
+        gf = jax.grad(lambda a: jnp.sum(
+            fused_attention_block(*a, h, interpret=True) ** 2))(args)
+        gr = jax.grad(lambda a: jnp.sum(ref(*a, h) ** 2))(args)
+        for a, r in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       atol=5e-3, rtol=5e-3)

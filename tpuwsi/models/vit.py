@@ -210,6 +210,7 @@ class _DenseParams(nn.Module):
 
     in_features: int
     features: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
@@ -217,10 +218,30 @@ class _DenseParams(nn.Module):
             "kernel", trunc_normal_init(),
             (self.in_features, self.features), jnp.float32,
         )
+        if not self.use_bias:
+            return k, None
         b = self.param(
             "bias", nn.initializers.zeros, (self.features,), jnp.float32
         )
         return k, b
+
+
+class _AttnParams(nn.Module):
+    """qkv/proj parameter container matching the Attention module's tree
+    (<name>/qkv/{kernel[,bias]}, <name>/proj/{kernel,bias}) for the fused
+    pre-norm attention block path."""
+
+    dim: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        wq, bq = _DenseParams(self.dim, 3 * self.dim, self.qkv_bias,
+                              name="qkv")()
+        wp, bp = _DenseParams(self.dim, self.dim, name="proj")()
+        if bq is None:
+            bq = jnp.zeros((3 * self.dim,), jnp.float32)
+        return wq, bq, wp, bp
 
 
 class _LNParams(nn.Module):
@@ -305,6 +326,14 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool, return_attn: bool = False):
         d = x.shape[-1]
+        # NOTE: a fully fused pre-norm attention sub-block exists
+        # (ops/attention.fused_attention_block: LN1 + qkv GEMM + MHA + proj
+        # + residual as ONE op) but measured SLOWER than these separate ops
+        # in the DINO step — its per-batch-element in-kernel GEMMs
+        # (M=seq_pad) lose to XLA's single batched qkv/proj GEMMs
+        # (M=B·S ≈ 38k rows at MFU peak): 6,298 (all passes) / 6,046
+        # (teacher-only) vs 6,435 views/s unfused. Kept as an op for
+        # latency-sensitive small-batch inference; not used here.
         y = nn.LayerNorm(dtype=self.ln_dtype, name="norm1")(x)
         y, attn = Attention(
             num_heads=self.num_heads,

@@ -1014,3 +1014,504 @@ def fused_attention(
             bool(interpret)
         )
     return _fused_attention(q, k, v, scale, tile_q, tile_k, bool(interpret))
+
+
+# ---------------------------------------------------------------------------
+# Fused pre-norm ATTENTION block:
+#   y = x + ( WideSoftmaxMHA( LN(x) @ Wqkv + bqkv ) @ Wproj + bproj )
+#
+# Same rationale as ops/mlp.fused_mlp_block: per-op boundaries (custom-call
+# edge copies, DMA prologues) dominate over bytes in the profiled step, so
+# the entire pre-norm attention sub-block becomes ONE op. The attention core
+# repeats the wide-softmax math of _mha_qkv_kernel (kept self-contained —
+# kernel code over clever sharing); sequence packing (block_len < seq_pad)
+# works unchanged because LN/GEMM/residual are row-local.
+# ---------------------------------------------------------------------------
+
+
+def _ln_rows(xf, g, be, eps):
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=1, keepdims=True) - mu * mu
+    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    uhat = (xf - mu) * inv
+    return uhat * g + be, uhat, inv
+
+
+def _wide_attn_fwd(qkv, n, num_heads, seq_pad, block_len, scale, st_ref):
+    """Wide-softmax MHA on a (S_pad, 3D) qkv block; returns o (S_pad, D) f32
+    accumulated per head into bf16-compatible slices. Mirrors
+    _mha_qkv_kernel's measured structure."""
+    d = qkv.shape[1] // 3
+    hd = d // num_heads
+    R = num_heads * seq_pad
+    q_all = (qkv[:, :d].astype(jnp.float32) * scale).astype(qkv.dtype)
+    for h in range(num_heads):
+        k = qkv[:, d + h * hd : d + (h + 1) * hd]
+        st_ref[h * seq_pad : (h + 1) * seq_pad, :] = jax.lax.dot_general(
+            k, q_all[:, h * hd : (h + 1) * hd],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+    rowj = jax.lax.broadcasted_iota(jnp.int32, (R, seq_pad), 0)
+    keyj = rowj % seq_pad
+    valid = keyj < n
+    if block_len < seq_pad:
+        coli = jax.lax.broadcasted_iota(jnp.int32, (R, seq_pad), 1)
+        valid &= (keyj // block_len) == (coli // block_len)
+    st = jnp.where(valid, st_ref[:], NEG_INF)
+    s3 = st.reshape(num_heads, seq_pad, seq_pad)
+    m = jnp.max(s3, axis=1, keepdims=True)
+    e = jnp.exp(s3 - m)
+    l = jnp.sum(e, axis=1, keepdims=True)
+    p = (e / l).reshape(R, seq_pad).astype(qkv.dtype)
+    outs = []
+    for h in range(num_heads):
+        v = qkv[:, 2 * d + h * hd : 2 * d + (h + 1) * hd]
+        outs.append(jax.lax.dot_general(
+            p[h * seq_pad : (h + 1) * seq_pad, :], v,
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ))
+    return jnp.concatenate(outs, axis=1)  # (S_pad, D) f32
+
+
+def _wide_attn_bwd(qkv, g, n, num_heads, seq_pad, block_len, scale,
+                   st_ref, dp_ref):
+    """dqkv for the wide-softmax MHA (mirrors _mha_qkv_bwd_kernel).
+    qkv/g: (S_pad, 3D)/(S_pad, D) with OOB rows already zeroed."""
+    d = qkv.shape[1] // 3
+    hd = d // num_heads
+    R = num_heads * seq_pad
+    q_all = (qkv[:, :d].astype(jnp.float32) * scale).astype(qkv.dtype)
+    for h in range(num_heads):
+        k = qkv[:, d + h * hd : d + (h + 1) * hd]
+        st_ref[h * seq_pad : (h + 1) * seq_pad, :] = jax.lax.dot_general(
+            k, q_all[:, h * hd : (h + 1) * hd],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+    rowj = jax.lax.broadcasted_iota(jnp.int32, (R, seq_pad), 0)
+    keyj = rowj % seq_pad
+    valid = keyj < n
+    if block_len < seq_pad:
+        coli = jax.lax.broadcasted_iota(jnp.int32, (R, seq_pad), 1)
+        valid &= (keyj // block_len) == (coli // block_len)
+    st = jnp.where(valid, st_ref[:], NEG_INF)
+    s3 = st.reshape(num_heads, seq_pad, seq_pad)
+    m = jnp.max(s3, axis=1, keepdims=True)
+    e = jnp.exp(s3 - m)
+    l = jnp.sum(e, axis=1, keepdims=True)
+    p = (e / l).reshape(R, seq_pad)  # f32
+    dvs = []
+    for h in range(num_heads):
+        v = qkv[:, 2 * d + h * hd : 2 * d + (h + 1) * hd]
+        gh = g[:, h * hd : (h + 1) * hd]
+        dp_ref[h * seq_pad : (h + 1) * seq_pad, :] = jax.lax.dot_general(
+            v, gh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dvs.append(jax.lax.dot_general(
+            p[h * seq_pad : (h + 1) * seq_pad, :].astype(gh.dtype), gh,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ))
+    dp3 = dp_ref[:].reshape(num_heads, seq_pad, seq_pad)
+    p3 = p.reshape(num_heads, seq_pad, seq_pad)
+    t3 = jnp.sum(p3 * dp3, axis=1, keepdims=True)
+    ds = ((p3 * (dp3 - t3) * scale).reshape(R, seq_pad)).astype(qkv.dtype)
+    dqs, dks = [], []
+    for h in range(num_heads):
+        dsh = ds[h * seq_pad : (h + 1) * seq_pad, :]
+        q = qkv[:, h * hd : (h + 1) * hd]
+        k = qkv[:, d + h * hd : d + (h + 1) * hd]
+        dqs.append(jax.lax.dot_general(
+            dsh, k, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+        dks.append(jax.lax.dot_general(
+            dsh, q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    return jnp.concatenate(
+        [jnp.concatenate(dqs, axis=1), jnp.concatenate(dks, axis=1),
+         jnp.concatenate(dvs, axis=1)], axis=1,
+    )  # (S_pad, 3D) f32
+
+
+def _attn_block_fwd_kernel(len_ref, x_ref, g_ref, be_ref, wqkv_ref, bqkv_ref,
+                           wp_ref, bp_ref, y_ref, st_ref, *, num_heads: int,
+                           seq_pad: int, scale: float, block_len: int,
+                           eps: float):
+    n = len_ref[0]
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (seq_pad, 1), 0)
+    x = jnp.where(rowi < n, x_ref[0], 0)
+    xf = x.astype(jnp.float32)
+    ln, _, _ = _ln_rows(xf, g_ref[...].astype(jnp.float32),
+                        be_ref[...].astype(jnp.float32), eps)
+    lnc = ln.astype(x.dtype)
+    qkv = (jax.lax.dot_general(
+        lnc, wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[...].astype(jnp.float32)).astype(x.dtype)
+    o = _wide_attn_fwd(qkv, n, num_heads, seq_pad, block_len, scale, st_ref)
+    y = jax.lax.dot_general(
+        o.astype(x.dtype), wp_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bp_ref[...].astype(jnp.float32)
+    y_ref[0] = x + y.astype(y_ref.dtype)
+
+
+def _attn_block_bwd_kernel(len_ref, x_ref, dy_ref, g_ref, be_ref, wqkv_ref,
+                           bqkv_ref, wp_ref, dx_ref,
+                           dg_ref, dbe_ref, dwqkv_ref, dbqkv_ref, dwp_ref,
+                           dbp_ref,
+                           st_ref, dp_ref, dwqkv_s, dwp_s, dbqkv_s, dbp_s,
+                           dg_s, dbe_s, *, num_heads: int, seq_pad: int,
+                           scale: float, block_len: int, eps: float):
+    i = pl.program_id(0)
+    nprog = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dwqkv_s[:] = jnp.zeros_like(dwqkv_s)
+        dwp_s[:] = jnp.zeros_like(dwp_s)
+        dbqkv_s[:] = jnp.zeros_like(dbqkv_s)
+        dbp_s[:] = jnp.zeros_like(dbp_s)
+        dg_s[:] = jnp.zeros_like(dg_s)
+        dbe_s[:] = jnp.zeros_like(dbe_s)
+
+    n = len_ref[0]
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (seq_pad, 1), 0)
+    x = jnp.where(rowi < n, x_ref[0], 0)
+    dy = jnp.where(rowi < n, dy_ref[0], 0)
+    xf = x.astype(jnp.float32)
+    gam = g_ref[...].astype(jnp.float32)
+    ln, uhat, inv = _ln_rows(xf, gam, be_ref[...].astype(jnp.float32), eps)
+    lnc = ln.astype(x.dtype)
+    qkv = (jax.lax.dot_general(
+        lnc, wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[...].astype(jnp.float32)).astype(x.dtype)
+    # recompute o for dWp
+    o = _wide_attn_fwd(
+        qkv, n, num_heads, seq_pad, block_len, scale, st_ref
+    ).astype(x.dtype)
+    dyf = dy.astype(jnp.float32)
+    # proj backward
+    dwp_s[:] += jax.lax.dot_general(
+        o, dy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dbp_s[:] += jnp.sum(dyf, axis=0, keepdims=True)
+    do_attn = jax.lax.dot_general(
+        dy, wp_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    # attention backward (recomputes p internally)
+    dqkv = _wide_attn_bwd(
+        qkv, do_attn, n, num_heads, seq_pad, block_len, scale, st_ref, dp_ref
+    )
+    dqkv_c = dqkv.astype(x.dtype)
+    # qkv GEMM backward
+    dwqkv_s[:] += jax.lax.dot_general(
+        lnc, dqkv_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbqkv_s[:] += jnp.sum(dqkv, axis=0, keepdims=True)
+    dln = jax.lax.dot_general(
+        dqkv_c, wqkv_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # LayerNorm backward + residual
+    dxhat = dln * gam
+    m1 = jnp.mean(dxhat, axis=1, keepdims=True)
+    m2 = jnp.mean(dxhat * uhat, axis=1, keepdims=True)
+    dx_ln = inv * (dxhat - m1 - uhat * m2)
+    dx_ref[0] = (dyf + dx_ln).astype(dx_ref.dtype)
+    dg_s[:] += jnp.sum(dln * uhat, axis=0, keepdims=True)
+    dbe_s[:] += jnp.sum(dln, axis=0, keepdims=True)
+
+    @pl.when(i == nprog - 1)
+    def _fin():
+        dwqkv_ref[...] = dwqkv_s[:].astype(dwqkv_ref.dtype)
+        dwp_ref[...] = dwp_s[:].astype(dwp_ref.dtype)
+        dbqkv_ref[...] = dbqkv_s[:].astype(dbqkv_ref.dtype)
+        dbp_ref[...] = dbp_s[:].astype(dbp_ref.dtype)
+        dg_ref[...] = dg_s[:].astype(dg_ref.dtype)
+        dbe_ref[...] = dbe_s[:].astype(dbe_ref.dtype)
+
+
+def _attn_block_forward(x, g, be, wqkv, bqkv, wp, bp, num_heads, scale,
+                        block_len, eps, interpret):
+    b, n, d = x.shape
+    seq_pad = max(_cdiv(n, 128) * 128, 128)
+    if not block_len:
+        block_len = seq_pad
+    lengths = jnp.full((1,), n, dtype=jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, seq_pad, d), lambda i, lens: (i, 0, 0)),
+            pl.BlockSpec((1, d), lambda i, lens: (0, 0)),
+            pl.BlockSpec((1, d), lambda i, lens: (0, 0)),
+            pl.BlockSpec((d, 3 * d), lambda i, lens: (0, 0)),
+            pl.BlockSpec((1, 3 * d), lambda i, lens: (0, 0)),
+            pl.BlockSpec((d, d), lambda i, lens: (0, 0)),
+            pl.BlockSpec((1, d), lambda i, lens: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, seq_pad, d), lambda i, lens: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((num_heads * seq_pad, seq_pad), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _attn_block_fwd_kernel, num_heads=num_heads, seq_pad=seq_pad,
+            scale=scale, block_len=block_len, eps=eps,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(lengths, x, g.reshape(1, d), be.reshape(1, d), wqkv,
+      bqkv.reshape(1, 3 * d), wp, bp.reshape(1, d))
+
+
+def _attn_block_backward(x, dy, g, be, wqkv, bqkv, wp, num_heads, scale,
+                         block_len, eps, interpret):
+    b, n, d = x.shape
+    seq_pad = max(_cdiv(n, 128) * 128, 128)
+    if not block_len:
+        block_len = seq_pad
+    lengths = jnp.full((1,), n, dtype=jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, seq_pad, d), lambda i, lens: (i, 0, 0)),
+            pl.BlockSpec((1, seq_pad, d), lambda i, lens: (i, 0, 0)),
+            pl.BlockSpec((1, d), lambda i, lens: (0, 0)),
+            pl.BlockSpec((1, d), lambda i, lens: (0, 0)),
+            pl.BlockSpec((d, 3 * d), lambda i, lens: (0, 0)),
+            pl.BlockSpec((1, 3 * d), lambda i, lens: (0, 0)),
+            pl.BlockSpec((d, d), lambda i, lens: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, seq_pad, d), lambda i, lens: (i, 0, 0)),
+            pl.BlockSpec((1, d), lambda i, lens: (0, 0)),
+            pl.BlockSpec((1, d), lambda i, lens: (0, 0)),
+            pl.BlockSpec((d, 3 * d), lambda i, lens: (0, 0)),
+            pl.BlockSpec((1, 3 * d), lambda i, lens: (0, 0)),
+            pl.BlockSpec((d, d), lambda i, lens: (0, 0)),
+            pl.BlockSpec((1, d), lambda i, lens: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((num_heads * seq_pad, seq_pad), jnp.float32),
+            pltpu.VMEM((num_heads * seq_pad, seq_pad), jnp.float32),
+            pltpu.VMEM((d, 3 * d), jnp.float32),
+            pltpu.VMEM((d, d), jnp.float32),
+            pltpu.VMEM((1, 3 * d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+        ],
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _attn_block_bwd_kernel, num_heads=num_heads, seq_pad=seq_pad,
+            scale=scale, block_len=block_len, eps=eps,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, d), x.dtype),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, 3 * d), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * d), jnp.float32),
+            jax.ShapeDtypeStruct((d, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=int(3e7),
+        ),
+        interpret=interpret,
+    )(lengths, x, dy, g.reshape(1, d), be.reshape(1, d), wqkv,
+      bqkv.reshape(1, 3 * d), wp)
+    dx, dg, dbe, dwqkv, dbqkv, dwp, dbp = outs
+    return (dx, dg.reshape(d), dbe.reshape(d), dwqkv,
+            dbqkv.reshape(3 * d), dwp, dbp.reshape(d))
+
+
+@functools.partial(custom_partitioning, static_argnums=(7, 8, 9, 10, 11))
+def _attn_block_forward_p(x, g, be, wqkv, bqkv, wp, bp, num_heads, scale,
+                          block_len, eps, interpret):
+    return _attn_block_forward(x, g, be, wqkv, bqkv, wp, bp, num_heads,
+                               scale, block_len, eps, interpret)
+
+
+def _ab_fwd_infer(num_heads, scale, block_len, eps, interpret, mesh,
+                  arg_shapes, result_shape):
+    return _keep_leading_spec(mesh, arg_shapes[0], 1)
+
+
+def _ab_fwd_partition(num_heads, scale, block_len, eps, interpret, mesh,
+                      arg_shapes, result_shape):
+    x_sh = _keep_leading_spec(mesh, arg_shapes[0], 1)
+    reps = tuple(
+        NamedSharding(mesh, P(*([None] * len(a.shape))))
+        for a in arg_shapes[1:]
+    )
+
+    def lower(x, g, be, wqkv, bqkv, wp, bp):
+        return _attn_block_forward(x, g, be, wqkv, bqkv, wp, bp, num_heads,
+                                   scale, block_len, eps, interpret)
+
+    return mesh, lower, x_sh, (x_sh,) + reps
+
+
+_attn_block_forward_p.def_partition(
+    partition=_ab_fwd_partition,
+    infer_sharding_from_operands=_ab_fwd_infer,
+    sharding_rule="b s d, d, d, d q, q, d e, e -> b s d",
+    need_replication_factors=("s", "d", "q", "e"),
+)
+
+
+@functools.partial(custom_partitioning, static_argnums=(7, 8, 9, 10, 11))
+def _attn_block_backward_p(x, dy, g, be, wqkv, bqkv, wp, num_heads, scale,
+                           block_len, eps, interpret):
+    return _attn_block_backward(x, dy, g, be, wqkv, bqkv, wp, num_heads,
+                                scale, block_len, eps, interpret)
+
+
+def _ab_bwd_infer(num_heads, scale, block_len, eps, interpret, mesh,
+                  arg_shapes, result_shape):
+    # outputs: dx, dg, dbe, dwqkv, dbqkv, dwp, dbp — one more than the
+    # non-x inputs (dbp has no bproj operand in the backward's args)
+    x_sh = _keep_leading_spec(mesh, arg_shapes[0], 1)
+    reps = tuple(
+        NamedSharding(mesh, P(*([None] * len(a.shape))))
+        for a in arg_shapes[2:]
+    )
+    rep1 = NamedSharding(mesh, P(None))
+    return (x_sh,) + reps + (rep1,)
+
+
+def _ab_bwd_partition(num_heads, scale, block_len, eps, interpret, mesh,
+                      arg_shapes, result_shape):
+    outs = _ab_bwd_infer(num_heads, scale, block_len, eps, interpret, mesh,
+                         arg_shapes, result_shape)
+    x_sh = outs[0]
+    in_reps = tuple(
+        NamedSharding(mesh, P(*([None] * len(a.shape))))
+        for a in arg_shapes[2:]
+    )
+    spec0 = arg_shapes[0].sharding.spec
+    s0 = spec0[0] if spec0 else None
+    psum_axes = (tuple(s0) if isinstance(s0, tuple) else (s0,)) if s0 else ()
+
+    def lower(x, dy, g, be, wqkv, bqkv, wp):
+        res = _attn_block_backward(x, dy, g, be, wqkv, bqkv, wp, num_heads,
+                                   scale, block_len, eps, interpret)
+        if psum_axes:
+            dx = res[0]
+            rest = tuple(jax.lax.psum(t, psum_axes) for t in res[1:])
+            return (dx,) + rest
+        return res
+
+    return mesh, lower, outs, (x_sh, x_sh) + in_reps
+
+
+_attn_block_backward_p.def_partition(
+    partition=_ab_bwd_partition,
+    infer_sharding_from_operands=_ab_bwd_infer,
+    sharding_rule=(
+        "b s d, b s e, d, d, d q, q, d e "
+        "-> b s d, d, d, d q, q, d e, e"
+    ),
+    need_replication_factors=("s", "d", "e", "q"),
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _fused_attn_block(x, g, be, wqkv, bqkv, wp, bp, num_heads, scale,
+                      block_len, eps, interpret):
+    return _attn_block_forward_p(x, g, be, wqkv, bqkv, wp, bp, num_heads,
+                                 scale, block_len, eps, interpret)
+
+
+def _fused_attn_block_fwd(x, g, be, wqkv, bqkv, wp, bp, num_heads, scale,
+                          block_len, eps, interpret):
+    y = _attn_block_forward_p(x, g, be, wqkv, bqkv, wp, bp, num_heads,
+                              scale, block_len, eps, interpret)
+    return y, (x, g, be, wqkv, bqkv, wp)
+
+
+def _fused_attn_block_bwd(num_heads, scale, block_len, eps, interpret, res,
+                          dy):
+    x, g, be, wqkv, bqkv, wp = res
+    dx, dg, dbe, dwqkv, dbqkv, dwp, dbp = _attn_block_backward_p(
+        x, dy, g, be, wqkv, bqkv, wp, num_heads, scale, block_len, eps,
+        interpret,
+    )
+    return (
+        dx,
+        dg.astype(g.dtype),
+        dbe.astype(be.dtype),
+        dwqkv.astype(wqkv.dtype),
+        dbqkv.astype(wqkv.dtype),
+        dwp.astype(wp.dtype),
+        dbp.astype(wp.dtype),
+    )
+
+
+_fused_attn_block.defvjp(_fused_attn_block_fwd, _fused_attn_block_bwd)
+
+
+def fused_attention_block(
+    x: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    wqkv: jax.Array,
+    bqkv: jax.Array,
+    wproj: jax.Array,
+    bproj: jax.Array,
+    num_heads: int,
+    *,
+    eps: float = 1e-6,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Pre-norm attention sub-block as ONE TPU op:
+    y = x + (WideSoftmaxMHA(LN(x) @ Wqkv + bqkv) @ Wproj + bproj).
+
+    x: (B, N, D) residual stream. Short sequences (N ≤ 64) are
+    sequence-packed 128//N per program with a block-diagonal mask, exactly
+    like mha_from_qkv. Falls back to None (caller should use the unfused
+    path) on non-TPU backends unless interpret is set.
+    """
+    b, n, d = x.shape
+    scale = (d // num_heads) ** -0.5
+    dt = x.dtype
+    if jax.default_backend() != "tpu" and not interpret:
+        # XLA fallback (CPU test mesh without interpret mode)
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+        ln = ((xf - mu) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+              * ln_scale + ln_bias).astype(dt)
+        qkv = ln @ wqkv.astype(dt) + bqkv.astype(dt)
+        o = _mha_reference(qkv, num_heads, scale)
+        return x + (o @ wproj.astype(dt) + bproj.astype(dt)).astype(dt)
+    args = (ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
+            wqkv.astype(dt), bqkv.astype(dt), wproj.astype(dt),
+            bproj.astype(dt))
+    pack = 128 // n if n <= 64 else 1
+    if pack > 1:
+        b_pad = _cdiv(b, pack) * pack
+        if b_pad != b:
+            x = jnp.pad(x, ((0, b_pad - b), (0, 0), (0, 0)))
+        packed = x.reshape(b_pad // pack, pack * n, d)
+        out = _fused_attn_block(packed, *args, num_heads, scale, n,
+                                float(eps), bool(interpret))
+        return out.reshape(b_pad, n, d)[:b]
+    return _fused_attn_block(x, *args, num_heads, scale, 0, float(eps),
+                             bool(interpret))

@@ -39,14 +39,19 @@ ROW_TILE = 512
 ROW_TILE_BWD = 256
 
 
-def _gelu(u, approx):
-    return jax.nn.gelu(u, approximate=approx)
-
-
 _C = 0.7978845608028654  # sqrt(2/pi)
 _A = 0.044715
 _INV_SQRT2 = 0.7071067811865476
 _INV_SQRT2PI = 0.3989422804014327
+
+
+def _gelu(u, approx):
+    # NOT jax.nn.gelu: its exact branch lowers through lax.erfc, which has
+    # no Pallas TPU lowering (NotImplementedError at compile). lax.erf does.
+    if approx:
+        t = jnp.tanh(_C * (u + _A * u * u * u))
+        return 0.5 * u * (1.0 + t)
+    return u * 0.5 * (1.0 + jax.lax.erf(u * _INV_SQRT2))
 
 
 def _gelu_and_grad(u, approx):
@@ -338,8 +343,12 @@ def fused_mlp(
     on TPU (or in interpret mode); XLA reference elsewhere. Multi-chip: row
     (batch) axis shardable via custom_partitioning; weight grads psum over
     the row-sharded mesh axes.
+
+    Exact (erf) GELU falls back to XLA on real TPUs: this image's Mosaic has
+    no erf/erfc lowering (NotImplementedError at compile) — only the
+    tanh-approx path runs in-kernel. Interpret mode supports both.
     """
-    use_pallas = jax.default_backend() == "tpu" or interpret
+    use_pallas = (jax.default_backend() == "tpu" and approx) or interpret
     dt = x.dtype
     if not use_pallas:
         u = (x @ w1.astype(dt)) + b1.astype(dt)
@@ -680,8 +689,10 @@ def fused_mlp_block(
     x: (..., D) residual stream. LN runs in f32 (flax fast-variance
     semantics) with the same f32→stream-dtype cast before fc1 as the
     unfused module path; the residual add happens in the stream dtype.
+    Exact (erf) GELU falls back to XLA on real TPUs (no Mosaic erf lowering
+    in this image); the tanh-approx path runs in-kernel.
     """
-    use_pallas = jax.default_backend() == "tpu" or interpret
+    use_pallas = (jax.default_backend() == "tpu" and approx) or interpret
     dt = x.dtype
     if not use_pallas:
         xf = x.astype(jnp.float32)
