@@ -89,3 +89,49 @@ def test_vit_with_fused_mlp_matches_unfused():
                     jax.tree_util.tree_leaves(g_off)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-3, rtol=2e-3)
+
+
+def test_fused_ln_gemm_and_gemm_residual_match_reference():
+    """Standalone row-tiled LN+GEMM and GEMM+residual ops: values and grads
+    vs composed XLA. (Measured slower than XLA's own prologue/epilogue
+    fusions inside the DINO step — kept as ops; see models/vit.py Block.)"""
+    from tpuwsi.ops.mlp import fused_gemm_residual, fused_ln_gemm
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 6)
+    B, N, D, F = 3, 37, 64, 192
+    x = jax.random.normal(ks[0], (B, N, D), jnp.float32)
+    g = 1.0 + 0.1 * jax.random.normal(ks[1], (D,))
+    be = 0.1 * jax.random.normal(ks[2], (D,))
+    w = jax.random.normal(ks[3], (D, F)) * 0.1
+    b = jax.random.normal(ks[4], (F,)) * 0.05
+
+    def ref_lg(x, g, be, w, b):
+        mu = jnp.mean(x, -1, keepdims=True)
+        var = jnp.mean(x * x, -1, keepdims=True) - mu * mu
+        ln = (x - mu) * jax.lax.rsqrt(var + 1e-6) * g + be
+        return ln @ w + b
+
+    a1 = (x, g, be, w, b)
+    np.testing.assert_allclose(
+        np.asarray(fused_ln_gemm(*a1, interpret=True)),
+        np.asarray(ref_lg(*a1)), atol=1e-4, rtol=1e-4,
+    )
+    gf = jax.grad(lambda a: jnp.sum(fused_ln_gemm(*a, interpret=True) ** 2))(a1)
+    gr = jax.grad(lambda a: jnp.sum(ref_lg(*a) ** 2))(a1)
+    for p, q in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q),
+                                   atol=1e-3, rtol=1e-3)
+
+    res = jax.random.normal(ks[5], (B, N, F), jnp.float32)
+    a2 = (res, x, w, b)
+    np.testing.assert_allclose(
+        np.asarray(fused_gemm_residual(*a2, interpret=True)),
+        np.asarray(res + x @ w + b), atol=1e-4, rtol=1e-4,
+    )
+    gf2 = jax.grad(
+        lambda a: jnp.sum(fused_gemm_residual(*a, interpret=True) ** 2)
+    )(a2)
+    gr2 = jax.grad(lambda a: jnp.sum((a[0] + a[1] @ a[2] + a[3]) ** 2))(a2)
+    for p, q in zip(gf2, gr2):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q),
+                                   atol=1e-3, rtol=1e-3)

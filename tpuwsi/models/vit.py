@@ -326,14 +326,17 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool, return_attn: bool = False):
         d = x.shape[-1]
-        # NOTE: a fully fused pre-norm attention sub-block exists
-        # (ops/attention.fused_attention_block: LN1 + qkv GEMM + MHA + proj
-        # + residual as ONE op) but measured SLOWER than these separate ops
-        # in the DINO step — its per-batch-element in-kernel GEMMs
-        # (M=seq_pad) lose to XLA's single batched qkv/proj GEMMs
-        # (M=B·S ≈ 38k rows at MFU peak): 6,298 (all passes) / 6,046
-        # (teacher-only) vs 6,435 views/s unfused. Kept as an op for
-        # latency-sensitive small-batch inference; not used here.
+        # NOTE on attention-side fusion (both variants measured SLOWER than
+        # these separate ops in the DINO step; kept as standalone ops):
+        # - ops/attention.fused_attention_block (whole sub-block as ONE op):
+        #   6,298/6,046 vs 6,485 views/s — per-batch-element in-kernel GEMMs
+        #   (M=seq_pad) lose to XLA's single batched GEMMs (M≈38k).
+        # - ops/mlp.fused_ln_gemm + fused_gemm_residual around mha_from_qkv:
+        #   6,048 — XLA ALREADY fuses LN/residual into its GEMM
+        #   prologue/epilogue fusions; hoisting them into custom-calls just
+        #   breaks XLA's fusion and adds boundaries. Lesson recorded in
+        #   BENCH.md: only fuse what XLA cannot (cross-GEMM intermediates,
+        #   e.g. the MLP hidden state), never its own fusion candidates.
         y = nn.LayerNorm(dtype=self.ln_dtype, name="norm1")(x)
         y, attn = Attention(
             num_heads=self.num_heads,

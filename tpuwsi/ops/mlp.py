@@ -711,3 +711,462 @@ def fused_mlp_block(
         bool(approx), float(eps), bool(interpret),
     )
     return y.reshape(*lead, y.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# Row-tiled LN+GEMM and GEMM+residual ops.
+#
+# The attention-block megakernel lost to XLA because its GEMMs were
+# per-batch-element (M = seq_pad); these two ops keep the MLP-block recipe —
+# row tiles sweeping the FLATTENED batch at full GEMM efficiency — and fuse
+# only the cheap neighbours (LN / residual add) into the GEMM, removing two
+# op boundaries + the f32 LN intermediate per attention site.
+#   fused_ln_gemm:       y = LN(x) @ W + b        (pre-norm qkv projection)
+#   fused_gemm_residual: y = res + a @ W + b      (output projection)
+# ---------------------------------------------------------------------------
+
+
+def _ln_gemm_fwd_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, y_ref, *,
+                        rows: int, tile: int, eps: float):
+    i = pl.program_id(0)
+    rowi = i * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    x = jnp.where(rowi < rows, x_ref[...], 0)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=1, keepdims=True) - mu * mu
+    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    ln = ((xf - mu) * inv) * g_ref[...].astype(jnp.float32) + \
+        be_ref[...].astype(jnp.float32)
+    y = jax.lax.dot_general(
+        ln.astype(x.dtype), w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[...].astype(jnp.float32)
+    y_ref[...] = y.astype(y_ref.dtype)
+
+
+def _ln_gemm_bwd_kernel(x_ref, dy_ref, g_ref, be_ref, w_ref, dx_ref,
+                        dg_ref, dbe_ref, dw_ref, db_ref,
+                        dw_s, db_s, dg_s, dbe_s, *,
+                        rows: int, tile: int, eps: float):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_s[:] = jnp.zeros_like(dw_s)
+        db_s[:] = jnp.zeros_like(db_s)
+        dg_s[:] = jnp.zeros_like(dg_s)
+        dbe_s[:] = jnp.zeros_like(dbe_s)
+
+    rowi = i * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    x = jnp.where(rowi < rows, x_ref[...], 0)
+    dy = jnp.where(rowi < rows, dy_ref[...], 0)
+    xf = x.astype(jnp.float32)
+    gam = g_ref[...].astype(jnp.float32)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=1, keepdims=True) - mu * mu
+    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    uhat = (xf - mu) * inv
+    ln = uhat * gam + be_ref[...].astype(jnp.float32)
+    lnc = ln.astype(x.dtype)
+    dy_c = dy
+    dw_s[:] += jax.lax.dot_general(
+        lnc, dy_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db_s[:] += jnp.sum(dy.astype(jnp.float32), axis=0, keepdims=True)
+    dln = jax.lax.dot_general(
+        dy_c, w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dxhat = dln * gam
+    m1 = jnp.mean(dxhat, axis=1, keepdims=True)
+    m2 = jnp.mean(dxhat * uhat, axis=1, keepdims=True)
+    dx_ref[...] = (inv * (dxhat - m1 - uhat * m2)).astype(dx_ref.dtype)
+    dg_s[:] += jnp.sum(dln * uhat, axis=0, keepdims=True)
+    dbe_s[:] += jnp.sum(dln, axis=0, keepdims=True)
+
+    @pl.when(i == n - 1)
+    def _fin():
+        dw_ref[...] = dw_s[:].astype(dw_ref.dtype)
+        db_ref[...] = db_s[:].astype(db_ref.dtype)
+        dg_ref[...] = dg_s[:].astype(dg_ref.dtype)
+        dbe_ref[...] = dbe_s[:].astype(dbe_ref.dtype)
+
+
+def _ln_gemm_forward(x2, g, be, w, b, eps, interpret):
+    rows, d = x2.shape
+    f = w.shape[1]
+    tile = min(ROW_TILE, max(_cdiv(rows, 8) * 8, 8))
+    return pl.pallas_call(
+        functools.partial(_ln_gemm_fwd_kernel, rows=rows, tile=tile, eps=eps),
+        grid=(_cdiv(rows, tile),),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((d, f), lambda i: (0, 0)),
+            pl.BlockSpec((1, f), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, f), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, f), x2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=int(3e7),
+        ),
+        interpret=interpret,
+    )(x2, g.reshape(1, d), be.reshape(1, d), w, b.reshape(1, f))
+
+
+def _ln_gemm_backward(x2, dy2, g, be, w, eps, interpret):
+    rows, d = x2.shape
+    f = w.shape[1]
+    tile = min(ROW_TILE_BWD, max(_cdiv(rows, 8) * 8, 8))
+    outs = pl.pallas_call(
+        functools.partial(_ln_gemm_bwd_kernel, rows=rows, tile=tile, eps=eps),
+        grid=(_cdiv(rows, tile),),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0)),
+            pl.BlockSpec((tile, f), lambda i: (i, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((d, f), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((d, f), lambda i: (0, 0)),
+            pl.BlockSpec((1, f), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, d), x2.dtype),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, f), jnp.float32),
+            jax.ShapeDtypeStruct((1, f), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d, f), jnp.float32),
+            pltpu.VMEM((1, f), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=int(3e7),
+        ),
+        interpret=interpret,
+    )(x2, dy2, g.reshape(1, d), be.reshape(1, d), w)
+    dx, dg, dbe, dw, db = outs
+    return dx, dg.reshape(d), dbe.reshape(d), dw, db.reshape(f)
+
+
+@functools.partial(custom_partitioning, static_argnums=(5, 6))
+def _ln_gemm_forward_p(x2, g, be, w, b, eps, interpret):
+    return _ln_gemm_forward(x2, g, be, w, b, eps, interpret)
+
+
+def _lg_fwd_infer(eps, interpret, mesh, arg_shapes, result_shape):
+    spec = arg_shapes[0].sharding.spec
+    lead = spec[0] if spec else None
+    return NamedSharding(mesh, P(lead, None))
+
+
+def _lg_fwd_partition(eps, interpret, mesh, arg_shapes, result_shape):
+    x_sh = _lg_fwd_infer(eps, interpret, mesh, arg_shapes, result_shape)
+    rep = NamedSharding(mesh, P(None, None))
+    rep1 = NamedSharding(mesh, P(None))
+
+    def lower(x2, g, be, w, b):
+        return _ln_gemm_forward(x2, g, be, w, b, eps, interpret)
+
+    return mesh, lower, x_sh, (x_sh, rep1, rep1, rep, rep1)
+
+
+_ln_gemm_forward_p.def_partition(
+    partition=_lg_fwd_partition,
+    infer_sharding_from_operands=_lg_fwd_infer,
+    sharding_rule="r d, d, d, d f, f -> r f",
+    need_replication_factors=("d", "f"),
+)
+
+
+@functools.partial(custom_partitioning, static_argnums=(5, 6))
+def _ln_gemm_backward_p(x2, dy2, g, be, w, eps, interpret):
+    return _ln_gemm_backward(x2, dy2, g, be, w, eps, interpret)
+
+
+def _lg_bwd_infer(eps, interpret, mesh, arg_shapes, result_shape):
+    spec = arg_shapes[0].sharding.spec
+    lead = spec[0] if spec else None
+    x_sh = NamedSharding(mesh, P(lead, None))
+    rep = NamedSharding(mesh, P(None, None))
+    rep1 = NamedSharding(mesh, P(None))
+    return (x_sh, rep1, rep1, rep, rep1)
+
+
+def _lg_bwd_partition(eps, interpret, mesh, arg_shapes, result_shape):
+    outs = _lg_bwd_infer(eps, interpret, mesh, arg_shapes, result_shape)
+    x_sh = outs[0]
+    rep = NamedSharding(mesh, P(None, None))
+    rep1 = NamedSharding(mesh, P(None))
+    psum_axes = _row_sharded_axes(mesh, arg_shapes[0])
+
+    def lower(x2, dy2, g, be, w):
+        res = _ln_gemm_backward(x2, dy2, g, be, w, eps, interpret)
+        if psum_axes:
+            dx = res[0]
+            rest = tuple(jax.lax.psum(t, psum_axes) for t in res[1:])
+            return (dx,) + rest
+        return res
+
+    return mesh, lower, outs, (x_sh, x_sh, rep1, rep1, rep)
+
+
+_ln_gemm_backward_p.def_partition(
+    partition=_lg_bwd_partition,
+    infer_sharding_from_operands=_lg_bwd_infer,
+    sharding_rule="r d, r f, d, d, d f -> r d, d, d, d f, f",
+    need_replication_factors=("d", "f"),
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_ln_gemm(x2, g, be, w, b, eps, interpret):
+    return _ln_gemm_forward_p(x2, g, be, w, b, eps, interpret)
+
+
+def _fused_ln_gemm_fwd(x2, g, be, w, b, eps, interpret):
+    return _ln_gemm_forward_p(x2, g, be, w, b, eps, interpret), (x2, g, be, w)
+
+
+def _fused_ln_gemm_bwd(eps, interpret, res, dy):
+    x2, g, be, w = res
+    dx, dg, dbe, dw, db = _ln_gemm_backward_p(x2, dy, g, be, w, eps,
+                                              interpret)
+    return (dx, dg.astype(g.dtype), dbe.astype(be.dtype),
+            dw.astype(w.dtype), db.astype(w.dtype))
+
+
+_fused_ln_gemm.defvjp(_fused_ln_gemm_fwd, _fused_ln_gemm_bwd)
+
+
+def fused_ln_gemm(x, ln_scale, ln_bias, w, b, *, eps: float = 1e-6,
+                  interpret: bool | None = None):
+    """y = LN(x) @ w + b with the LN fused into the GEMM's row tiles (the
+    f32 LN intermediate never reaches HBM). x: (..., D); w: (D, F)."""
+    dt = x.dtype
+    if jax.default_backend() != "tpu" and not interpret:
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+        ln = ((xf - mu) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+              * ln_scale + ln_bias).astype(dt)
+        return ln @ w.astype(dt) + b.astype(dt)
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    y = _fused_ln_gemm(
+        x2, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
+        w.astype(dt), b.astype(dt), float(eps), bool(interpret),
+    )
+    return y.reshape(*lead, y.shape[-1])
+
+
+def _gemm_res_fwd_kernel(res_ref, a_ref, w_ref, b_ref, y_ref, *, rows: int,
+                         tile: int):
+    i = pl.program_id(0)
+    rowi = i * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    res = jnp.where(rowi < rows, res_ref[...], 0)
+    a = jnp.where(rowi < rows, a_ref[...], 0)
+    y = jax.lax.dot_general(
+        a, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[...].astype(jnp.float32)
+    y_ref[...] = res + y.astype(y_ref.dtype)
+
+
+def _gemm_res_bwd_kernel(a_ref, dy_ref, w_ref, da_ref, dw_ref, db_ref,
+                         dw_s, db_s, *, rows: int, tile: int):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_s[:] = jnp.zeros_like(dw_s)
+        db_s[:] = jnp.zeros_like(db_s)
+
+    rowi = i * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    a = jnp.where(rowi < rows, a_ref[...], 0)
+    dy = jnp.where(rowi < rows, dy_ref[...], 0)
+    da_ref[...] = jax.lax.dot_general(
+        dy, w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(da_ref.dtype)
+    dw_s[:] += jax.lax.dot_general(
+        a, dy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db_s[:] += jnp.sum(dy.astype(jnp.float32), axis=0, keepdims=True)
+
+    @pl.when(i == n - 1)
+    def _fin():
+        dw_ref[...] = dw_s[:].astype(dw_ref.dtype)
+        db_ref[...] = db_s[:].astype(db_ref.dtype)
+
+
+def _gemm_res_forward(res2, a2, w, b, interpret):
+    rows, f = a2.shape
+    d = w.shape[1]
+    tile = min(ROW_TILE, max(_cdiv(rows, 8) * 8, 8))
+    return pl.pallas_call(
+        functools.partial(_gemm_res_fwd_kernel, rows=rows, tile=tile),
+        grid=(_cdiv(rows, tile),),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0)),
+            pl.BlockSpec((tile, f), lambda i: (i, 0)),
+            pl.BlockSpec((f, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, d), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, d), a2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(res2, a2, w, b.reshape(1, d))
+
+
+def _gemm_res_backward(a2, dy2, w, interpret):
+    rows, f = a2.shape
+    d = w.shape[1]
+    tile = min(ROW_TILE_BWD, max(_cdiv(rows, 8) * 8, 8))
+    da, dw, db = pl.pallas_call(
+        functools.partial(_gemm_res_bwd_kernel, rows=rows, tile=tile),
+        grid=(_cdiv(rows, tile),),
+        in_specs=[
+            pl.BlockSpec((tile, f), lambda i: (i, 0)),
+            pl.BlockSpec((tile, d), lambda i: (i, 0)),
+            pl.BlockSpec((f, d), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, f), lambda i: (i, 0)),
+            pl.BlockSpec((f, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, f), a2.dtype),
+            jax.ShapeDtypeStruct((f, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((f, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=int(3e7),
+        ),
+        interpret=interpret,
+    )(a2, dy2, w)
+    return da, dw, db.reshape(d)
+
+
+@functools.partial(custom_partitioning, static_argnums=(4,))
+def _gemm_res_forward_p(res2, a2, w, b, interpret):
+    return _gemm_res_forward(res2, a2, w, b, interpret)
+
+
+def _gr_fwd_infer(interpret, mesh, arg_shapes, result_shape):
+    spec = arg_shapes[0].sharding.spec
+    lead = spec[0] if spec else None
+    return NamedSharding(mesh, P(lead, None))
+
+
+def _gr_fwd_partition(interpret, mesh, arg_shapes, result_shape):
+    x_sh = _gr_fwd_infer(interpret, mesh, arg_shapes, result_shape)
+    rep = NamedSharding(mesh, P(None, None))
+    rep1 = NamedSharding(mesh, P(None))
+
+    def lower(res2, a2, w, b):
+        return _gemm_res_forward(res2, a2, w, b, interpret)
+
+    return mesh, lower, x_sh, (x_sh, x_sh, rep, rep1)
+
+
+_gemm_res_forward_p.def_partition(
+    partition=_gr_fwd_partition,
+    infer_sharding_from_operands=_gr_fwd_infer,
+    sharding_rule="r d, r f, f d, d -> r d",
+    need_replication_factors=("d", "f"),
+)
+
+
+@functools.partial(custom_partitioning, static_argnums=(3,))
+def _gemm_res_backward_p(a2, dy2, w, interpret):
+    return _gemm_res_backward(a2, dy2, w, interpret)
+
+
+def _gr_bwd_infer(interpret, mesh, arg_shapes, result_shape):
+    spec = arg_shapes[0].sharding.spec
+    lead = spec[0] if spec else None
+    a_sh = NamedSharding(mesh, P(lead, None))
+    rep = NamedSharding(mesh, P(None, None))
+    rep1 = NamedSharding(mesh, P(None))
+    return (a_sh, rep, rep1)
+
+
+def _gr_bwd_partition(interpret, mesh, arg_shapes, result_shape):
+    outs = _gr_bwd_infer(interpret, mesh, arg_shapes, result_shape)
+    a_sh = outs[0]
+    rep = NamedSharding(mesh, P(None, None))
+    psum_axes = _row_sharded_axes(mesh, arg_shapes[0])
+
+    def lower(a2, dy2, w):
+        res = _gemm_res_backward(a2, dy2, w, interpret)
+        if psum_axes:
+            da = res[0]
+            rest = tuple(jax.lax.psum(t, psum_axes) for t in res[1:])
+            return (da,) + rest
+        return res
+
+    return mesh, lower, outs, (a_sh, a_sh, rep)
+
+
+_gemm_res_backward_p.def_partition(
+    partition=_gr_bwd_partition,
+    infer_sharding_from_operands=_gr_bwd_infer,
+    sharding_rule="r f, r d, f d -> r f, f d, d",
+    need_replication_factors=("f", "d"),
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused_gemm_res(res2, a2, w, b, interpret):
+    return _gemm_res_forward_p(res2, a2, w, b, interpret)
+
+
+def _fused_gemm_res_fwd(res2, a2, w, b, interpret):
+    return _gemm_res_forward_p(res2, a2, w, b, interpret), (a2, w)
+
+
+def _fused_gemm_res_bwd(interpret, res, dy):
+    a2, w = res
+    da, dw, db = _gemm_res_backward_p(a2, dy, w, interpret)
+    # residual path: d(res) = dy unchanged
+    return dy, da, dw.astype(w.dtype), db.astype(w.dtype)
+
+
+_fused_gemm_res.defvjp(_fused_gemm_res_fwd, _fused_gemm_res_bwd)
+
+
+def fused_gemm_residual(res, a, w, b, *, interpret: bool | None = None):
+    """y = res + a @ w + b (output projection + residual add as one op).
+    res: (..., D); a: (..., F); w: (F, D)."""
+    dt = res.dtype
+    if jax.default_backend() != "tpu" and not interpret:
+        return res + (a @ w.astype(a.dtype) + b.astype(a.dtype)).astype(dt)
+    lead = res.shape[:-1]
+    res2 = res.reshape(-1, res.shape[-1])
+    a2 = a.reshape(-1, a.shape[-1])
+    y = _fused_gemm_res(res2, a2, w.astype(dt), b.astype(dt), bool(interpret))
+    return y.reshape(*lead, y.shape[-1])
