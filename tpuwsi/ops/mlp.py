@@ -70,6 +70,16 @@ def _gelu_and_grad(u, approx):
     return u * phi, phi + u * pdf
 
 
+def _bwd_vmem_ok(d: int, f: int) -> bool:
+    """Whether the fused backward's VMEM working set fits: two f32 dW
+    accumulators (d·f each) + ~5 (ROW_TILE_BWD, f) f32 tile intermediates +
+    bf16 weights, against the ~30 MB limit we request (with margin)."""
+    acc = 2 * d * f * 4
+    tiles = 5 * ROW_TILE_BWD * f * 4
+    weights = 2 * d * f * 2
+    return acc + tiles + weights < int(2.6e7)
+
+
 def _mlp_fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_ref, *,
                     rows: int, tile: int, approx: bool):
     i = pl.program_id(0)
@@ -347,8 +357,14 @@ def fused_mlp(
     Exact (erf) GELU falls back to XLA on real TPUs: this image's Mosaic has
     no erf/erfc lowering (NotImplementedError at compile) — only the
     tanh-approx path runs in-kernel. Interpret mode supports both.
+    Large widths also fall back: the backward's two f32 weight-grad
+    accumulators must fit VMEM alongside the row-tile intermediates (ViT-S
+    fits; ViT-B's 768×3072 accumulators alone are ~19 MB).
     """
-    use_pallas = (jax.default_backend() == "tpu" and approx) or interpret
+    use_pallas = (
+        jax.default_backend() == "tpu" and approx
+        and _bwd_vmem_ok(w1.shape[0], w1.shape[1])
+    ) or interpret
     dt = x.dtype
     if not use_pallas:
         u = (x @ w1.astype(dt)) + b1.astype(dt)
@@ -690,9 +706,13 @@ def fused_mlp_block(
     semantics) with the same f32→stream-dtype cast before fc1 as the
     unfused module path; the residual add happens in the stream dtype.
     Exact (erf) GELU falls back to XLA on real TPUs (no Mosaic erf lowering
-    in this image); the tanh-approx path runs in-kernel.
+    in this image); the tanh-approx path runs in-kernel. Large widths fall
+    back too (see fused_mlp).
     """
-    use_pallas = (jax.default_backend() == "tpu" and approx) or interpret
+    use_pallas = (
+        jax.default_backend() == "tpu" and approx
+        and _bwd_vmem_ok(w1.shape[0], w1.shape[1])
+    ) or interpret
     dt = x.dtype
     if not use_pallas:
         xf = x.astype(jnp.float32)
