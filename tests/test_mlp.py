@@ -135,3 +135,27 @@ def test_fused_ln_gemm_and_gemm_residual_match_reference():
     for p, q in zip(gf2, gr2):
         np.testing.assert_allclose(np.asarray(p), np.asarray(q),
                                    atol=1e-3, rtol=1e-3)
+
+
+def test_vit_b_width_falls_back_cleanly():
+    """The fused-MLP VMEM guard: ViT-B-width (768/3072) exceeds the
+    backward's VMEM working set, so dispatch must fall back to the unfused
+    path without error (and _bwd_vmem_ok reflects the split)."""
+    import dataclasses
+
+    from tpuwsi.models.vit import VisionTransformer, vit_base
+    from tpuwsi.ops.mlp import _bwd_vmem_ok
+
+    assert _bwd_vmem_ok(384, 1536)      # ViT-S: kernel path
+    assert not _bwd_vmem_ok(768, 3072)  # ViT-B: fallback
+
+    cfg = dataclasses.replace(
+        vit_base(num_classes=0, img_size=32, dtype=jnp.float32,
+                 use_pallas_attention=True, pallas_interpret=True,
+                 gelu_approx=True),
+        depth=1,
+    )
+    m = VisionTransformer(cfg)
+    x = jnp.zeros((1, 32, 32, 3))
+    p = m.init(jax.random.PRNGKey(0), x)
+    assert np.isfinite(np.asarray(m.apply(p, x))).all()
