@@ -73,6 +73,14 @@ def main():
     imgs = np.random.randint(0, 255, (batch_size, tile, tile, 3), dtype=np.uint8)
     batch = {"images": jnp.asarray(imgs)}
 
+    # Latency-hiding scheduler: measured +2.4% on the full step (the trace
+    # showed op-internal DMA stalls — inputs not prefetched across op
+    # boundaries; this scheduler overlaps them).
+    if jax.default_backend() == "tpu":
+        step = step.lower(state, batch, rng).compile(
+            compiler_options={"xla_tpu_enable_latency_hiding_scheduler": "true"}
+        )
+
     # warmup/compile — float() forces a real device round-trip (plain
     # block_until_ready does not surface execution on the axon backend).
     state, m = step(state, batch, rng)
