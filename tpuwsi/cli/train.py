@@ -241,7 +241,10 @@ def main(argv=None):
         ema_decay=args.model_ema_decay if args.model_ema else None,
     )
     mesh = _fitting_mesh(args.batch_size)
-    jit_step = compile_step(step_fn, mesh, state, donate=False)
+    # latency-hiding scheduler: +2.4% measured on the full step (BENCH.md)
+    from tpuwsi.core.compile import scheduled_step
+
+    jit_step = scheduled_step(compile_step(step_fn, mesh, state, donate=False))
 
     eval_norm = make_recipe(
         args.transform_type, train=False, tile_size=img_size,
@@ -596,7 +599,11 @@ def train_ssl(args, output_dir):
             n_local=args.dino_local_crops,
         )
     )
-    step = jax.jit(make_dino_train_step(model.apply, tx, dcfg, multicrop_fn=mc))
+    from tpuwsi.core.compile import scheduled_step
+
+    step = scheduled_step(
+        jax.jit(make_dino_train_step(model.apply, tx, dcfg, multicrop_fn=mc))
+    )
     ckpt = CheckpointManager(
         os.path.join(output_dir, "checkpoints"), metric_name="loss", mode="min"
     )

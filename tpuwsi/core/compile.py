@@ -1,0 +1,54 @@
+"""Step-compilation helpers.
+
+The round-2 device profile (BENCH.md) showed per-op input-DMA stalls are the
+systemic in-step overhead; XLA:TPU's latency-hiding scheduler recovers a
+measured +2.4% on the full DINO step. The scheduler is only reachable via
+per-compile ``compiler_options`` here (the XLA_FLAGS env route is parsed —
+and rejected — by the local CPU XLA before the flag ever reaches the
+tunneled TPU compiler).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+
+_SCHED_OPTS = {"xla_tpu_enable_latency_hiding_scheduler": "true"}
+
+
+def scheduled_step(jitted):
+    """Wrap a jitted step so its first TPU call AOT-compiles with the
+    latency-hiding scheduler; transparent on other backends and on any
+    compile failure. The wrapped step must be called with a fixed signature
+    (one shapes/dtypes/sharding combination), which training loops satisfy.
+    """
+    cache = {}
+
+    def _sig(args):
+        leaves = jax.tree_util.tree_leaves(args)
+        return tuple(
+            (getattr(l, "shape", None), str(getattr(l, "dtype", type(l))))
+            for l in leaves
+        )
+
+    def call(*args):
+        if jax.default_backend() != "tpu":
+            return jitted(*args)
+        key = _sig(args)
+        fn = cache.get(key)
+        if fn is None:
+            try:
+                fn = jitted.lower(*args).compile(
+                    compiler_options=dict(_SCHED_OPTS)
+                )
+            except Exception as e:  # pragma: no cover - backend-dependent
+                logging.warning(
+                    "latency-hiding scheduler compile failed (%s); "
+                    "falling back to plain jit", e,
+                )
+                fn = jitted
+            cache[key] = fn
+        return fn(*args)
+
+    return call
