@@ -154,3 +154,21 @@ def test_dino_step_runs_and_improves():
     assert not np.allclose(np.asarray(s0), np.asarray(t0))
     # center was updated away from zero
     assert float(jnp.abs(state.center).max()) > 0
+
+
+def test_scheduled_step_transparent_on_cpu_and_caches_by_signature():
+    """core.compile.scheduled_step: on non-TPU backends it must be a
+    transparent pass-through; repeated calls with different shapes must not
+    break (per-signature cache)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuwsi.core.compile import scheduled_step
+
+    step = scheduled_step(jax.jit(lambda s, x: (s + 1, x.sum())))
+    s, r1 = step(jnp.asarray(0), jnp.ones((4, 3)))
+    s, r2 = step(s, jnp.ones((8, 3)))  # different shape — must not raise
+    assert int(s) == 2
+    assert float(r1) == 12.0 and float(r2) == 24.0
+    assert np.isfinite(float(r2))
