@@ -254,3 +254,55 @@ def test_fused_attention_block_matches_reference():
         for a, r in zip(gf, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                        atol=5e-3, rtol=5e-3)
+
+
+def test_wide_vmem_gate():
+    """ADVICE r2 (medium): the wide-softmax kernel must refuse shapes whose
+    backward scratch outgrows the requested VMEM limit (ViT-S at 448 px →
+    seq_pad 896 → ~38 MB of f32 scratch) and accept ViT-length ones."""
+    from tpuwsi.ops.attention import _wide_vmem_ok
+
+    # ViT-S/16 @ 224: 197 tokens → seq_pad 256, 6 heads, D=384, bf16
+    assert _wide_vmem_ok(6, 256, 384, 2)
+    # ViT-S/16 @ 448: 785 tokens → seq_pad 896 — must be rejected
+    assert not _wide_vmem_ok(6, 896, 384, 2)
+    # ViT-B/16 @ 224: 197 tokens → seq_pad 256, 12 heads, D=768
+    assert _wide_vmem_ok(12, 256, 768, 2)
+
+
+def test_mha_qkv_over_budget_matches_reference():
+    """Shapes beyond the wide-kernel VMEM budget must still produce correct
+    attention (flash/XLA fallback path) with gradients."""
+    from tpuwsi.ops.attention import mha_from_qkv, _mha_reference
+
+    rng = np.random.default_rng(7)
+    b, n, h, hd = 2, 600, 6, 16  # long enough to take the fallback branch
+    d = h * hd
+    qkv = jnp.asarray(rng.standard_normal((b, n, 3 * d)), jnp.float32)
+
+    out = mha_from_qkv(qkv, num_heads=h, training=True)
+    ref = _mha_reference(qkv, h, hd ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    g = jax.grad(lambda q: mha_from_qkv(q, num_heads=h, training=True).sum())(qkv)
+    gref = jax.grad(lambda q: _mha_reference(q, h, hd ** -0.5).sum())(qkv)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gref), atol=2e-4)
+
+
+def test_flash_stats_fully_masked_row_lse_safe():
+    """ADVICE r2 (low): a fully-masked element (kv_len == 0) must write a
+    benign lse (0), not -1e30, so any future backward through the masked
+    path cannot explode exp(s - lse)."""
+    rng = np.random.default_rng(3)
+    b, h, s, dm = 2, 2, 16, 8
+    q = jnp.asarray(rng.standard_normal((b, h, s, dm)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, dm)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, dm)), jnp.float32)
+    lengths = jnp.array([0, s], jnp.int32)
+    out, lse = _flash_forward(
+        q, k, v, lengths, dm ** -0.5, 8, 8, interpret=True, return_stats=True
+    )
+    lse = np.asarray(lse).reshape(b, h, -1)
+    assert np.all(lse[0] == 0.0), "masked rows must get lse == 0"
+    assert np.all(np.isfinite(lse[1]))
+    assert np.all(np.asarray(out)[0] == 0.0)

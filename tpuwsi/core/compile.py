@@ -26,10 +26,21 @@ def scheduled_step(jitted):
     cache = {}
 
     def _sig(args):
-        leaves = jax.tree_util.tree_leaves(args)
-        return tuple(
-            (getattr(l, "shape", None), str(getattr(l, "dtype", type(l))))
-            for l in leaves
+        # The AOT-compiled executable is specialized to shapes, dtypes,
+        # pytree structure AND input shardings — hash all four, otherwise a
+        # same-shape call with a different treedef or sharding would hit an
+        # executable that rejects it instead of triggering a recompile.
+        leaves, treedef = jax.tree_util.tree_flatten(args)
+        return (
+            str(treedef),
+            tuple(
+                (
+                    getattr(l, "shape", None),
+                    str(getattr(l, "dtype", type(l))),
+                    str(getattr(l, "sharding", None)),
+                )
+                for l in leaves
+            ),
         )
 
     def call(*args):

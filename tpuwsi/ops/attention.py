@@ -112,13 +112,18 @@ def _flash_kernel(
     # Mask out padded keys beyond this batch-head's true kv length.
     kv_len = lengths_ref[bh]
     global_k = ki * tile_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(global_k < kv_len, s, NEG_INF)
+    key_valid = global_k < kv_len
+    s = jnp.where(key_valid, s, NEG_INF)
 
     m_prev = m_scratch[:, 0:1]  # (TQ, 1)
     m_cur = jnp.max(s, axis=1, keepdims=True)  # (TQ, 1)
     m_new = jnp.maximum(m_prev, m_cur)
 
-    p = jnp.exp(s - m_new)  # (TQ, TK)
+    # Zero p explicitly: when EVERY key in the tile is masked, m_new is also
+    # NEG_INF and exp(s - m_new) = exp(0) = 1 — without this mask a fully-
+    # masked row would silently average all of v (and l would never be 0, so
+    # the _finalize / lse guards could not catch it).
+    p = jnp.where(key_valid, jnp.exp(s - m_new), 0.0)  # (TQ, TK)
     alpha = jnp.exp(m_prev - m_new)  # (TQ, 1)
 
     l_prev = l_scratch[:, 0:1]
@@ -155,8 +160,14 @@ def _flash_kernel_stats(
 
     @pl.when(ki == nk - 1)
     def _write_lse():
-        l = jnp.maximum(l_scratch[:, 0:1], 1e-30)
-        lse_ref[0] = (m_scratch[:, 0:1] + jnp.log(l))[:, 0]
+        l = l_scratch[:, 0:1]
+        # Fully-masked rows (kv_len == 0) have l == 0; m is NEG_INF there, so
+        # m + log(max(l, eps)) would be ~ -1e30 and the blockwise backward's
+        # p = exp(s - lse) would explode to exp(+1e30 - …) garbage. Write
+        # lse = 0 instead: masked scores are NEG_INF, so exp(s - 0) = 0 and
+        # every gradient contribution from the masked row vanishes.
+        lse = m_scratch[:, 0:1] + jnp.log(jnp.maximum(l, 1e-30))
+        lse_ref[0] = jnp.where(l == 0.0, 0.0, lse)[:, 0]
 
 
 def _flash_forward(q, k, v, kv_lengths, scale, tile_q, tile_k, interpret,
@@ -595,6 +606,20 @@ MIN_PALLAS_SEQ = 512
 # ---------------------------------------------------------------------------
 
 
+_WIDE_VMEM_LIMIT = int(3e7)
+
+
+def _wide_vmem_ok(num_heads: int, seq_pad: int, d: int, itemsize: int) -> bool:
+    """Whether the wide-softmax kernels' VMEM working set fits the ~30 MB we
+    request: the BACKWARD is the binding case — two (H·S_pad, S_pad) f32
+    scratches plus double-buffered qkv/g/dqkv blocks. Gating on the backward
+    keeps fwd and bwd dispatch consistent (the vjp pairs them). Beyond this,
+    mha_from_qkv falls back to the O(S) flash kernel / XLA."""
+    scratch = 2 * num_heads * seq_pad * seq_pad * 4
+    io = 2 * seq_pad * (3 * d + d + 3 * d) * itemsize
+    return scratch + io < int(0.9 * _WIDE_VMEM_LIMIT)
+
+
 def _mha_qkv_kernel(q_len_ref, qkv_ref, o_ref, st_ref, *, num_heads: int,
                     seq_pad: int, scale: float, block_len: int):
     """Whole-sequence MHA, one program per batch element, ALL heads.
@@ -687,6 +712,7 @@ def _mha_qkv_forward(qkv, num_heads, scale, interpret, block_len=0):
         out_shape=jax.ShapeDtypeStruct((b, n, d3 // 3), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            vmem_limit_bytes=_WIDE_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(lengths, qkv)
@@ -806,6 +832,7 @@ def _mha_qkv_backward(qkv, g, num_heads, scale, interpret, block_len=0):
         out_shape=jax.ShapeDtypeStruct((b, n, d3), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            vmem_limit_bytes=_WIDE_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(lengths, qkv, g)
@@ -947,15 +974,28 @@ def mha_from_qkv(
     # kernel still wins fwd+bwd (1.62 vs 1.79 ms) because XLA's attention
     # backward is weak — so training forwards (student local crops) dispatch
     # to the kernel at any length, inference forwards only at ≥64 tokens.
-    # Past ~1024 tokens the whole-sequence block outgrows VMEM — use the
+    # Past the VMEM budget the whole-sequence block cannot compile (the
+    # backward holds two (H·S_pad, S_pad) f32 scratches) — use the O(S)
     # flash kernel (fused_attention) there instead.
     min_seq = 2 if training else 64
+    b, n = qkv.shape[0], qkv.shape[1]
+    seq_pad = max(_cdiv(n, 128) * 128, 128)
     use_pallas = (
-        jax.default_backend() == "tpu" and min_seq <= qkv.shape[1] <= 1024
+        jax.default_backend() == "tpu"
+        and min_seq <= n
+        and _wide_vmem_ok(num_heads, seq_pad, d, qkv.dtype.itemsize)
     ) or interpret
     if not use_pallas:
+        if jax.default_backend() == "tpu" and n >= MIN_PALLAS_SEQ:
+            # Over the wide-kernel VMEM budget (e.g. ViT-S at 448 px → 785
+            # tokens): unpack the fused qkv and run the flash kernel, which
+            # tiles the sequence and never materializes (S, S).
+            hd = d // num_heads
+            x = qkv.reshape(b, n, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
+            o = fused_attention(x[0], x[1], x[2], scale=scale,
+                                interpret=interpret)
+            return o.transpose(0, 2, 1, 3).reshape(b, n, d)
         return _mha_reference(qkv, num_heads, scale)
-    b, n = qkv.shape[0], qkv.shape[1]
     pack = 128 // n if n <= 64 else 1
     if pack > 1:
         # Sequence packing: 37-token local crops pad to 128 rows, wasting
@@ -1485,8 +1525,9 @@ def fused_attention_block(
 
     x: (B, N, D) residual stream. Short sequences (N ≤ 64) are
     sequence-packed 128//N per program with a block-diagonal mask, exactly
-    like mha_from_qkv. Falls back to None (caller should use the unfused
-    path) on non-TPU backends unless interpret is set.
+    like mha_from_qkv. On non-TPU backends (without interpret) the op
+    transparently computes and returns the XLA reference result — callers
+    never need to branch.
     """
     b, n, d = x.shape
     scale = (d // num_heads) ** -0.5
