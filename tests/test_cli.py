@@ -245,3 +245,179 @@ def test_config_recipes_parse():
     assert a.batch_size == 32
     a = parse_args(["--config", os.path.join(root, "extract-features.yaml")])
     assert a.extract_features
+
+
+@pytest.fixture
+def survival_cli_cohort(tmp_path):
+    """Synthetic survival cohort with a risk signal: darker slides die
+    earlier (tile brightness ∝ survival months)."""
+    root = tmp_path / "Breast" / "ABCTB_TIF"
+    os.makedirs(root / "Grids_10")
+    rng = np.random.default_rng(1)
+    files, censored, months, status, folds, counts = [], [], [], [], [], []
+    for i in range(8):
+        name = f"s{i}.png"
+        base = 40 + 24 * i  # brightness encodes survival
+        arr = np.clip(rng.normal(base, 10, (256, 256, 3)), 0, 255).astype(np.uint8)
+        Image.fromarray(arr).save(root / name)
+        grid = [(r, c) for r in range(0, 224, 32) for c in range(0, 224, 32)]
+        save_grid_pickle(str(grid_file_path(str(root), name, 10, 32)), grid)
+        files.append(name)
+        censored.append(0)
+        months.append(12.0 * (i + 1))
+        status.append("Positive" if i >= 4 else "Negative")
+        folds.append(1 if i % 2 == 0 else 2)  # fold 1 = test
+        counts.append(len(grid))
+    total_col, legit_col = grid_data_columns(32, 10)
+    write_xlsx(str(root / "slides_data_ABCTB_TIF.xlsx"), pd.DataFrame({
+        "file": files, "id": ["ABCTB_TIF"] * 8,
+        "patient barcode": [f"P{i}" for i in range(8)],
+        "Censored": censored,
+        "Follow-up Months Since Diagnosis": months,
+        "survival status": status,
+        "Exclude for time prediction?": [""] * 8,
+        "test fold idx": folds,
+        "Manipulated Objective Power": [10] * 8,
+    }))
+    write_xlsx(str(root / "Grids_10" / "Grid_data.xlsx"), pd.DataFrame(
+        {"file": files, total_col: counts, legit_col: counts}))
+    return str(tmp_path)
+
+
+def test_cli_survival_time_end_to_end(survival_cli_cohort, tmp_path):
+    """VERDICT r2 #2: the reference's DEFAULT target (-tar Survival_Time,
+    train.py:370) must route through the Cox step and produce a slide-level
+    C-index in summary.csv."""
+    from tpuwsi.cli.train import main
+
+    out = str(tmp_path / "runs")
+    state = main([
+        "--dataset", "ABCTB_TIF",
+        "--data-root", survival_cli_cohort,
+        "--model", "vit_tiny_patch16_224",
+        "--tile-size", "32",
+        "-b", "4",
+        "--epochs", "1",
+        "--max-steps-per-epoch", "2",
+        "--warmup-epochs", "0",
+        "--opt", "adamw",
+        "--lr", "1e-3",
+        "--transform_type", "flip",
+        "--output", out,
+        "--eval_rate", "1",
+        "--n_patches_test", "4",
+        "-tpi", "4",
+        "-tf", "1",
+        "-tar", "Survival_Time",
+    ])
+    assert int(state.step) == 2
+    run_dir = [os.path.join(out, e) for e in os.listdir(out)
+               if e.startswith("Exp_")][0]
+    import csv
+
+    rows = list(csv.DictReader(open(os.path.join(run_dir, "summary.csv"))))
+    assert "eval_c_index" in rows[0]
+    assert 0.0 <= float(rows[0]["eval_c_index"]) <= 1.0
+    assert "train_c_index" in rows[0]
+
+
+def test_cli_survival_binary_end_to_end(survival_cli_cohort, tmp_path):
+    from tpuwsi.cli.train import main
+
+    out = str(tmp_path / "runs")
+    state = main([
+        "--dataset", "ABCTB_TIF",
+        "--data-root", survival_cli_cohort,
+        "--model", "vit_tiny_patch16_224",
+        "--tile-size", "32",
+        "-b", "4",
+        "--epochs", "1",
+        "--max-steps-per-epoch", "2",
+        "--warmup-epochs", "0",
+        "--opt", "adamw",
+        "--lr", "1e-3",
+        "--transform_type", "flip",
+        "--output", out,
+        "--eval_rate", "1",
+        "--n_patches_test", "4",
+        "-tpi", "4",
+        "-tf", "1",
+        "-tar", "Survival_Binary",
+    ])
+    assert int(state.step) == 2
+    run_dir = [os.path.join(out, e) for e in os.listdir(out)
+               if e.startswith("Exp_")][0]
+    import csv
+
+    rows = list(csv.DictReader(open(os.path.join(run_dir, "summary.csv"))))
+    assert "train_auc" in rows[0]
+
+
+def test_no_grad_freezes_backbone(patch_folder, tmp_path):
+    """VERDICT r2 #4: --no-grad (train.py:498-503) must leave every backbone
+    leaf bit-identical while the head trains."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpuwsi.models.registry import create_model
+    from tpuwsi.train import create_train_state, make_train_step
+    from tpuwsi.train.losses import cross_entropy
+    from tpuwsi.train.optim import freeze_non_head
+
+    model = create_model("vit_tiny_patch16_224", num_classes=2, img_size=32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    tx = freeze_non_head(optax.adamw(1e-2), params)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(
+        model.apply, tx,
+        augment_fn=lambda k, im: im.astype(jnp.float32) / 255.0,
+        loss_fn=lambda l, y: cross_entropy(l, y, 0.0),
+    ))
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        batch = {
+            "images": jnp.asarray(
+                rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8)
+            ),
+            "labels": jnp.asarray(rng.integers(0, 2, (4,))),
+        }
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+
+    before = flax.traverse_util.flatten_dict(flax.core.unfreeze(params))
+    after = flax.traverse_util.flatten_dict(flax.core.unfreeze(state.params))
+    head_changed = backbone_same = 0
+    for k, v0 in before.items():
+        same = np.array_equal(np.asarray(v0), np.asarray(after[k]))
+        if any("head" in str(p) for p in k):
+            if not same:
+                head_changed += 1
+        else:
+            assert same, f"backbone leaf {k} changed under --no-grad"
+            backbone_same += 1
+    assert head_changed > 0 and backbone_same > 0
+
+
+def test_cli_no_grad_and_experiment_flags(patch_folder, tmp_path):
+    """--no-grad must run end-to-end; --experiment must name the run dir."""
+    from tpuwsi.cli.train import main
+
+    out = str(tmp_path / "runs")
+    main([
+        "--data-dir", patch_folder,
+        "--model", "vit_tiny_patch16_224",
+        "--img-size", "32",
+        "-b", "8",
+        "--epochs", "1",
+        "--max-steps-per-epoch", "1",
+        "--warmup-epochs", "0",
+        "--transform_type", "flip",
+        "--output", out,
+        "--eval_rate", "100",
+        "--val-split", "0",
+        "--no-grad",
+        "--experiment", "myexp",
+        "--num-classes", "2",
+    ])
+    assert any("myexp" in e for e in os.listdir(out))

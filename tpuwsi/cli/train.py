@@ -103,6 +103,7 @@ def main(argv=None):
     exp = ledger.create(
         args.target,
         test_fold=args.test_fold,
+        name=args.experiment or None,
         DataSet=args.dataset,
         Model=args.model,
         Transformations=args.transform_type,
@@ -114,6 +115,11 @@ def main(argv=None):
 
     if args.ssl:
         return train_ssl(args, output_dir)
+    if args.target in ("Survival_Time", "Survival_Binary"):
+        # The reference's DEFAULT target (train.py:370) routes through the
+        # survival dataset family (datasets.py:2354-3461) and censored
+        # objectives, not classification CE.
+        return train_survival(args, output_dir, ledger, exp)
 
     # ---------------- data ----------------
     folder_mode = bool(args.data_dir)
@@ -130,7 +136,7 @@ def main(argv=None):
             train_ds, val_ds = train_ds.split(
                 1.0 - args.val_split, np.random.default_rng(args.seed)
             )
-        num_classes = args.num_output or train_ds.num_classes
+        num_classes = args.num_output or args.num_classes or train_ds.num_classes
         steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
     else:
         table = load_slide_table(
@@ -167,7 +173,7 @@ def main(argv=None):
             loan=args.loan,
             print_timing=args.time,
         )
-        num_classes = args.num_output or 2
+        num_classes = args.num_output or args.num_classes or 2
         steps_per_epoch = max(len(sampler) // args.batch_size, 1)
 
     # ---------------- model + optimizer ----------------
@@ -203,6 +209,11 @@ def main(argv=None):
         steps_per_epoch=steps_per_epoch,
     )
     tx, schedule = make_optimizer(ocfg, params, args.batch_size)
+    if args.no_grad:
+        # --no-grad head-only finetuning (train.py:498-503)
+        from tpuwsi.train.optim import freeze_non_head
+
+        tx = freeze_non_head(tx, params)
     state = create_train_state(params, tx, ema=args.model_ema)
 
     ckpt = CheckpointManager(
@@ -513,6 +524,174 @@ def _strip_head(params):
     flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(params))
     flat = {k: v for k, v in flat.items() if "head" not in k}
     return flax.traverse_util.unflatten_dict(flat)
+
+
+def train_survival(args, output_dir, ledger, exp):
+    """Survival-target training (-tar Survival_Time / Survival_Binary — the
+    reference's DEFAULT, train.py:370; datasets.py:2354-3461).
+
+    Survival_Time → Cox partial-likelihood risk regression (1-output head);
+    Survival_Binary → masked CE on the 5-year status (2-way head). Eval every
+    --eval_rate epochs walks the test-fold slides with SurvivalSlideWalker
+    and records slide-level C-index (+ binary AUC) in summary.csv.
+    """
+    import jax.numpy as jnp
+
+    from tpuwsi.core.mesh import shard_batch
+    from tpuwsi.infer.survival_walker import (
+        SurvivalAggregator,
+        SurvivalSlideWalker,
+    )
+    from tpuwsi.io.survival import load_survival_slide_table, survival_batches
+    from tpuwsi.io.wsi import Prefetcher, WSITileSampler
+    from tpuwsi.models.registry import create_model
+    from tpuwsi.preprocess import make_recipe
+    from tpuwsi.train import (
+        CheckpointManager,
+        OptimConfig,
+        create_train_state,
+        make_optimizer,
+    )
+    from tpuwsi.train.survival import make_survival_train_step
+    from tpuwsi.utils import update_summary
+
+    mode = "cox" if args.target == "Survival_Time" else "binary"
+    table = load_survival_slide_table(
+        args.dataset,
+        tile_size=args.tile_size,
+        test_fold=args.test_fold,
+        train=True,
+        train_type="REG",
+        n_tiles=args.n_patches_train,
+        desired_magnification=args.mag,
+        censor_balance=args.balanced_dataset,
+        data_root=args.data_root,
+    )
+    sampler = WSITileSampler(
+        table, n_tiles=args.n_patches_train, bag_size=1,
+        num_threads=args.workers, print_timing=args.time,
+    )
+    steps_per_epoch = max(len(sampler) // args.batch_size, 1)
+
+    on_tpu = jax.default_backend() == "tpu"
+    img_size = args.img_size or args.tile_size
+    num_classes = 1 if mode == "cox" else 2
+    model = create_model(
+        args.model, num_classes=num_classes, drop_rate=args.drop,
+        drop_path_rate=args.drop_path or 0.0, img_size=img_size,
+        use_pallas_attention=on_tpu,
+    )
+    params = model.init(
+        jax.random.PRNGKey(args.seed),
+        jnp.zeros((1, img_size, img_size, 3), jnp.float32),
+    )
+    ocfg = OptimConfig(
+        opt=args.opt, lr=args.lr, base_lr=args.lr_base,
+        lr_base_size=args.lr_base_size,
+        momentum=args.momentum, weight_decay=args.weight_decay,
+        clip_grad=args.clip_grad, sched=args.sched, epochs=args.epochs,
+        warmup_epochs=args.warmup_epochs, warmup_lr=args.warmup_lr,
+        min_lr=args.min_lr, steps_per_epoch=steps_per_epoch,
+    )
+    tx, _ = make_optimizer(ocfg, params, args.batch_size)
+    if args.no_grad:
+        from tpuwsi.train.optim import freeze_non_head
+
+        tx = freeze_non_head(tx, params)
+    state = create_train_state(params, tx)
+    metric_name = "c_index" if mode == "cox" else "auc"
+    ckpt = CheckpointManager(
+        os.path.join(output_dir, "checkpoints"),
+        max_history=args.checkpoint_hist, metric_name=metric_name,
+    )
+    if args.resume:
+        restored = CheckpointManager(args.resume).restore(target=state)
+        if restored is not None:
+            state = restored
+
+    aug = make_recipe(
+        args.transform_type, train=True, tile_size=img_size,
+        color_param=args.c_param, norm_type="Ron",
+    )
+    step_fn = make_survival_train_step(model.apply, tx, mode=mode, augment_fn=aug)
+    mesh = _fitting_mesh(args.batch_size)
+    from tpuwsi.core.compile import scheduled_step
+
+    jit_step = scheduled_step(jax.jit(step_fn))
+
+    eval_norm = make_recipe(
+        args.transform_type, train=False, tile_size=img_size, norm_type="Ron"
+    )
+
+    @jax.jit
+    def risk_fn(params, images):
+        x = eval_norm(jax.random.PRNGKey(0), images)
+        out = model.apply(params, x)
+        if mode == "cox":
+            return out[:, 0] if out.ndim > 1 else out
+        # binary: risk = logit margin toward the "not survived" class
+        return out[:, 0] - out[:, 1]
+
+    summary_path = os.path.join(output_dir, "summary.csv")
+    rng = jax.random.PRNGKey(args.seed)
+    with mesh:
+        for epoch in range(args.epochs):
+            epoch_rng = np.random.default_rng(args.seed + epoch)
+            batches = survival_batches(sampler, epoch_rng, args.batch_size)
+            metrics = {}
+            for i, batch in enumerate(Prefetcher(batches, depth=3)):
+                if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:
+                    break
+                sb = shard_batch(
+                    mesh,
+                    {
+                        "images": batch["images"],
+                        "binary_targets": batch["binary_targets"],
+                        "time_targets": batch["time_targets"],
+                        "censored": batch["censored"],
+                    },
+                )
+                state, metrics = jit_step(state, sb, rng)
+                if args.dispatch_ahead and i % args.dispatch_ahead == 0:
+                    float(metrics["loss"])
+                if args.log_interval and i % args.log_interval == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    logging.info(
+                        "survival(%s) epoch %d step %d loss %.4f %s %.3f",
+                        mode, epoch, i, m.get("loss", 0.0), metric_name,
+                        m.get(metric_name, 0.5),
+                    )
+            train_metrics = {k: float(v) for k, v in metrics.items()}
+
+            eval_metrics = {}
+            if epoch % args.eval_rate == 0 or epoch == args.epochs - 1:
+                infer_table = load_survival_slide_table(
+                    args.dataset, tile_size=args.tile_size,
+                    test_fold=args.test_fold, train=False, train_type="Infer",
+                    infer_folds=[args.test_fold], bag_size=0,
+                    desired_magnification=args.mag, data_root=args.data_root,
+                )
+                walker = SurvivalSlideWalker(
+                    infer_table, tiles_per_iter=args.tiles_per_iter,
+                    num_tiles=args.n_patches_test,
+                )
+                agg = SurvivalAggregator()
+                for chunk in walker.walk():
+                    risks = risk_fn(state.params, jnp.asarray(chunk.images))
+                    agg.add_chunk(chunk, np.asarray(risks))
+                if agg.results:
+                    eval_metrics = {"c_index": agg.slide_c_index()}
+                    try:
+                        eval_metrics["auc"] = agg.slide_binary_auc()
+                    except Exception:
+                        pass
+                    logging.info("survival epoch %d eval: %s", epoch, eval_metrics)
+            ckpt.save(int(state.step), state,
+                      eval_metrics or {metric_name: 0.0})
+            update_summary(epoch, train_metrics, eval_metrics, summary_path)
+            ledger.update(exp["Experiment"], **{"Last Epoch": epoch})
+    ckpt.wait()
+    return state
 
 
 def train_ssl(args, output_dir):

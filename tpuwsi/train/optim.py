@@ -97,6 +97,30 @@ def _no_decay_mask(params):
     return jax.tree_util.tree_map(mask, params)
 
 
+def freeze_non_head(
+    tx: optax.GradientTransformation, params, head_key: str = "head"
+) -> optax.GradientTransformation:
+    """``--no-grad`` head-only finetuning (train.py:498-503: the reference
+    sets requires_grad=False on every non-head parameter). Here the update
+    is masked instead: optax.multi_transform routes head leaves through
+    ``tx`` and zeroes every other update, so backbone leaves stay
+    bit-identical across steps. (Gradients are still *computed* for the
+    backbone — XLA dead-code-eliminates most of that work once the updates
+    are discarded; correctness matches the reference exactly.)"""
+
+    def label(path, _):
+        return (
+            "train"
+            if any(head_key in str(getattr(p, "key", p)) for p in path)
+            else "freeze"
+        )
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, labels
+    )
+
+
 def make_optimizer(
     cfg: OptimConfig, params, global_batch_size: int
 ) -> tuple[optax.GradientTransformation, optax.Schedule]:

@@ -78,11 +78,15 @@ class ExperimentLedger:
         return state
 
     # -- API (run_data parity) ----------------------------------------------------
-    def create(self, receptor: str, test_fold=1, **fields) -> Dict:
+    def create(self, receptor: str, test_fold=1, name=None, **fields) -> Dict:
+        """``name`` (--experiment) overrides the run-folder stem, timm's
+        exp_name semantics (timm_train.py output dir naming); the Receptor
+        ledger column still records the target."""
         state = self._state()
         experiment = max(state) + 1 if state else 1
+        stem = name or receptor
         location = os.path.join(
-            self.runs_dir, f"Exp_{experiment}-{receptor}-TestFold_{test_fold}"
+            self.runs_dir, f"Exp_{experiment}-{stem}-TestFold_{test_fold}"
         )
         record = dict(LEDGER_FIELDS_DEFAULTS)
         record.update(
