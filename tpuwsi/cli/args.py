@@ -125,6 +125,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--warmup-teacher-temp", default=0.04, type=float)
     parser.add_argument("--warmup-teacher-temp-epochs", default=0, type=int)
     parser.add_argument("--ema-base", default=0.996, type=float)
+    # parallelism (SURVEY §5.8): data axis sized automatically; model axis
+    # opt-in (the reference is DP-only; TP is the TPU-native extension)
+    parser.add_argument("--model-parallel", default=1, type=int,
+                        help="mesh 'model' axis size (tensor parallelism); "
+                             "1 = pure data parallel (reference parity)")
     # debug/smoke
     parser.add_argument("--max-steps-per-epoch", default=0, type=int,
                         help="0 = full epoch (testing hook)")

@@ -59,16 +59,24 @@ def save_batch_images(images, labels, out_dir: str, filename: str,
             f.write(",".join(str(int(l)) for l in np.asarray(labels).ravel()[:max_tiles]))
 
 
-def _fitting_mesh(batch_size: int):
-    """Largest data axis that divides the batch (batch must shard evenly)."""
+def _fitting_mesh(global_batch_size: int, model_parallel: int = 1):
+    """dp×tp mesh over the GLOBAL device set: the model axis is sized by
+    --model-parallel, the data axis is the largest count of remaining
+    devices that divides the global batch (batch must shard evenly)."""
     import math
 
     from tpuwsi.core.mesh import MeshConfig, create_mesh
 
     n = len(jax.devices())
-    data = math.gcd(batch_size, n)
+    model = max(1, model_parallel)
+    if n % model != 0:
+        raise ValueError(
+            f"--model-parallel {model} does not divide device count {n}"
+        )
+    data = math.gcd(global_batch_size, n // model)
     return create_mesh(
-        MeshConfig(data=data, model=1), devices=jax.devices()[:data]
+        MeshConfig(data=data, model=model),
+        devices=jax.devices()[: data * model],
     )
 
 
@@ -97,6 +105,11 @@ def main(argv=None):
 
     args = parse_args(argv)
     _setup_jax()
+    # multi-host init (reference: torchrun + init_distributed_device,
+    # train.py:431, sbatch-ssl.sh:55) — no-op single-host
+    from tpuwsi.core.distributed import initialize_multihost
+
+    pindex, pcount = initialize_multihost()
     start_log(args, to_file=bool(args.output), output_dir=args.output or None)
 
     ledger = ExperimentLedger(args.output or "runs")
@@ -191,6 +204,15 @@ def main(argv=None):
         jax.random.PRNGKey(args.seed),
         jnp.zeros((1, img_size, img_size, 3), jnp.float32),
     )
+    # global batch = per-host batch × process count (train.py:569-581 LR
+    # scaling uses the same product); the mesh spans all global devices.
+    global_batch = args.batch_size * pcount
+    mesh = _fitting_mesh(global_batch, args.model_parallel)
+    tp = args.model_parallel > 1
+    if tp:
+        from tpuwsi.parallel.sharding import shard_params
+
+        params = shard_params(mesh, params)
     ocfg = OptimConfig(
         opt=args.opt,
         lr=args.lr,
@@ -208,7 +230,7 @@ def main(argv=None):
         min_lr=args.min_lr,
         steps_per_epoch=steps_per_epoch,
     )
-    tx, schedule = make_optimizer(ocfg, params, args.batch_size)
+    tx, schedule = make_optimizer(ocfg, params, global_batch)
     if args.no_grad:
         # --no-grad head-only finetuning (train.py:498-503)
         from tpuwsi.train.optim import freeze_non_head
@@ -251,11 +273,13 @@ def main(argv=None):
         model.apply, tx, augment_fn=aug, loss_fn=loss_fn,
         ema_decay=args.model_ema_decay if args.model_ema else None,
     )
-    mesh = _fitting_mesh(args.batch_size)
     # latency-hiding scheduler: +2.4% measured on the full step (BENCH.md)
     from tpuwsi.core.compile import scheduled_step
 
-    jit_step = scheduled_step(compile_step(step_fn, mesh, state, donate=False))
+    jit_step = scheduled_step(
+        compile_step(step_fn, mesh, state, donate=False,
+                     keep_state_sharding=tp)
+    )
 
     eval_norm = make_recipe(
         args.transform_type, train=False, tile_size=img_size,
@@ -279,6 +303,12 @@ def main(argv=None):
     summary_path = os.path.join(output_dir, "summary.csv")
     with mesh:
         for epoch in range(args.epochs):
+            # The epoch shuffle seed must be IDENTICAL on every host so the
+            # process-strided slices of the index stream stay disjoint
+            # (DistributedSampler semantics); per-host variation comes from
+            # the disjoint slide draws themselves. host_seed_offset exists
+            # for host-local streams that must NOT collide (e.g. worker
+            # augmentation in a host-side pipeline).
             epoch_rng = np.random.default_rng(args.seed + epoch)
             if not folder_mode and args.RAM_saver and epoch > 0 and epoch % 100 == 0:
                 # RAM_saver: reshuffle the quarter-subset every 100 epochs
@@ -298,9 +328,15 @@ def main(argv=None):
                     balanced_sampling=args.balanced_sampling,
                 )
             if folder_mode:
-                batches = train_ds.batches(args.batch_size, rng=epoch_rng)
+                batches = train_ds.batches(
+                    args.batch_size, rng=epoch_rng,
+                    process_index=pindex, process_count=pcount,
+                )
             else:
-                batches = sampler.batches(epoch_rng, args.batch_size)
+                batches = sampler.batches(
+                    epoch_rng, args.batch_size,
+                    process_index=pindex, process_count=pcount,
+                )
             batches = Prefetcher(batches, depth=3)
             t0 = time.time()
             metrics = {}
@@ -555,6 +591,9 @@ def train_survival(args, output_dir, ledger, exp):
     from tpuwsi.train.survival import make_survival_train_step
     from tpuwsi.utils import update_summary
 
+    from tpuwsi.core.distributed import initialize_multihost
+
+    pindex, pcount = initialize_multihost()
     mode = "cox" if args.target == "Survival_Time" else "binary"
     table = load_survival_slide_table(
         args.dataset,
@@ -593,7 +632,13 @@ def train_survival(args, output_dir, ledger, exp):
         warmup_epochs=args.warmup_epochs, warmup_lr=args.warmup_lr,
         min_lr=args.min_lr, steps_per_epoch=steps_per_epoch,
     )
-    tx, _ = make_optimizer(ocfg, params, args.batch_size)
+    global_batch = args.batch_size * pcount
+    mesh = _fitting_mesh(global_batch, args.model_parallel)
+    if args.model_parallel > 1:
+        from tpuwsi.parallel.sharding import shard_params
+
+        params = shard_params(mesh, params)
+    tx, _ = make_optimizer(ocfg, params, global_batch)
     if args.no_grad:
         from tpuwsi.train.optim import freeze_non_head
 
@@ -614,7 +659,6 @@ def train_survival(args, output_dir, ledger, exp):
         color_param=args.c_param, norm_type="Ron",
     )
     step_fn = make_survival_train_step(model.apply, tx, mode=mode, augment_fn=aug)
-    mesh = _fitting_mesh(args.batch_size)
     from tpuwsi.core.compile import scheduled_step
 
     jit_step = scheduled_step(jax.jit(step_fn))
@@ -637,7 +681,10 @@ def train_survival(args, output_dir, ledger, exp):
     with mesh:
         for epoch in range(args.epochs):
             epoch_rng = np.random.default_rng(args.seed + epoch)
-            batches = survival_batches(sampler, epoch_rng, args.batch_size)
+            batches = survival_batches(
+                sampler, epoch_rng, args.batch_size,
+                process_index=pindex, process_count=pcount,
+            )
             metrics = {}
             for i, batch in enumerate(Prefetcher(batches, depth=3)):
                 if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:
@@ -714,6 +761,9 @@ def train_ssl(args, output_dir):
     )
     from tpuwsi.train import CheckpointManager, OptimConfig, make_optimizer
 
+    from tpuwsi.core.distributed import initialize_multihost
+
+    pindex, pcount = initialize_multihost()
     folder_mode = bool(args.data_dir)
     if folder_mode:
         ds = ImageFolderDataset(args.data_dir)
@@ -747,6 +797,12 @@ def train_ssl(args, output_dir):
         jax.random.PRNGKey(args.seed),
         jnp.zeros((1, args.dino_global_size, args.dino_global_size, 3)),
     )
+    global_batch = args.batch_size * pcount
+    mesh = _fitting_mesh(global_batch, args.model_parallel)
+    if args.model_parallel > 1:
+        from tpuwsi.parallel.sharding import shard_params
+
+        params = shard_params(mesh, params)
     total_steps = args.epochs * steps_per_epoch
     dcfg = DINOConfig(
         out_dim=args.dino_out_dim,
@@ -769,7 +825,7 @@ def train_ssl(args, output_dir):
         steps_per_epoch=steps_per_epoch,
         clip_grad=args.clip_grad or 3.0,
     )
-    tx, _ = make_optimizer(ocfg, params, args.batch_size)
+    tx, _ = make_optimizer(ocfg, params, global_batch)
     state = create_dino_state(params, tx, dcfg)
     mc = make_multicrop(
         MultiCropConfig(
@@ -787,15 +843,19 @@ def train_ssl(args, output_dir):
         os.path.join(output_dir, "checkpoints"), metric_name="loss", mode="min"
     )
 
-    mesh = _fitting_mesh(args.batch_size)
     rng = jax.random.PRNGKey(args.seed)
     with mesh:
         for epoch in range(args.epochs):
+            # same seed on every host: the process-strided batch slices must
+            # come from one shared shuffle (DistributedSampler semantics)
             epoch_rng = np.random.default_rng(args.seed + epoch)
             batches = (
-                ds.batches(args.batch_size, rng=epoch_rng)
+                ds.batches(args.batch_size, rng=epoch_rng,
+                           process_index=pindex, process_count=pcount)
                 if folder_mode
-                else sampler.batches(epoch_rng, args.batch_size)
+                else sampler.batches(epoch_rng, args.batch_size,
+                                     process_index=pindex,
+                                     process_count=pcount)
             )
             metrics = {}
             for i, batch in enumerate(Prefetcher(batches, depth=3)):

@@ -84,10 +84,23 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a pytree of host arrays onto the mesh, batch-dim sharded."""
+    """Place a pytree of host arrays onto the mesh, batch-dim sharded.
+
+    Single-process: a plain sharded device_put. Multi-host (mesh spans more
+    than one process): each host holds only its strided slice of the global
+    batch (io/wsi.py batches(process_index=...)), so the global array is
+    assembled with ``jax.make_array_from_process_local_data`` — the
+    TPU-native replacement for DistributedSampler + DDP input scatter
+    (reference train.py:732, sbatch-ssl.sh:55 torchrun)."""
+    multiproc = any(
+        d.process_index != jax.process_index() for d in mesh.devices.flat
+    )
 
     def put(x):
         x = np.asarray(x)
-        return jax.device_put(x, data_sharding(mesh, x.ndim))
+        sharding = data_sharding(mesh, x.ndim)
+        if multiproc:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)

@@ -189,6 +189,16 @@ class WSITileSampler:
         rng.shuffle(idx)
         return idx
 
+    def process_order(
+        self, rng: np.random.Generator, process_index: int = 0,
+        process_count: int = 1,
+    ) -> np.ndarray:
+        """This process's strided slice of the epoch index stream
+        (DistributedSampler semantics: all hosts shuffle with the SAME seed,
+        then rank p takes every p-th element — slices are disjoint positions
+        that partition the epoch)."""
+        return self.epoch_indices(rng)[process_index::process_count]
+
     def batches(
         self,
         rng: np.random.Generator,
@@ -204,7 +214,7 @@ class WSITileSampler:
         sharding).
         """
         labels = self.table.labels()
-        order = self.epoch_indices(rng)[process_index::process_count]
+        order = self.process_order(rng, process_index, process_count)
         ts = self.table.tile_size
         bs = self.bag_size
         for start in range(0, len(order) - (batch_size - 1 if drop_last else 0),

@@ -101,16 +101,24 @@ def make_eval_step(
     return step
 
 
-def compile_step(step_fn, mesh, state: TrainState, donate: bool = True):
+def compile_step(step_fn, mesh, state: TrainState, donate: bool = True,
+                 keep_state_sharding: bool = False):
     """jit a (state, batch, rng) step with DP shardings over the mesh.
 
     The batch pytree keeps whatever sharding the caller placed it with
     (use ``tpuwsi.core.mesh.shard_batch``: batch dim over the data axis);
     state and rng are replicated. GSPMD then inserts the gradient all-reduce
     over ICI (SURVEY §5.8).
+
+    keep_state_sharding: for tensor-parallel states (params placed via
+    ``parallel.sharding.shard_params``) — the state keeps the placement it
+    arrived with instead of being forced replicated.
     """
     repl = replicated_sharding(mesh)
-    state_sh = jax.tree_util.tree_map(lambda _: repl, state)
+    state_sh = (
+        None if keep_state_sharding
+        else jax.tree_util.tree_map(lambda _: repl, state)
+    )
     return functools.partial(
         jax.jit,
         in_shardings=(state_sh, None, repl),
