@@ -223,3 +223,113 @@ def test_roc_auc_host():
     assert roc_auc([0.1, 0.2, 0.8, 0.9], [1, 1, 0, 0]) == 0.0
     assert abs(roc_auc([0.5, 0.5, 0.5, 0.5], [1, 1, 0, 0]) - 0.5) < 1e-9
     assert roc_auc([1.0], [1]) == 0.5  # single class → 0.5
+
+
+def _paired_fixture(tmp_path, n_slides=3, n_tiles=6, dim=8, with_locs=True,
+                    tumor_offset=100.0):
+    """Write matching Receptor and is_Tumor .data dirs (8-tuple layout) with
+    identical tile locations; tumor features = receptor + offset so the
+    concat order is checkable."""
+    rng = np.random.default_rng(0)
+    names = [f"s{i}.mrxs" for i in range(n_slides)]
+    feats = rng.random((n_slides, 1, n_tiles, dim)).astype(np.float32)
+    pscores = np.ones((n_slides, n_tiles), np.float32)
+    locs = np.stack(
+        [np.stack([np.arange(n_tiles) * 10, np.arange(n_tiles) * 7], axis=1)
+         for _ in range(n_slides)]
+    ).astype(float)
+    labels = np.arange(n_slides) % 2
+    base = (labels, labels, np.linspace(0, 1, n_slides), pscores, names)
+    rdir, tdir = tmp_path / "receptor", tmp_path / "tumor"
+    os.makedirs(rdir), os.makedirs(tdir)
+    if with_locs:
+        rdata = base + (feats, np.zeros(n_slides), locs)
+        tdata = base + (feats + tumor_offset, np.zeros(n_slides), locs)
+    else:
+        rdata = base + (feats,)
+        tdata = base + (feats + tumor_offset,)
+    with open(rdir / "a.data", "wb") as f:
+        pickle.dump(rdata, f)
+    with open(tdir / "a.data", "wb") as f:
+        pickle.dump(tdata, f)
+    return str(rdir), str(tdir)
+
+
+def test_paired_receptor_is_tumor_bags(tmp_path):
+    """VERDICT r2 #6 (datasets.py:876-882, 1229-1399): a TUPLE data_location
+    loads both feature sets, enforces tile-location alignment, and bags carry
+    per-tile [receptor | is_Tumor] 2x512-style concatenation; the score
+    readout slices the receptor half back out."""
+    rdir, tdir = _paired_fixture(tmp_path, dim=8)
+    ds = FeaturesMILDataset((rdir, tdir), bag_size=4, minimum_tiles_in_slide=2)
+    assert ds.paired_is_tumor
+    bag, target, tscores, name = ds.sample_bag(0, np.random.default_rng(0))
+    assert bag.shape == (4, 16)  # 8 receptor + 8 tumor dims per tile
+    # concat order: second half = first half + offset (tumor = receptor+100)
+    np.testing.assert_allclose(bag[:, 8:], bag[:, :8] + 100.0, rtol=1e-5)
+
+    batches = list(ds.bags(np.random.default_rng(0), batch_size=2))
+    assert batches[0]["features"].shape == (2, 4, 16)
+
+    # score readout: receptor_slice uses only the first half
+    from tpuwsi.models.mil import tile_scores_from_head
+
+    w = np.zeros((16, 2), np.float32)
+    w[:8, 1] = 1.0  # head reads receptor dims only
+    scores_full = tile_scores_from_head(bag, w, receptor_slice=8)
+    expected = bag[:, :8] @ (w[:8, 1] - w[:8, 0])
+    np.testing.assert_allclose(np.asarray(scores_full), expected, rtol=1e-5)
+
+
+def test_paired_per_patient_bags(tmp_path):
+    rdir, tdir = _paired_fixture(tmp_path)
+    ds = FeaturesMILDataset((rdir, tdir), bag_size=4, minimum_tiles_in_slide=2,
+                            is_per_patient=True)
+    assert len(ds) == 3  # mrxs base names → one patient per slide
+    bag, *_ = ds.sample_bag(0, np.random.default_rng(0))
+    assert bag.shape == (4, 16)
+    np.testing.assert_allclose(bag[:, 8:], bag[:, :8] + 100.0, rtol=1e-5)
+
+
+def test_paired_misaligned_locations_rejected(tmp_path):
+    rdir, tdir = _paired_fixture(tmp_path)
+    # corrupt the tumor set's locations
+    import glob as _glob
+
+    tfile = _glob.glob(os.path.join(tdir, "*.data"))[0]
+    with open(tfile, "rb") as f:
+        data = list(pickle.load(f))
+    data[7] = data[7] + 1.0  # shift all locations
+    with open(tfile, "wb") as f:
+        pickle.dump(tuple(data), f)
+    with pytest.raises(ValueError, match="tile locations"):
+        FeaturesMILDataset((rdir, tdir), bag_size=4, minimum_tiles_in_slide=2)
+
+
+def test_paired_missing_slide_rejected(tmp_path):
+    rdir, tdir = _paired_fixture(tmp_path)
+    import glob as _glob
+
+    tfile = _glob.glob(os.path.join(tdir, "*.data"))[0]
+    with open(tfile, "rb") as f:
+        data = list(pickle.load(f))
+    data[4] = ["other1.mrxs", "other2.mrxs", "other3.mrxs"]
+    with open(tfile, "wb") as f:
+        pickle.dump(tuple(data), f)
+    with pytest.raises(KeyError, match="missing from the is_Tumor"):
+        FeaturesMILDataset((rdir, tdir), bag_size=4, minimum_tiles_in_slide=2)
+
+
+def test_locator_paired_locations(tmp_path):
+    from tpuwsi.mil.locator import FeatureLocator
+
+    loc = FeatureLocator(registry={
+        "CAT": {"ER": {"1": {
+            "TrainSet Location": {"train": "/r/train", "test": "/r/test"},
+            "REG Model Location": "/ckpt",
+            "is_Tumor": {"TrainSet Location": {"train": "/t/train",
+                                               "test": "/t/test"}},
+        }}}
+    })
+    pair = loc.paired_locations("CAT", "ER", 1, is_train=True)
+    assert pair == ("/r/train", "/t/train")

@@ -68,6 +68,33 @@ def load_inference_file(path: str):
     return labels, targets, scores, patch_scores, slide_names, features, tile_location
 
 
+def _load_feature_records(
+    files: Sequence[str], carmel_only: bool = False,
+) -> Dict[str, dict]:
+    """Light per-slide record loader for the paired (is_Tumor) feature set:
+    {slide_name: {features, tile_locations, num_tiles}} — the secondary set
+    carries no targets of its own (datasets.py:1229-1399: only features and
+    alignment metadata are consumed)."""
+    records: Dict[str, dict] = {}
+    for path in files:
+        (_labels, _targets, _scores, patch_scores, slide_names, features,
+         tile_location) = load_inference_file(path)
+        n_slides, max_tiles = features.shape[0], features.shape[2]
+        for i in range(n_slides):
+            name = _fix_slide_name(slide_names[i])
+            if carmel_only and name.split(".")[-1] != "mrxs":
+                continue
+            feat1 = features[i, :, :, 0]
+            nan_idx = np.argwhere(np.isnan(feat1)).tolist()
+            tiles_in_slide = nan_idx[0][1] if nan_idx else max_tiles
+            records[name] = {
+                "features": features[i, 0, :tiles_in_slide, :].astype(np.float32),
+                "tile_locations": np.asarray(tile_location[i][:tiles_in_slide]),
+                "num_tiles": tiles_in_slide,
+            }
+    return records
+
+
 class FeaturesMILDataset:
     def __init__(
         self,
@@ -90,6 +117,26 @@ class FeaturesMILDataset:
         self.is_all_tiles = is_all_tiles
         self.sample_tiles = sample_tiles
         self.target = target
+
+        # Paired Receptor+is_Tumor mode (datasets.py:876-882): a TUPLE
+        # (receptor_location, is_tumor_location) loads both sets; bags carry
+        # 512+512 per-tile concatenated features with enforced tile-location
+        # alignment (datasets.py:1229-1399, __organize_dsets__).
+        self.paired_is_tumor = (
+            isinstance(data_location, tuple) and len(data_location) == 2
+        )
+        tumor_files: List[str] = []
+        if self.paired_is_tumor:
+            receptor_loc, tumor_loc = data_location
+            data_location = receptor_loc
+            if isinstance(tumor_loc, str) and os.path.isdir(tumor_loc):
+                tumor_files = sorted(glob(os.path.join(tumor_loc, "*.data")))
+            elif isinstance(tumor_loc, str):
+                tumor_files = [tumor_loc]
+            else:
+                tumor_files = list(tumor_loc)
+            if not tumor_files:
+                raise IOError(f"no is_Tumor .data files at {tumor_loc}")
 
         if isinstance(data_location, str):
             if os.path.isdir(data_location):
@@ -164,6 +211,10 @@ class FeaturesMILDataset:
                         pdct["labels"].append(int(labels[i]))
                         pdct["slides"].append(name)
                         pdct["scores"].append(float(scores[i]))
+                        pdct["tile_locations"] = np.concatenate(
+                            [pdct["tile_locations"], locs[: feats.shape[0]]],
+                            axis=0,
+                        )
                     else:
                         if fixed_tile_num is not None:
                             feats = feats[: fixed_tile_num]
@@ -176,6 +227,7 @@ class FeaturesMILDataset:
                             "target": int(targets[i]),
                             "slides": [name],
                             "scores": [float(scores[i])],
+                            "tile_locations": locs[: feats.shape[0]],
                         }
                 else:
                     if fixed_tile_num is not None:
@@ -190,6 +242,64 @@ class FeaturesMILDataset:
                     self.num_tiles.append(tiles_in_slide)
                     self.tile_locations.append(locs)
 
+        self.tumor_features: List[np.ndarray] = []
+        if self.paired_is_tumor:
+            tumor = _load_feature_records(tumor_files, carmel_only)
+            if is_per_patient:
+                for p in sorted(self.patient_data):
+                    pdct = self.patient_data[p]
+                    parts = []
+                    for s, nt in zip(pdct["slides"], pdct["num tiles"]):
+                        rec = tumor.get(s)
+                        if rec is None:
+                            raise KeyError(
+                                f"slide {s} missing from the is_Tumor set"
+                            )
+                        if rec["num_tiles"] < nt:
+                            raise ValueError(
+                                f"num tiles mismatch for {s}: receptor {nt} "
+                                f"vs is_Tumor {rec['num_tiles']}"
+                            )
+                        parts.append(rec["features"][:nt])
+                    tlocs = np.concatenate(
+                        [
+                            tumor[s]["tile_locations"][:nt]
+                            for s, nt in zip(pdct["slides"], pdct["num tiles"])
+                        ],
+                        axis=0,
+                    )
+                    if not np.array_equal(
+                        pdct["tile_locations"], tlocs, equal_nan=True
+                    ):
+                        raise ValueError(
+                            f"tile locations for patient {p} are not equal "
+                            "between the Receptor and is_Tumor sets"
+                        )
+                    pdct["tumor_features"] = np.concatenate(parts, axis=0)
+            else:
+                for i, name in enumerate(self.slide_names):
+                    rec = tumor.get(name)
+                    if rec is None:
+                        raise KeyError(
+                            f"slide {name} missing from the is_Tumor set"
+                        )
+                    nt = self.num_tiles[i]
+                    if rec["num_tiles"] < nt:
+                        raise ValueError(
+                            f"num tiles mismatch for {name}: receptor {nt} "
+                            f"vs is_Tumor {rec['num_tiles']}"
+                        )
+                    if not np.array_equal(
+                        self.tile_locations[i],
+                        rec["tile_locations"][:nt],
+                        equal_nan=True,
+                    ):
+                        raise ValueError(
+                            f"tile locations of {name} are not equal between "
+                            "the Receptor and is_Tumor sets"
+                        )
+                    self.tumor_features.append(rec["features"][:nt])
+
         if is_per_patient:
             self._patients = sorted(self.patient_data)
         self.skipped_few_tiles = skipped_few_tiles
@@ -199,11 +309,23 @@ class FeaturesMILDataset:
         return len(self._patients) if self.is_per_patient else len(self.features)
 
     def _entry(self, idx: int):
+        """(features, target, tile_scores, name) — in paired mode the
+        features are the per-tile [receptor(512) | is_Tumor(512)] concat
+        (utils_MIL.py:1603-1630 downstream contract; score readout slices
+        back out with models.mil.tile_scores_from_head(receptor_slice=512))."""
         if self.is_per_patient:
             p = self.patient_data[self._patients[idx]]
-            return p["features"], p["target"], p["tile scores"], self._patients[idx]
+            feats = p["features"]
+            if self.paired_is_tumor:
+                feats = np.concatenate([feats, p["tumor_features"]], axis=1)
+            return feats, p["target"], p["tile scores"], self._patients[idx]
+        feats = self.features[idx]
+        if self.paired_is_tumor:
+            feats = np.concatenate(
+                [feats, self.tumor_features[idx]], axis=1
+            )
         return (
-            self.features[idx],
+            feats,
             self.targets[idx],
             self.tile_scores[idx],
             self.slide_names[idx],

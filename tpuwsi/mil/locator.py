@@ -75,6 +75,19 @@ class FeatureLocator:
         loc = tumor["TrainSet Location"]
         return loc[split] if isinstance(loc, dict) else loc
 
+    def paired_locations(self, dataset_name: str, target: str, test_fold,
+                         is_train: bool = False) -> tuple:
+        """(receptor_dir, is_tumor_dir) — pass directly to
+        ``FeaturesMILDataset(data_location=...)`` for the paired
+        Receptor+is_Tumor bag mode (datasets.py:876-882)."""
+        receptor, _, _, _ = self.dataset_properties_to_location(
+            dataset_name, target, test_fold, is_train
+        )
+        tumor = self.paired_is_tumor_location(
+            dataset_name, target, test_fold, is_train
+        )
+        return receptor, tumor
+
     def register(self, dataset_name: str, target: str, test_fold, locations: Dict):
         self.registry.setdefault(dataset_name, {}).setdefault(target, {})[
             str(test_fold)
