@@ -102,3 +102,88 @@ def test_conversion_shape_mismatch_raises():
     params = fm.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
     with pytest.raises(ValueError):
         torch_vit_to_flax(tm.state_dict(), params)
+
+
+class _TorchBottleneck(tnn.Module):
+    """torchvision-named bottleneck (conv1/bn1/conv2/bn2/conv3/bn3 +
+    optional downsample Sequential) — reference forward for the golden test."""
+
+    def __init__(self, inplanes, planes, stride=1, with_down=False):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, stride=stride, padding=1,
+                                bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.relu = tnn.ReLU()
+        self.downsample = None
+        if with_down:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(inplanes, planes * 4, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(planes * 4),
+            )
+
+    def forward(self, x):
+        idn = x if self.downsample is None else self.downsample(x)
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return self.relu(y + idn)
+
+
+class _TorchTrunc(tnn.Module):
+    """ResNet-50 stem + layer1-3 + avgpool, torchvision state_dict naming
+    (nn_encoder_arch ResNet_Trunc_Baseline semantics, SURVEY §2.9)."""
+
+    def __init__(self):
+        super().__init__()
+        import torch
+
+        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.relu = tnn.ReLU()
+        self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+
+        def make_layer(inplanes, planes, blocks, stride):
+            layers = [_TorchBottleneck(inplanes, planes, stride, True)]
+            for _ in range(1, blocks):
+                layers.append(_TorchBottleneck(planes * 4, planes))
+            return tnn.Sequential(*layers)
+
+        self.layer1 = make_layer(64, 64, 3, 1)
+        self.layer2 = make_layer(256, 128, 4, 2)
+        self.layer3 = make_layer(512, 256, 6, 2)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        x = self.layer3(self.layer2(self.layer1(x)))
+        return x.mean(dim=(2, 3))
+
+
+def test_resnet_trunc_conversion_golden():
+    """VERDICT r2 #9: torch ResNet-50 trunc weights → flax, forward match."""
+    import torch
+
+    from tpuwsi.models.convert import torch_resnet_trunc_to_flax
+    from tpuwsi.models.resnet_trunc import resnet50_trunc_baseline
+
+    torch.manual_seed(0)
+    tmodel = _TorchTrunc().eval()
+    # randomize BN running stats so the golden check exercises them
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.6, 1.4)
+
+    model, variables = resnet50_trunc_baseline(
+        pretrained=tmodel.state_dict(), dtype=jnp.float32
+    )
+    x = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    out = np.asarray(model.apply(variables, jnp.asarray(x)))
+    assert out.shape == (2, 1024)
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)

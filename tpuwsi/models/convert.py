@@ -122,3 +122,65 @@ def load_torch_checkpoint(path: str):
             if key in ckpt and isinstance(ckpt[key], dict):
                 return ckpt[key]
     return ckpt
+
+
+def torch_resnet_trunc_to_flax(state_dict: Dict, variables):
+    """torchvision-named ResNet-50 state_dict → ResNetTruncBaseline variables.
+
+    Parity: the reference's ``resnet50_trunc_baseline(pretrained=True)``
+    loads torchvision resnet50 weights via model_zoo (SURVEY §2.9,
+    nn_encoder_arch/resnet_trunc); the truncated trunk uses conv1/bn1 +
+    layer1-3 only — layer4/fc entries in the state_dict are ignored.
+
+    Layout: conv OIHW → flax HWIO; BatchNorm weight/bias → scale/bias and
+    running_mean/var → batch_stats mean/var.
+    """
+    import flax
+
+    sd = {k: _to_np(v) for k, v in state_dict.items()}
+    flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(variables))
+
+    def put(path, value):
+        if path not in flat:
+            raise KeyError(f"no target param at {'/'.join(path)}")
+        target = flat[path]
+        value = jnp.asarray(value, dtype=target.dtype)
+        if value.shape != target.shape:
+            raise ValueError(
+                f"shape mismatch at {'/'.join(path)}: "
+                f"{value.shape} vs {target.shape}"
+            )
+        flat[path] = value
+
+    def put_conv(torch_key, flax_path):
+        w = sd[torch_key]  # (O, I, H, W)
+        put(flax_path + ("kernel",), np.transpose(w, (2, 3, 1, 0)))
+
+    def put_bn(torch_prefix, flax_name, parent):
+        put(("params",) + parent + (flax_name, "scale"),
+            sd[f"{torch_prefix}.weight"])
+        put(("params",) + parent + (flax_name, "bias"),
+            sd[f"{torch_prefix}.bias"])
+        put(("batch_stats",) + parent + (flax_name, "mean"),
+            sd[f"{torch_prefix}.running_mean"])
+        put(("batch_stats",) + parent + (flax_name, "var"),
+            sd[f"{torch_prefix}.running_var"])
+
+    put_conv("conv1.weight", ("params", "conv1"))
+    put_bn("bn1", "bn1", ())
+
+    stage_sizes = (3, 4, 6)  # layer1-3 of ResNet-50 (trunk keeps no layer4)
+    for stage, blocks in enumerate(stage_sizes, start=1):
+        for b in range(blocks):
+            t = f"layer{stage}.{b}"
+            parent = (f"layer{stage}_{b}",)
+            for ci in range(3):
+                put_conv(f"{t}.conv{ci + 1}.weight",
+                         ("params",) + parent + (f"Conv_{ci}",))
+                put_bn(f"{t}.bn{ci + 1}", f"BatchNorm_{ci}", parent)
+            if f"{t}.downsample.0.weight" in sd:
+                put_conv(f"{t}.downsample.0.weight",
+                         ("params",) + parent + ("downsample_conv",))
+                put_bn(f"{t}.downsample.1", "downsample_bn", parent)
+
+    return flax.traverse_util.unflatten_dict(flat)

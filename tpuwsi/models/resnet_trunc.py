@@ -22,7 +22,7 @@ class BottleneckBaseline(nn.Module):
     features: int  # bottleneck width; output is 4*features
     strides: int = 1
     downsample: bool = False
-    dtype = jnp.bfloat16
+    dtype: object = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -63,7 +63,7 @@ class ResNetTruncBaseline(nn.Module):
     """ResNet-50 stem + layers 1-3 + global average pool → 1024-dim."""
 
     stage_sizes: Sequence[int] = (3, 4, 6)  # layer1, layer2, layer3
-    dtype = jnp.bfloat16
+    dtype: object = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -90,11 +90,39 @@ class ResNetTruncBaseline(nn.Module):
                     features=width,
                     strides=strides,
                     downsample=(block == 0),
+                    dtype=self.dtype,
                     name=f"layer{stage + 1}_{block}",
                 )(x, train)
         x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool → (B, 1024)
         return x.astype(jnp.float32)
 
 
-def resnet50_trunc_baseline() -> ResNetTruncBaseline:
-    return ResNetTruncBaseline()
+def resnet50_trunc_baseline(pretrained=None, dtype=jnp.bfloat16):
+    """Factory (nn_encoder_arch parity: ``resnet50_trunc_baseline(pretrained)``
+    loads torchvision resnet50 weights via model_zoo — here ``pretrained`` is
+    a local torch checkpoint path or an in-memory state_dict, since the TPU
+    build takes weights from files, not a download).
+
+    Returns the module when ``pretrained`` is None, else
+    ``(module, variables)`` with the converted weights (params + batch_stats).
+    """
+    model = ResNetTruncBaseline(dtype=dtype)
+    if pretrained is None:
+        return model
+    from tpuwsi.models.convert import (
+        load_torch_checkpoint,
+        torch_resnet_trunc_to_flax,
+    )
+
+    import jax
+
+    state_dict = (
+        load_torch_checkpoint(pretrained)
+        if isinstance(pretrained, str)
+        else pretrained
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
+    )
+    variables = torch_resnet_trunc_to_flax(state_dict, variables)
+    return model, variables
