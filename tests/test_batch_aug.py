@@ -1,0 +1,152 @@
+"""timm batch-augmentation parity tests (timm_train.py:238-271, 585-612).
+
+Golden checks: the pointwise/LUT RandAugment ops match PIL.ImageOps exactly
+on uint8 inputs; mixup/cutmix produce convex soft targets; random erasing
+fills boxes; everything jits.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image, ImageOps
+
+from tpuwsi.preprocess.batch_aug import (
+    _op_autocontrast,
+    _op_equalize,
+    _op_invert,
+    _op_posterize,
+    _op_solarize,
+    make_mixup_cutmix,
+    make_rand_augment,
+    make_random_erasing,
+    parse_rand_augment,
+)
+
+
+def _rand_img(seed=0, size=32):
+    return np.random.default_rng(seed).integers(
+        0, 256, (size, size, 3), dtype=np.uint8
+    )
+
+
+def test_equalize_matches_pil():
+    img = _rand_img(1)
+    ours = np.asarray(
+        _op_equalize(jnp.asarray(img, jnp.float32), 0.0, 1.0)
+    ).astype(np.uint8)
+    ref = np.asarray(ImageOps.equalize(Image.fromarray(img)))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_invert_solarize_posterize_autocontrast_match_pil():
+    img = _rand_img(2)
+    f = jnp.asarray(img, jnp.float32)
+
+    np.testing.assert_array_equal(
+        np.asarray(_op_invert(f, 0, 1.0)).astype(np.uint8),
+        np.asarray(ImageOps.invert(Image.fromarray(img))),
+    )
+    # solarize at m=5 → threshold 128
+    np.testing.assert_array_equal(
+        np.asarray(_op_solarize(f, 5.0, 1.0)).astype(np.uint8),
+        np.asarray(ImageOps.solarize(Image.fromarray(img), threshold=128)),
+    )
+    # posterize at m=10 → 4 bits kept
+    np.testing.assert_array_equal(
+        np.asarray(_op_posterize(f, 10.0, 1.0)).astype(np.uint8),
+        np.asarray(ImageOps.posterize(Image.fromarray(img), bits=4)),
+    )
+    # autocontrast: PIL uses per-channel min/max with no clipping cutoff
+    ours = np.asarray(_op_autocontrast(f, 0, 1.0))
+    ref = np.asarray(ImageOps.autocontrast(Image.fromarray(img)))
+    assert np.abs(ours - ref.astype(np.float32)).max() <= 1.0
+
+
+def test_parse_rand_augment():
+    assert parse_rand_augment("rand-m9-mstd0.5") == (9.0, 0.5, 2)
+    assert parse_rand_augment("rand-m7-mstd0.5-n3") == (7.0, 0.5, 3)
+    with pytest.raises(ValueError):
+        parse_rand_augment("original-mstd0.5")
+
+
+def test_rand_augment_jits_and_preserves_shape():
+    imgs = np.stack([_rand_img(i) for i in range(4)])
+    ra = jax.jit(make_rand_augment("rand-m9-mstd0.5"))
+    out = np.asarray(ra(jax.random.PRNGKey(0), jnp.asarray(imgs)))
+    assert out.shape == imgs.shape and out.dtype == np.uint8
+    # with apply_prob 0.5 over 2 ops, at least one sample must change
+    assert (out != imgs).any()
+
+
+def test_mixup_soft_targets_convex():
+    fn = make_mixup_cutmix(num_classes=4, mixup_alpha=0.8, cutmix_alpha=0.0,
+                           smoothing=0.1)
+    imgs = jnp.asarray(np.random.rand(6, 16, 16, 3), jnp.float32)
+    labels = jnp.asarray([0, 1, 2, 3, 0, 1])
+    out, targets = jax.jit(fn)(jax.random.PRNGKey(0), imgs, labels)
+    assert out.shape == imgs.shape
+    np.testing.assert_allclose(np.asarray(targets).sum(-1), 1.0, atol=1e-5)
+    # mixture of self and flipped one-hots only: at most 2 strong entries
+    assert ((np.asarray(targets) > 0.2).sum(-1) <= 2).all()
+
+
+def test_cutmix_box_and_lambda():
+    fn = make_mixup_cutmix(num_classes=2, mixup_alpha=0.0, cutmix_alpha=1.0,
+                           smoothing=0.0)
+    imgs = jnp.concatenate(
+        [jnp.zeros((1, 32, 32, 3)), jnp.ones((1, 32, 32, 3))]
+    ).astype(jnp.float32)
+    labels = jnp.asarray([0, 1])
+    out, targets = jax.jit(fn)(jax.random.PRNGKey(3), imgs, labels)
+    out = np.asarray(out)
+    # sample 0 is zeros with a pasted box of ones → mean equals 1 - lambda
+    frac = out[0].mean()
+    lam = float(np.asarray(targets)[0, 0])
+    np.testing.assert_allclose(frac, 1.0 - lam, atol=1e-5)
+
+
+def test_random_erasing_fills_boxes():
+    fn = make_random_erasing(prob=1.0, mode="const")
+    imgs = jnp.ones((4, 24, 24, 3), jnp.float32)
+    out = np.asarray(jax.jit(fn)(jax.random.PRNGKey(0), imgs))
+    assert (out == 0).any(axis=(1, 2, 3)).all(), "every sample gets a box"
+    fn_off = make_random_erasing(prob=0.0)
+    out2 = np.asarray(jax.jit(fn_off)(jax.random.PRNGKey(0), imgs))
+    np.testing.assert_array_equal(out2, np.ones_like(out2))
+
+
+def test_mixup_in_train_step_learns():
+    """mix_fn wiring: soft-target loss path still trains."""
+    import dataclasses
+
+    import optax
+
+    from tpuwsi.models.vit import VisionTransformer, vit_tiny
+    from tpuwsi.train import create_train_state, make_train_step
+
+    cfg = dataclasses.replace(
+        vit_tiny(num_classes=2, img_size=16, use_pallas_attention=False,
+                 dtype=jnp.float32),
+        depth=1, embed_dim=32, num_heads=2,
+    )
+    model = VisionTransformer(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    tx = optax.adam(1e-3)
+    state = create_train_state(params, tx)
+    mix = make_mixup_cutmix(2, mixup_alpha=0.2, cutmix_alpha=1.0,
+                            smoothing=0.1)
+    step = jax.jit(make_train_step(
+        model.apply, tx,
+        augment_fn=lambda k, im: im.astype(jnp.float32) / 255.0,
+        mix_fn=mix,
+    ))
+    imgs = np.zeros((8, 16, 16, 3), np.uint8)
+    imgs[4:] = 220
+    batch = {"images": jnp.asarray(imgs),
+             "labels": jnp.asarray([0] * 4 + [1] * 4)}
+    losses = []
+    for i in range(25):
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]

@@ -421,3 +421,54 @@ def test_cli_no_grad_and_experiment_flags(patch_folder, tmp_path):
         "--num-classes", "2",
     ])
     assert any("myexp" in e for e in os.listdir(out))
+
+
+def test_cli_timm_batch_augs(patch_folder, tmp_path):
+    """--aa/--mixup/--cutmix/--reprob end-to-end (timm_train.py:238-271)."""
+    from tpuwsi.cli.train import main
+
+    out = str(tmp_path / "runs")
+    state = main([
+        "--data-dir", patch_folder,
+        "--model", "vit_tiny_patch16_224",
+        "--img-size", "32",
+        "-b", "8",
+        "--epochs", "1",
+        "--max-steps-per-epoch", "2",
+        "--warmup-epochs", "0",
+        "--transform_type", "flip",
+        "--output", out,
+        "--eval_rate", "100",
+        "--val-split", "0",
+        "--aa", "rand-m9-mstd0.5",
+        "--mixup", "0.8",
+        "--cutmix", "1.0",
+        "--reprob", "0.25",
+    ])
+    assert int(state.step) == 2
+
+
+def test_timm_train_alias_defaults(patch_folder, tmp_path):
+    """cli/timm_train pins timm's own defaults (eval-metric top1, per-epoch
+    validation) without overriding explicit flags."""
+    from tpuwsi.cli.timm_train import main
+
+    out = str(tmp_path / "runs")
+    state = main([
+        patch_folder,  # positional data_dir, timm style
+        "--model", "vit_tiny_patch16_224",
+        "--img-size", "32",
+        "-b", "8",
+        "--epochs", "1",
+        "--max-steps-per-epoch", "1",
+        "--warmup-epochs", "0",
+        "--transform_type", "flip",
+        "--output", out,
+    ])
+    assert int(state.step) == 1
+    import csv
+    run_dir = [os.path.join(out, e) for e in os.listdir(out)
+               if e.startswith("Exp_")][0]
+    rows = list(csv.DictReader(open(os.path.join(run_dir, "summary.csv"))))
+    # per-epoch folder validation ran (timm default) → top1 present
+    assert "eval_top1" in rows[0]

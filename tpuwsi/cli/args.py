@@ -125,6 +125,19 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--warmup-teacher-temp", default=0.04, type=float)
     parser.add_argument("--warmup-teacher-temp-epochs", default=0, type=int)
     parser.add_argument("--ema-base", default=0.996, type=float)
+    # timm folder-mode batch augmentations (timm_train.py:238-271)
+    parser.add_argument("--aa", default=None, type=str,
+                        help="auto-augment spec, e.g. rand-m9-mstd0.5")
+    parser.add_argument("--reprob", default=0.0, type=float,
+                        help="random-erasing probability")
+    parser.add_argument("--remode", default="pixel", type=str)
+    parser.add_argument("--recount", default=1, type=int)
+    parser.add_argument("--mixup", default=0.0, type=float,
+                        help="mixup alpha; enabled if > 0")
+    parser.add_argument("--cutmix", default=0.0, type=float,
+                        help="cutmix alpha; enabled if > 0")
+    parser.add_argument("--mixup-prob", default=1.0, type=float)
+    parser.add_argument("--mixup-switch-prob", default=0.5, type=float)
     # parallelism (SURVEY §5.8): data axis sized automatically; model axis
     # opt-in (the reference is DP-only; TP is the TPU-native extension)
     parser.add_argument("--model-parallel", default=1, type=int,

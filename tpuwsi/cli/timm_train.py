@@ -2,8 +2,18 @@
 
 The reference's second trainer (timm_train.py:357-1025) is an unmodified timm
 script over pre-cut patch folders. Here it is the same orchestration as
-tpuwsi.cli.train in folder mode — this wrapper pins folder mode and the
-timm-style defaults.
+tpuwsi.cli.train in folder mode, with timm's OWN defaults pinned where they
+differ from the GipMed trainer's (timm_train.py argparse defaults):
+
+  --eval-metric top1      (timm ranks checkpoints by top-1, not AUC)
+  --val-split   0.2       (timm validates every epoch; our folder split)
+  --eval_rate   1         (validate every epoch, timm_train.py:951)
+  -b            128       (timm_train.py:163)
+  --sched       cosine, --epochs 300, --opt sgd (nesterov)  (same values)
+
+Flags the user passes explicitly always win; the timm batch-augmentation
+surface (--aa / --mixup / --cutmix / --reprob) is shared with the main
+trainer (see preprocess/batch_aug.py).
 """
 
 from __future__ import annotations
@@ -12,6 +22,13 @@ import sys
 
 from tpuwsi.cli.train import main as _main
 
+_TIMM_DEFAULTS = {
+    "--eval-metric": "top1",
+    "--val-split": "0.2",
+    "--eval_rate": "1",
+    "-b": "128",
+}
+
 
 def main(argv=None):
     argv = list(argv if argv is not None else sys.argv[1:])
@@ -19,7 +36,13 @@ def main(argv=None):
         # timm_train.py positional data_dir compatibility
         if argv and not argv[0].startswith("-"):
             argv = ["--data-dir", argv[0]] + argv[1:]
-    return _main(argv)
+    given = {a.split("=")[0] for a in argv}
+    extra = []
+    for flag, value in _TIMM_DEFAULTS.items():
+        alias = {"-b": "--batch-size"}.get(flag, flag)
+        if flag not in given and alias not in given:
+            extra += [flag, value]
+    return _main(argv + extra)
 
 
 if __name__ == "__main__":

@@ -269,9 +269,48 @@ def main(argv=None):
         color_param=args.c_param,
         norm_type="Amir" if args.dataset.startswith("TMA") else "Ron",
     )
+    # timm folder-mode batch augs (timm_train.py:238-271, 585-612):
+    # RandAugment on raw uint8 → recipe (aug+norm) → RandomErasing;
+    # Mixup/CutMix runs inside the step on the normalized batch.
+    if args.aa or args.reprob > 0:
+        from tpuwsi.preprocess.batch_aug import (
+            make_rand_augment,
+            make_random_erasing,
+        )
+
+        ra = make_rand_augment(args.aa) if args.aa else None
+        re_fn = (
+            make_random_erasing(args.reprob, mode=args.remode,
+                                count=args.recount)
+            if args.reprob > 0 else None
+        )
+        base_aug = aug
+
+        def aug(key, images, _ra=ra, _re=re_fn, _base=base_aug):
+            k1, k2, k3 = jax.random.split(key, 3)
+            if _ra is not None:
+                images = _ra(k1, images)
+            images = _base(k2, images)
+            if _re is not None:
+                images = _re(k3, images)
+            return images
+
+    mix_fn = None
+    if args.mixup > 0 or args.cutmix > 0:
+        from tpuwsi.preprocess.batch_aug import make_mixup_cutmix
+
+        mix_fn = make_mixup_cutmix(
+            num_classes,
+            mixup_alpha=args.mixup,
+            cutmix_alpha=args.cutmix,
+            prob=args.mixup_prob,
+            switch_prob=args.mixup_switch_prob,
+            smoothing=args.smoothing,
+        )
     step_fn = make_train_step(
         model.apply, tx, augment_fn=aug, loss_fn=loss_fn,
         ema_decay=args.model_ema_decay if args.model_ema else None,
+        mix_fn=mix_fn,
     )
     # latency-hiding scheduler: +2.4% measured on the full step (BENCH.md)
     from tpuwsi.core.compile import scheduled_step

@@ -35,25 +35,37 @@ def make_train_step(
     loss_fn: Callable = cross_entropy,
     ema_decay: Optional[float] = None,
     compute_auc: bool = True,
+    mix_fn: Optional[Callable] = None,
 ):
     """Build the jit-able train step.
 
     apply_fn(params, images, rngs=...) → logits.
     augment_fn(key, uint8_images) → normalised float images (or None if the
     batch is already preprocessed).
+    mix_fn(key, images, labels) → (mixed_images, soft_targets): the timm
+    Mixup/CutMix hook (timm_train.py:585-612) — applied post-augmentation;
+    the loss switches to soft-target CE while acc/AUC metrics stay against
+    the hard labels.
     """
+    if mix_fn is not None:
+        from tpuwsi.train.losses import soft_target_cross_entropy
 
     def step(state: TrainState, batch, rng):
         images, labels = batch["images"], batch["labels"]
         rng = jax.random.fold_in(rng, state.step)
-        aug_key, drop_key = jax.random.split(rng)
+        aug_key, mix_key, drop_key = jax.random.split(rng, 3)
         if augment_fn is not None:
             images = augment_fn(aug_key, images)
+        soft_targets = None
+        if mix_fn is not None:
+            images, soft_targets = mix_fn(mix_key, images, labels)
 
         def compute_loss(params):
             logits = apply_fn(
                 params, images, deterministic=False, rngs={"dropout": drop_key, "droppath": drop_key}
             )
+            if soft_targets is not None:
+                return soft_target_cross_entropy(logits, soft_targets), logits
             return loss_fn(logits, labels), logits
 
         (loss, logits), grads = jax.value_and_grad(compute_loss, has_aux=True)(
