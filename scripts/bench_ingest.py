@@ -61,5 +61,41 @@ def main():
     reader.close()
 
 
+def thread_scaling(n: int = 256, pool_sizes=(1, 2, 4, 8, 16)):
+    """tiles/s vs pool size (VERDICT r2 #5b): measures how the native pool
+    scales with decode threads. On a 1-core host the curve is flat by
+    construction — run on a many-core host to see the per-core model; the
+    per-thread efficiency column makes saturation obvious either way."""
+    import os as _os
+
+    path = "/tmp/ingest_bench.tif"
+    write_synthetic_slide(path, 8192, 8192, levels=3, tile=256, seed=3)
+    reader = CTileReader(path)
+    rng = np.random.default_rng(0)
+    xs = rng.integers(0, 8192 - 512, size=n)
+    ys = rng.integers(0, 8192 - 512, size=n)
+    reqs = [(reader, 0, int(x), int(y), 512) for x, y in zip(xs, ys)]
+    ncpu = _os.cpu_count() or 1
+    print(f"thread-scaling sweep ({ncpu} host cores, {n} tiles/point):")
+    print(f"{'threads':>8s} {'tiles/s':>9s} {'per-thread':>11s} {'eff':>6s}")
+    from tpuwsi.io.ingest import restart_pool
+
+    base = None
+    for t in pool_sizes:
+        restart_pool(t)
+        ex = NativeBatchExtractor(n_threads=t)
+        ex.extract(reqs[:16], out_size=256)  # warm
+        t0 = time.perf_counter()
+        ex.extract(reqs, out_size=256)
+        rate = n / (time.perf_counter() - t0)
+        base = base or rate
+        eff = rate / (base * t)
+        print(f"{t:8d} {rate:9.1f} {rate / t:11.1f} {eff:6.2f}")
+    reader.close()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "scaling":
+        thread_scaling(int(sys.argv[2]) if len(sys.argv) > 2 else 256)
+    else:
+        main()

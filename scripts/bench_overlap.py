@@ -7,7 +7,13 @@ background-thread prefetcher, and reports the SUSTAINED source tiles/s with
 the chip training — proving the host pipeline keeps up with the device rate
 (the 10k-views north star implies ≥1,250 source tiles/s of 256² ingest).
 
-Usage: python scripts/bench_overlap.py [batch] [n_steps]
+Usage: python scripts/bench_overlap.py [batch] [n_steps] [--ring]
+
+--ring (VERDICT r2 #5a): pre-decode a ring of batches so decode supply is
+unbounded, then run the SAME overlapped loop — isolates the overlap
+machinery (queue + device_put + dispatch) from decode throughput. If the
+ring mode sustains ≥95% of the data-resident bench rate, the machinery is
+sound and any shortfall in the live run is decode supply (host cores).
 """
 
 from __future__ import annotations
@@ -39,8 +45,10 @@ def main():
     if not native_available():
         print("libtileingest.so not built — run native/build.sh")
         return
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+    args = [a for a in sys.argv[1:] if a != "--ring"]
+    ring_mode = "--ring" in sys.argv
+    batch = int(args[0]) if len(args) > 0 else 64
+    n_steps = int(args[1]) if len(args) > 1 else 60
 
     # --- synthetic slide set (8 pyramidal JPEG TIFFs, 8k²) -----------------
     readers = []
@@ -79,7 +87,26 @@ def main():
     state, m = step(state, {"images": jnp.asarray(extract_batch())}, rng_dev)
     float(m["loss"])
 
+    # --- data-resident reference rate (chip-only ceiling) ------------------
+    resident = jnp.asarray(extract_batch())
+    t0 = time.perf_counter()
+    for i in range(16):
+        state, m = step(state, {"images": resident}, rng_dev)
+        if i % 4 == 3:
+            float(m["loss"])
+    float(m["loss"])
+    resident_rate = 16 * batch / (time.perf_counter() - t0)
+
     # --- overlapped loop: background ingest feeds a bounded queue ----------
+    if ring_mode:
+        # pre-decoded ring: decode supply is unbounded by construction
+        ring = [extract_batch().copy() for _ in range(8)]
+        ring_i = [0]
+
+        def extract_batch():  # noqa: F811 — deliberate shadow for the ring
+            ring_i[0] = (ring_i[0] + 1) % len(ring)
+            return ring[ring_i[0]]
+
     q: queue.Queue = queue.Queue(maxsize=4)
     stop = threading.Event()
 
@@ -112,11 +139,13 @@ def main():
         t.join(timeout=10.0)
 
     sustained = batch * n_steps / dt
+    mode = "ring (pre-decoded)" if ring_mode else "live decode"
     print(
-        f"pure ingest: {ingest_rate:.1f} tiles/s | "
+        f"[{mode}] pure ingest: {ingest_rate:.1f} tiles/s | "
+        f"data-resident: {resident_rate:.1f} tiles/s | "
         f"overlapped train: {sustained:.1f} source tiles/s "
-        f"({sustained * 8:.0f} views/s) over {n_steps} steps "
-        f"(failures: {ex.failures})"
+        f"({sustained * 8:.0f} views/s, {sustained / resident_rate * 100:.1f}% "
+        f"of resident) over {n_steps} steps (failures: {ex.failures})"
     )
     for r in readers:
         r.close()

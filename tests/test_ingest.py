@@ -125,3 +125,59 @@ def test_svs_layout_level_detection(tmp_path):
     expected_r = (512 // 7 + 7) % 256
     assert abs(int(tile[0, 0, 0]) - expected_r) < 12
     r.close()
+
+
+def test_native_reads_striped_ndpi_container(tmp_path):
+    """VERDICT r2 #5c: NDPI-class slides are TIFF containers (often striped,
+    not tiled); the native reader must serve them so CARMEL/ABCTB-class
+    cohorts don't silently drop to single-threaded PIL."""
+    from PIL import Image
+
+    from tpuwsi.io.slide_readers import open_slide
+
+    arr = np.random.default_rng(0).integers(
+        0, 255, (600, 800, 3), dtype=np.uint8
+    )
+    p = str(tmp_path / "slide.ndpi")
+    Image.fromarray(arr).save(p, format="TIFF")  # striped layout (PIL default)
+    r = open_slide(p)
+    assert type(r).__name__ == "CTileReader", "ndpi must take the native path"
+    out = r.read_region((100, 50), 0, (64, 32))
+    np.testing.assert_array_equal(out, arr[50:82, 100:164])
+    r.close()
+
+
+def test_mrxs_without_openslide_fails_loudly(tmp_path):
+    """.mrxs (MIRAX) needs libopenslide; without it the error must be loud
+    and actionable — not a silent PIL fallback over the index file."""
+    from tpuwsi.io import slide_readers
+
+    p = str(tmp_path / "carmel.mrxs")
+    open(p, "wb").write(b"\x00" * 64)
+    if slide_readers.HAVE_OPENSLIDE:
+        pytest.skip("openslide installed; fallback covers mrxs")
+    with pytest.raises(RuntimeError, match="mrxs.*openslide"):
+        slide_readers.open_slide(p)
+
+
+def test_restart_pool_resizes(tmp_path):
+    from tpuwsi.io.ingest import (
+        NativeBatchExtractor,
+        native_available,
+        restart_pool,
+        write_synthetic_slide,
+    )
+    from tpuwsi.io.ingest import CTileReader
+
+    if not native_available():
+        pytest.skip("native lib not built")
+    path = str(tmp_path / "s.tif")
+    write_synthetic_slide(path, 1024, 1024, levels=1, tile=256, seed=0)
+    reader = CTileReader(path)
+    for n in (1, 2):
+        restart_pool(n)
+        ex = NativeBatchExtractor(n_threads=n)
+        out = ex.extract([(reader, 0, 0, 0, 256)], out_size=128)
+        assert out.shape == (1, 128, 128, 3)
+        assert ex.failures == 0
+    reader.close()

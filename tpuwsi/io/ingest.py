@@ -95,6 +95,16 @@ def native_available() -> bool:
         return False
 
 
+def restart_pool(n_threads: int = 0):
+    """Stop and restart the global decode pool with a new size. ti_pool_start
+    is a no-op while the pool runs (by design: racing resizes under load are
+    a hazard), so benchmarks sweeping pool sizes must restart explicitly.
+    Safe only when no extract call is in flight."""
+    lib = _load()
+    lib.ti_pool_stop()
+    lib.ti_pool_start(n_threads)
+
+
 def write_synthetic_slide(path: str, width: int, height: int, levels: int = 3,
                           tile: int = 256, seed: int = 0):
     rc = _load().ti_write_synthetic(

@@ -116,17 +116,34 @@ class SyntheticSlideReader(SlideReader):
 
 
 def open_slide(path: str, prefer_native: bool = True) -> SlideReader:
-    """Pick a reader for the file. Native C++ ingest for tiled TIFF/SVS when
-    available, then openslide, then PIL."""
+    """Pick a reader for the file. Native C++ ingest for TIFF-container
+    formats when available (tiled AND striped layouts, which covers
+    .svs/.tif and NDPI-class striped-JPEG slides), then openslide, then PIL.
+
+    .mrxs (MIRAX — a directory-based proprietary format, the CARMEL
+    cohorts, datasets.py:1083-1086) has no TIFF container: it needs
+    libopenslide. When openslide is absent the failure is LOUD — silently
+    handing an .mrxs index file to PIL would train on garbage.
+    """
     ext = os.path.splitext(path)[1].lower()
-    if prefer_native and ext in (".tif", ".tiff", ".svs"):
+    if prefer_native and ext in (".tif", ".tiff", ".svs", ".ndpi"):
         try:
             from tpuwsi.io.ingest import CTileReader, native_available
 
             if native_available():
                 return CTileReader(path)
         except Exception:
+            # fall through: libtiff could not parse this particular file
+            # (e.g. an NDPI variant with out-of-spec JPEG dims) — try the
+            # openslide / PIL fallbacks below.
             pass
     if HAVE_OPENSLIDE and ext in (".svs", ".mrxs", ".ndpi", ".tif", ".tiff"):
         return OpenSlideReader(path)
+    if ext == ".mrxs":
+        raise RuntimeError(
+            f"cannot read {path}: .mrxs (MIRAX) requires libopenslide, which "
+            "is not installed. Install openslide-python + libopenslide, or "
+            "convert the cohort to tiled TIFF (the native ingest path reads "
+            "tiled and striped TIFF/SVS/NDPI without openslide)."
+        )
     return ImageSlideReader(path)
