@@ -135,3 +135,49 @@ def test_metadata_backup_merge_unmerge(tmp_path):
     assert len(back) == 2 and (back["ER status"] == "Negative").all()
     back_t = read_table(str(tmp_path / "TCGA" / "slides_data_TCGA.xlsx"))
     assert (back_t["ER status"] == "Positive").all()
+
+
+def test_dynamic_loss_scale_gradscaler_semantics():
+    """Apex/GradScaler parity (train.py:586-602): backoff on non-finite,
+    growth after the interval, step skipping."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuwsi.core.precision import DynamicLossScale, apply_if_finite
+
+    ls = DynamicLossScale(growth_interval=2)
+    assert float(ls.scale) == 2.0 ** 16
+
+    grads = {"w": jnp.ones((3,)) * 2.0}
+    scaled_loss = ls.scale_loss(jnp.float32(1.5))
+    np.testing.assert_allclose(float(scaled_loss), 1.5 * 2 ** 16)
+    un = ls.unscale(jax.tree_util.tree_map(lambda g: g * ls.scale, grads))
+    np.testing.assert_allclose(np.asarray(un["w"]), 2.0, rtol=1e-6)
+
+    # finite path: grows after growth_interval good steps
+    finite = ls.grads_finite(grads)
+    assert bool(finite)
+    ls1 = ls.update(finite)
+    ls2 = ls1.update(ls1.grads_finite(grads))
+    assert float(ls2.scale) == 2.0 ** 17  # doubled after 2 good steps
+
+    # non-finite path: halves scale, step skipped
+    bad = {"w": jnp.array([1.0, np.inf, 2.0])}
+    f = ls.grads_finite(bad)
+    assert not bool(f)
+    ls_bad = ls.update(f)
+    assert float(ls_bad.scale) == 2.0 ** 15
+    old = {"w": jnp.zeros((3,))}
+    new = {"w": jnp.ones((3,))}
+    kept = apply_if_finite(f, new, old)
+    np.testing.assert_array_equal(np.asarray(kept["w"]), 0.0)
+
+    # the whole thing jits (pure functional state)
+    @jax.jit
+    def step(ls, grads):
+        f = ls.grads_finite(grads)
+        return ls.update(f)
+
+    out = step(ls, grads)
+    assert float(out.scale) >= float(ls.scale)

@@ -57,6 +57,10 @@ class ViTConfig:
     # HBM (BASELINE headroom item: batch-128 regression).
     remat_blocks: bool = False
     use_pallas_attention: bool = True
+    # Pallas fused MLP / fused pre-norm MLP block (ops/mlp.py). Separate
+    # toggle from attention so the two kernel families can be A/B'd
+    # independently on the full step (scripts/exp_kernels3.py).
+    use_fused_mlp: bool = True
     # Run the Pallas kernels in interpreter mode (forces the kernel path on
     # non-TPU backends — used to validate the custom_partitioning sharded
     # lowering on the CPU test mesh; never enable on real hardware).
@@ -320,6 +324,7 @@ class Block(nn.Module):
     dtype: Dtype = jnp.bfloat16
     ln_dtype: Dtype = jnp.float32
     use_pallas: bool = True
+    use_fused_mlp: bool = True
     pallas_interpret: bool = False
     gelu_approx: bool = False
 
@@ -355,7 +360,7 @@ class Block(nn.Module):
         # dropout/stochastic-depth applies to this sub-block. Param tree is
         # identical to the unfused path (norm2/{scale,bias},
         # mlp/fc{1,2}/{kernel,bias}).
-        fuse_block = self.use_pallas and (
+        fuse_block = self.use_pallas and self.use_fused_mlp and (
             deterministic or (self.drop == 0.0 and self.drop_path == 0.0)
         )
         if fuse_block:
@@ -376,7 +381,7 @@ class Block(nn.Module):
             drop=self.drop,
             dtype=self.dtype,
             gelu_approx=self.gelu_approx,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas and self.use_fused_mlp,
             pallas_interpret=self.pallas_interpret,
             name="mlp",
         )(y.astype(self.dtype), deterministic)
@@ -396,6 +401,7 @@ class _ScanBlockBody(nn.Module):
     dtype: Dtype
     ln_dtype: Dtype
     use_pallas: bool
+    use_fused_mlp: bool
     pallas_interpret: bool
     gelu_approx: bool
     deterministic: bool
@@ -430,7 +436,7 @@ class _ScanBlockBody(nn.Module):
         # The scan body's drop-path rate is a TRACED per-layer input, so the
         # fused pre-norm block (which skips drop-path) can only apply when
         # deterministic — training keeps the unfused path here.
-        if self.use_pallas and det:
+        if self.use_pallas and self.use_fused_mlp and det:
             from tpuwsi.ops.mlp import fused_mlp_block
 
             ls, lb = _LNParams(d, name="norm2")()
@@ -450,7 +456,7 @@ class _ScanBlockBody(nn.Module):
             drop=self.drop,
             dtype=self.dtype,
             gelu_approx=self.gelu_approx,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas and self.use_fused_mlp,
             pallas_interpret=self.pallas_interpret,
             name="mlp",
         )(y.astype(self.dtype), det)
@@ -563,6 +569,7 @@ class VisionTransformer(nn.Module):
                 dtype=cfg.dtype,
                 ln_dtype=cfg.ln_dtype,
                 use_pallas=cfg.use_pallas_attention,
+                use_fused_mlp=cfg.use_fused_mlp,
                 pallas_interpret=cfg.pallas_interpret,
                 gelu_approx=cfg.gelu_approx,
                 deterministic=deterministic,
@@ -585,6 +592,7 @@ class VisionTransformer(nn.Module):
                 dtype=cfg.dtype,
                 ln_dtype=cfg.ln_dtype,
                 use_pallas=cfg.use_pallas_attention,
+                use_fused_mlp=cfg.use_fused_mlp,
                 pallas_interpret=cfg.pallas_interpret,
                 gelu_approx=cfg.gelu_approx,
                 name=f"blocks_{i}",
