@@ -40,8 +40,15 @@ def build(batch_size: int, tile: int = 224):
     from tpuwsi.train import OptimConfig, make_optimizer
 
     on_tpu = jax.default_backend() == "tpu"
+    # Round-3 kernel re-A/B (scripts/exp_kernels3.py, BENCH.md "Round 3"):
+    # with XLA's GEMM region now at ~95% of HBM peak, the fused-MLP Pallas
+    # family measures neutral-to-negative in-step (xla_mlp 117.6 vs base
+    # 118.4 ms at b96) while Pallas attention remains essential (XLA attn:
+    # 210.7 ms). Best full-step config: XLA MLP + bf16 LayerNorm.
     backbone = VisionTransformer(
         vit_small(num_classes=0, img_size=224, use_pallas_attention=on_tpu,
+                  use_fused_mlp=False,
+                  ln_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
                   gelu_approx=True)
     )
     model = DINOModel(
@@ -66,7 +73,10 @@ def build(batch_size: int, tile: int = 224):
 
 
 def main():
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+    # b128 > b96 with the XLA-MLP config (6,665 vs 6,556 views/s — the
+    # round-2 b128 regression was layout copies around the Pallas MLP
+    # custom-calls, gone now; b160 regresses again from HBM pressure).
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     tile = 256  # raw WSI tile size fed to multi-crop (train.py:414: 256 default)
     state, step = build(batch_size)
     rng = jax.random.PRNGKey(1)
