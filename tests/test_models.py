@@ -113,3 +113,60 @@ def test_tile_score_readout():
     scores = tile_scores_from_head(f, w)
     expected = f @ (w[:, 1] - w[:, 0])
     np.testing.assert_allclose(np.asarray(scores), np.asarray(expected))
+
+
+def test_backbone_sequence_packing_matches_reference():
+    """Backbone-level sequence packing (local crops: 37 tokens → 3 packed
+    per 128-row program) must reproduce the unpacked XLA-reference forward.
+    The op-level packed-vs-internal-packing paths are bit-identical (see
+    test_attention); here the whole ViT forward is compared end to end."""
+    from tpuwsi.models.vit import VisionTransformer, vit_tiny
+
+    import dataclasses
+
+    cfg_p = dataclasses.replace(
+        vit_tiny(num_classes=0, img_size=96, use_pallas_attention=True,
+                 pallas_interpret=True), depth=3)
+    cfg_r = dataclasses.replace(
+        vit_tiny(num_classes=0, img_size=96, use_pallas_attention=False),
+        depth=3)
+    m_p, m_r = VisionTransformer(cfg_p), VisionTransformer(cfg_r)
+    # batch 6 is divisible by pack=128//37=3 → backbone packing engages
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 96, 96, 3), jnp.float32)
+    params = m_p.init(jax.random.PRNGKey(0), x[:1])
+    o_p = np.asarray(m_p.apply(params, x))
+    o_r = np.asarray(m_r.apply(params, x))
+    assert o_p.shape == (6, 192)
+    # bf16 compute with different GEMM/accumulation orders
+    np.testing.assert_allclose(o_p, o_r, atol=0.06, rtol=0.05)
+
+
+def test_backbone_sequence_packing_all_tokens_shape():
+    from tpuwsi.models.vit import VisionTransformer, vit_tiny
+
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        vit_tiny(num_classes=0, img_size=96, use_pallas_attention=True,
+                 pallas_interpret=True), depth=2)
+    m = VisionTransformer(cfg)
+    x = jnp.zeros((6, 96, 96, 3), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x[:1])
+    toks = m.apply(params, x, return_all_tokens=True)
+    assert toks.shape == (6, 37, 192)
+
+
+def test_droppath_pack_independent_masks():
+    """With pack>1 each packed sample draws its own stochastic-depth mask:
+    rows within one sub-sequence share fate, different subs differ."""
+    from tpuwsi.models.vit import DropPath
+
+    dp = DropPath(rate=0.5, pack=3)
+    x = jnp.ones((4, 3 * 37, 8))
+    y = dp.apply({}, x, False, rngs={"droppath": jax.random.PRNGKey(0)})
+    y = np.asarray(y).reshape(4, 3, 37, 8)
+    # constant within each packed sample's run of rows
+    assert (y == y[:, :, :1, :]).all()
+    # across (batch, pack) draws, both kept and dropped occur at rate 0.5
+    kept = (y[:, :, 0, 0] != 0)
+    assert kept.any() and (~kept).any()

@@ -95,9 +95,14 @@ def trunc_normal_init(stddev: float = 0.02):
 
 
 class DropPath(nn.Module):
-    """Per-sample stochastic depth."""
+    """Per-sample stochastic depth.
+
+    ``pack`` > 1 means the sequence axis carries ``pack`` independent
+    samples' token runs (backbone-level sequence packing) — each packed
+    sample draws its own mask so stochastic depth stays per-sample."""
 
     rate: float
+    pack: int = 1
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
@@ -105,8 +110,13 @@ class DropPath(nn.Module):
             return x
         keep = 1.0 - self.rate
         rng = self.make_rng("droppath")
-        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-        mask = jax.random.bernoulli(rng, keep, shape)
+        if self.pack > 1:
+            b, n = x.shape[0], x.shape[1]
+            mask = jax.random.bernoulli(rng, keep, (b, self.pack, 1))
+            mask = jnp.repeat(mask, n // self.pack, axis=1)
+        else:
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            mask = jax.random.bernoulli(rng, keep, shape)
         return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
@@ -142,6 +152,9 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool = True
     pallas_interpret: bool = False
+    # >0: the sequence axis is pack·block_len tokens of independent packed
+    # sub-sequences (backbone-level packing) — attention is block-diagonal.
+    block_len: int = 0
 
     @nn.compact
     def __call__(self, x, deterministic: bool, return_attn: bool = False):
@@ -181,6 +194,13 @@ class Attention(nn.Module):
                     qkv, self.num_heads,
                     interpret=self.pallas_interpret or None,
                     training=not deterministic,
+                    block_len=self.block_len,
+                )
+            elif self.block_len:
+                from tpuwsi.ops.attention import _mha_reference
+
+                out = _mha_reference(
+                    qkv, self.num_heads, head_dim ** -0.5, self.block_len
                 )
             else:
                 qkv_r = qkv.reshape(b, n, 3, self.num_heads, head_dim)
@@ -327,6 +347,10 @@ class Block(nn.Module):
     use_fused_mlp: bool = True
     pallas_interpret: bool = False
     gelu_approx: bool = False
+    # Backbone-level sequence packing (see VisionTransformer): pack
+    # sub-sequences of block_len tokens share the sequence axis.
+    pack: int = 1
+    block_len: int = 0
 
     @nn.compact
     def __call__(self, x, deterministic: bool, return_attn: bool = False):
@@ -351,9 +375,11 @@ class Block(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             pallas_interpret=self.pallas_interpret,
+            block_len=self.block_len,
             name="attn",
         )(y.astype(self.dtype), deterministic, return_attn)
-        x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
+        x = x + DropPath(self.drop_path, pack=self.pack,
+                         name="drop_path1")(y, deterministic)
         hidden = int(d * self.mlp_ratio)
         # Fully fused pre-norm MLP sub-block (LN + fc1 + gelu + fc2 +
         # residual as ONE Pallas op — see ops/mlp.py): active when no
@@ -385,7 +411,8 @@ class Block(nn.Module):
             pallas_interpret=self.pallas_interpret,
             name="mlp",
         )(y.astype(self.dtype), deterministic)
-        x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
+        x = x + DropPath(self.drop_path, pack=self.pack,
+                         name="drop_path2")(y, deterministic)
         return x, attn
 
 
@@ -405,6 +432,8 @@ class _ScanBlockBody(nn.Module):
     pallas_interpret: bool
     gelu_approx: bool
     deterministic: bool
+    pack: int = 1
+    block_len: int = 0
 
     @nn.compact
     def __call__(self, x, dpr):
@@ -416,7 +445,16 @@ class _ScanBlockBody(nn.Module):
                 return y
             rng = self.make_rng("droppath")
             keep = 1.0 - dpr
-            mask = jax.random.bernoulli(rng, keep, (y.shape[0],) + (1,) * (y.ndim - 1))
+            if self.pack > 1:
+                # per-sample masks inside packed sequences (see DropPath)
+                mask = jax.random.bernoulli(
+                    rng, keep, (y.shape[0], self.pack, 1)
+                )
+                mask = jnp.repeat(mask, y.shape[1] // self.pack, axis=1)
+            else:
+                mask = jax.random.bernoulli(
+                    rng, keep, (y.shape[0],) + (1,) * (y.ndim - 1)
+                )
             # keep is a traced f32 scalar — cast so the residual stream dtype
             # is preserved (scan carry types must be invariant).
             return jnp.where(mask, y / keep.astype(y.dtype), jnp.zeros_like(y))
@@ -430,6 +468,7 @@ class _ScanBlockBody(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             pallas_interpret=self.pallas_interpret,
+            block_len=self.block_len,
             name="attn",
         )(y.astype(self.dtype), det, False)
         x = x + droppath(y)
@@ -528,6 +567,30 @@ class VisionTransformer(nn.Module):
         if cfg.drop_rate > 0.0:
             x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
 
+        # Backbone-level sequence packing for short sequences (multi-crop
+        # local views: 37 tokens waste 91% of a 128-row score tile). The
+        # Pallas MHA kernel packs 128//n sub-sequences per program either
+        # way; doing the (B,n,D)→(B/p,p·n,D) reshape ONCE here at token
+        # width — instead of per-attention-call at qkv (3D) width — removed
+        # ~6 ms/step of tiled-layout relayout copies from the DINO step
+        # (round-3 trace). Every non-attention op is row-elementwise, so
+        # only attention (block-diagonal mask) and stochastic depth
+        # (per-packed-sample masks) need to know.
+        n_tok = 1 + n
+        seq_pack = 1
+        if (
+            cfg.use_pallas_attention
+            and n_tok <= 64
+            and not return_last_attention
+            and not intermediate_layers
+            and (jax.default_backend() == "tpu" or cfg.pallas_interpret)
+        ):
+            p = 128 // n_tok
+            if p > 1 and b % p == 0:
+                seq_pack = p
+                x = x.reshape(b // p, p * n_tok, cfg.embed_dim)
+        blk_len = n_tok if seq_pack > 1 else 0
+
         dpr = [
             cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
             for i in range(cfg.depth)
@@ -573,6 +636,8 @@ class VisionTransformer(nn.Module):
                 pallas_interpret=cfg.pallas_interpret,
                 gelu_approx=cfg.gelu_approx,
                 deterministic=deterministic,
+                pack=seq_pack,
+                block_len=blk_len,
                 name="blocks_scan",
             )(x, jnp.asarray(dpr, dtype=jnp.float32))
         BlockCls = (
@@ -595,6 +660,8 @@ class VisionTransformer(nn.Module):
                 use_fused_mlp=cfg.use_fused_mlp,
                 pallas_interpret=cfg.pallas_interpret,
                 gelu_approx=cfg.gelu_approx,
+                pack=seq_pack,
+                block_len=blk_len,
                 name=f"blocks_{i}",
             )(x, deterministic, want_attn)
             if want_attn:
@@ -611,9 +678,15 @@ class VisionTransformer(nn.Module):
             # Parity: DINO get_intermediate_layers — final-norm applied to the
             # outputs of the last-k blocks (SURVEY §2.9).
             return [final_norm(h) for h in intermediates[:-1]] + [x]
-        cls_out = x[:, 0]
-        if return_all_tokens:
-            return x
+        if seq_pack > 1:
+            # unpack: each packed sample's cls token sits at k·n_tok
+            cls_out = x[:, ::n_tok].reshape(b, cfg.embed_dim)
+            if return_all_tokens:
+                return x.reshape(b, n_tok, cfg.embed_dim)
+        else:
+            cls_out = x[:, 0]
+            if return_all_tokens:
+                return x
         if cfg.num_classes > 0:
             logits = nn.Dense(
                 cfg.num_classes,

@@ -839,7 +839,7 @@ def _mha_qkv_backward(qkv, g, num_heads, scale, interpret, block_len=0):
     return dqkv
 
 
-def _mha_reference(qkv, num_heads, scale):
+def _mha_reference(qkv, num_heads, scale, block_len=0):
     b, n, d3 = qkv.shape
     d = d3 // 3
     hd = d // num_heads
@@ -848,6 +848,12 @@ def _mha_reference(qkv, num_heads, scale):
     s = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
+    if block_len and block_len < n:
+        # Sequence-packed input: the "sequence" is a concatenation of
+        # independent block_len-token sub-sequences (backbone-level packing,
+        # models/vit.py) — mask cross-block attention.
+        idx = jnp.arange(n) // block_len
+        s = jnp.where(idx[:, None] == idx[None, :], s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum(
         "bhqk,bkhd->bqhd", p.astype(v.dtype), v,
@@ -952,6 +958,7 @@ def mha_from_qkv(
     scale: float | None = None,
     interpret: bool | None = None,
     training: bool = False,
+    block_len: int = 0,
 ) -> jax.Array:
     """Multi-head attention directly from the fused qkv projection output.
 
@@ -968,6 +975,22 @@ def mha_from_qkv(
     d = qkv.shape[-1] // 3
     if scale is None:
         scale = (d // num_heads) ** -0.5
+    if block_len and block_len < qkv.shape[1]:
+        # Pre-packed input (backbone-level sequence packing, models/vit.py):
+        # the sequence axis is pack independent block_len-token sub-sequences
+        # already laid out contiguously — run the wide kernel with the
+        # block-diagonal mask directly, no reshapes here. Packing at the
+        # TOKEN level once (D-wide) instead of per-attention-call (3D-wide,
+        # twice per layer) removed ~6 ms/step of tiled-layout relayout
+        # copies from the DINO step (round-3 trace: copy.2557/reshape.542).
+        b, n = qkv.shape[0], qkv.shape[1]
+        seq_pad = max(_cdiv(n, 128) * 128, 128)
+        if (
+            jax.default_backend() == "tpu"
+            and _wide_vmem_ok(num_heads, seq_pad, d, qkv.dtype.itemsize)
+        ) or interpret:
+            return _mha_qkv(qkv, num_heads, scale, bool(interpret), block_len)
+        return _mha_reference(qkv, num_heads, scale, block_len)
     # Measured on v5e (scripts/exp_attn2.py): the wide-softmax kernel is 1.6×
     # XLA fwd at 197 tokens and 1.25× fwd+bwd; below ~64 tokens the 128-row
     # padding makes XLA win the FORWARD (0.29 vs 0.81 ms at 576×37) but the
