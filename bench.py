@@ -67,16 +67,20 @@ def build(batch_size: int, tile: int = 224, raw: bool = False):
     ocfg = OptimConfig(opt="adamw", lr=5e-4, weight_decay=0.04)
     tx, _ = make_optimizer(ocfg, params, global_batch_size=batch_size)
     state = create_dino_state(params, tx, dcfg)
-    mc = make_multicrop(MultiCropConfig(global_size=224, local_size=96, n_local=6))
+    # bf16 augmentation: the view pipeline is HBM-bound elementwise work
+    # (8.4 ms/step of the b128 step in f32, exp_region3); bf16 halves it.
+    mc = make_multicrop(MultiCropConfig(
+        global_size=224, local_size=96, n_local=6,
+        compute_dtype="bfloat16" if on_tpu else "float32"))
     step = make_dino_train_step(model.apply, tx, dcfg, multicrop_fn=mc)
     return state, (step if raw else jax.jit(step))
 
 
 def main():
-    # b128 > b96 with the XLA-MLP config (6,665 vs 6,556 views/s — the
-    # round-2 b128 regression was layout copies around the Pallas MLP
-    # custom-calls, gone now; b160 regresses again from HBM pressure).
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    # With bf16 augmentation + coordinate-folded hflip, b96 edges b128
+    # again (7,157 vs 7,076 views/s — scripts/exp_batch3.py; b160 6,793
+    # regresses from HBM pressure).
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 96
     tile = 256  # raw WSI tile size fed to multi-crop (train.py:414: 256 default)
     state, raw_step = build(batch_size, raw=True)
     rng = jax.random.PRNGKey(1)

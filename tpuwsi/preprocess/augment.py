@@ -231,12 +231,15 @@ def resample_bilinear(img, ys, xs):
     """Sample img (H, W, C) at row positions ys (Ho,) and col positions
     xs (Wo,) via MXU matmuls → (Ho, Wo, C)."""
     h, w, _ = img.shape
-    my = interp_matrix(ys, h).astype(jnp.float32)
-    mx = interp_matrix(xs, w).astype(jnp.float32)
+    # bf16 inputs ride the MXU natively (f32 accumulation via
+    # preferred_element_type); everything else computes in f32 as before.
+    dt = jnp.bfloat16 if img.dtype == jnp.bfloat16 else jnp.float32
+    my = interp_matrix(ys, h).astype(dt)
+    mx = interp_matrix(xs, w).astype(dt)
     tmp = jnp.einsum(
-        "oh,hwc->owc", my, img.astype(jnp.float32),
+        "oh,hwc->owc", my, img.astype(dt),
         preferred_element_type=jnp.float32,
-    )
+    ).astype(dt)
     return jnp.einsum(
         "pw,owc->opc", mx, tmp, preferred_element_type=jnp.float32
     ).astype(img.dtype)
