@@ -93,7 +93,10 @@ def main():
     # 144.5 ms/step measured, scripts/exp_scan_steps.py) — a production TPU
     # training loop runs its input-fed equivalent via host offload +
     # dispatch-ahead; the resident-data bench measures the compute path.
-    K = 8
+    # K sweep (scripts/exp_flags3.py, b96): K=8 109.0 ms, K=32 102.9,
+    # K=64 102.0 — K=32 is the knee; beyond it per-call latency doubles
+    # for <1% more throughput.
+    K = 32
 
     def multi(state, batch, rng):
         def body(carry, i):
@@ -113,7 +116,7 @@ def main():
     state, losses = step(state, batch, rng)
     np.asarray(losses)
 
-    n_calls = 5
+    n_calls = 3
     n_iters = n_calls * K
     t0 = time.perf_counter()
     for i in range(n_calls):
