@@ -6,6 +6,8 @@
 
 #include <tiffio.h>
 
+#include "jp2k.h"
+
 #include <algorithm>
 #include <atomic>
 #include <condition_variable>
@@ -85,6 +87,53 @@ int read_level_rect(Slide* s, TIFF* tif, int level, int64_t x0, int64_t y0,
     TIFFGetField(tif, TIFFTAG_TILEWIDTH, &tw);
     TIFFGetField(tif, TIFFTAG_TILELENGTH, &th);
     if (tw == 0 || th == 0) return -3;
+
+    // Aperio JP2K SVS (33003 YCbCr / 33005 RGB) and standard JP2000 (34712):
+    // libtiff has no codec for these — read raw codestreams and decode via
+    // the dlopen'd libopenjp2 (jp2k.cc). Reference parity: OpenSlide's
+    // aperio driver (utils.py:176 read_region on JP2K cohorts).
+    uint16_t comp = 0, photometric = 0;
+    TIFFGetField(tif, TIFFTAG_COMPRESSION, &comp);
+    TIFFGetFieldDefaulted(tif, TIFFTAG_PHOTOMETRIC, &photometric);
+    const bool is_jp2k = (comp == 33003 || comp == 33005 || comp == 34712);
+    if (is_jp2k) {
+      if (!jp2k_available()) return -6;
+      const bool ycbcr = comp == 33003 || photometric == PHOTOMETRIC_YCBCR;
+      std::vector<uint8_t> raw;
+      std::vector<uint8_t> rgb(static_cast<size_t>(tw) * th * 3);
+      uint64_t* bytecounts = nullptr;
+      if (!TIFFGetField(tif, TIFFTAG_TILEBYTECOUNTS, &bytecounts) ||
+          !bytecounts)
+        return -6;
+      for (int64_t ty = (ry0 / th) * th; ty < ry1; ty += th) {
+        for (int64_t tx = (rx0 / tw) * tw; tx < rx1; tx += tw) {
+          const uint32_t tile = TIFFComputeTile(
+              tif, static_cast<uint32_t>(tx), static_cast<uint32_t>(ty), 0, 0);
+          const tmsize_t nbytes = static_cast<tmsize_t>(bytecounts[tile]);
+          if (nbytes <= 0) return -6;
+          raw.resize(static_cast<size_t>(nbytes));
+          if (TIFFReadRawTile(tif, tile, raw.data(), nbytes) != nbytes)
+            return -6;
+          if (jp2k_decode(raw.data(), raw.size(), rgb.data(),
+                          static_cast<int64_t>(tw), static_cast<int64_t>(th),
+                          ycbcr) != 0)
+            return -6;
+          const int64_t cx0 = std::max<int64_t>(tx, rx0);
+          const int64_t cy0 = std::max<int64_t>(ty, ry0);
+          const int64_t cx1 = std::min<int64_t>(tx + tw, rx1);
+          const int64_t cy1 = std::min<int64_t>(ty + th, ry1);
+          for (int64_t yy = cy0; yy < cy1; ++yy) {
+            // jp2k_decode writes top-down rows (no RGBA flip needed).
+            const uint8_t* src =
+                rgb.data() + ((yy - ty) * tw + (cx0 - tx)) * 3;
+            uint8_t* dst = out + ((yy - y0) * w + (cx0 - x0)) * 3;
+            std::memcpy(dst, src, static_cast<size_t>(cx1 - cx0) * 3);
+          }
+        }
+      }
+      return 0;
+    }
+
     std::vector<uint32_t> tilebuf(static_cast<size_t>(tw) * th);
     for (int64_t ty = (ry0 / th) * th; ty < ry1; ty += th) {
       for (int64_t tx = (rx0 / tw) * tw; tx < rx1; tx += tw) {

@@ -181,3 +181,75 @@ def test_restart_pool_resizes(tmp_path):
         assert out.shape == (1, 128, 128, 3)
         assert ex.failures == 0
     reader.close()
+
+
+# ---- Aperio JP2K (compression 33005 RGB / 33003 YCbCr) ------------------------
+
+
+def _procedural_rgb(h, w, seed=3):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx // 7 + 7) % 256, (yy // 5 + 3) % 256, ((xx + yy) // 9) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    img ^= rng.integers(0, 8, size=img.shape, dtype=np.uint8)
+    return img
+
+
+def test_jp2k_rgb_svs_native_lossless(tmp_path):
+    """33005 (RGB wavelet): lossless 5x3 codestreams must round-trip exactly
+    through the native raw-tile + libopenjp2 path."""
+    from jp2k_fixture import write_jp2k_svs
+
+    img = _procedural_rgb(700, 900)
+    path = str(tmp_path / "jp2k_rgb.svs")
+    write_jp2k_svs(path, img, tile=256, compression=33005, levels=2)
+    r = CTileReader(path)
+    assert r.dimensions == (900, 700)
+    assert len(r.level_downsamples) == 2
+    # interior region spanning tile boundaries
+    got = r.read_region((200, 150), 0, (300, 280))
+    np.testing.assert_array_equal(got, img[150:430, 200:500])
+    # edge region: zero-filled outside the slide
+    edge = r.read_region((900 - 64, 700 - 64), 0, (128, 128))
+    np.testing.assert_array_equal(edge[:64, :64], img[-64:, -64:])
+    assert (edge[64:, 64:] == 0).all()
+    r.close()
+
+
+def test_jp2k_ycbcr_svs_native(tmp_path):
+    """33003 (YCbCr wavelet): the native reader must apply the full-range
+    YCbCr→RGB conversion (OpenSlide parity). Lossless codestream, so only
+    the color-transform rounding (±2) separates output from the source."""
+    from jp2k_fixture import rgb_to_full_range_ycbcr, write_jp2k_svs
+
+    img = _procedural_rgb(512, 512, seed=11)
+    path = str(tmp_path / "jp2k_ycbcr.svs")
+    write_jp2k_svs(path, rgb_to_full_range_ycbcr(img), tile=256,
+                   compression=33003, levels=1)
+    r = CTileReader(path)
+    got = r.read_region((0, 0), 0, (512, 512)).astype(np.int16)
+    err = np.abs(got - img.astype(np.int16))
+    assert err.max() <= 2, f"max err {err.max()}"
+    r.close()
+
+
+def test_jp2k_svs_through_open_slide_and_pool(tmp_path):
+    """open_slide must route JP2K SVS to the native reader, and the threaded
+    batch extractor must decode it (parallel openjpeg instances)."""
+    from jp2k_fixture import write_jp2k_svs
+
+    img = _procedural_rgb(600, 600, seed=5)
+    path = str(tmp_path / "jp2k_pool.svs")
+    write_jp2k_svs(path, img, tile=256, compression=33005, levels=1)
+    r = open_slide(path)
+    assert type(r).__name__ == "CTileReader"
+    ex = NativeBatchExtractor(n_threads=4)
+    reqs = [(r, 0, 64 * i, 32 * i, 128) for i in range(8)]
+    out = ex.extract(reqs, out_size=128)
+    assert ex.failures == 0
+    for i in range(8):
+        np.testing.assert_array_equal(
+            out[i], img[32 * i:32 * i + 128, 64 * i:64 * i + 128]
+        )

@@ -118,7 +118,9 @@ class SyntheticSlideReader(SlideReader):
 def open_slide(path: str, prefer_native: bool = True) -> SlideReader:
     """Pick a reader for the file. Native C++ ingest for TIFF-container
     formats when available (tiled AND striped layouts, which covers
-    .svs/.tif and NDPI-class striped-JPEG slides), then openslide, then PIL.
+    .svs/.tif and NDPI-class striped-JPEG slides; JPEG/LZW/deflate via
+    libtiff and Aperio JP2K 33003/33005 via libopenjp2 — see
+    native/tileingest/jp2k.cc), then openslide, then PIL.
 
     .mrxs (MIRAX — a directory-based proprietary format, the CARMEL
     cohorts, datasets.py:1083-1086) has no TIFF container: it needs
