@@ -105,10 +105,18 @@ def main():
         return jax.lax.scan(body, state, jnp.arange(K))
 
     step = jax.jit(multi)
-    # Latency-hiding scheduler: overlaps cross-op DMA prefetch (BENCH.md).
+    # Latency-hiding scheduler + reduce/broadcast- and conv-output-fusion
+    # off: the per-fusion MFU table (scripts/exp_mfu3.py) showed the GEMM
+    # slack concentrated in epilogue-fused backward combos; disabling those
+    # fusions measured +2.4% at K=8 and ~+0.3% at K=32 (scripts/
+    # exp_flags3b.py) — never worse. Conv INPUT fusion stays ON (-31% off).
     if jax.default_backend() == "tpu":
         step = step.lower(state, batch, rng).compile(
-            compiler_options={"xla_tpu_enable_latency_hiding_scheduler": "true"}
+            compiler_options={
+                "xla_tpu_enable_latency_hiding_scheduler": "true",
+                "xla_tpu_rwb_fusion": "false",
+                "xla_jf_conv_output_fusion": "false",
+            }
         )
 
     # warmup/compile — np.asarray forces a real device round-trip (plain

@@ -23,6 +23,8 @@ import numpy as np  # noqa: E402
 
 sys.path.insert(0, "/root/repo")
 
+from tpuwsi.core.compile import _SCHED_OPTS  # noqa: E402
+
 
 def main():
     args = sys.argv[1:]
@@ -36,7 +38,7 @@ def main():
     imgs = np.random.randint(0, 255, (batch, 256, 256, 3), dtype=np.uint8)
     b = {"images": jnp.asarray(imgs)}
     compiled = step.lower(state, b, rng).compile(
-        compiler_options={"xla_tpu_enable_latency_hiding_scheduler": "true"}
+        compiler_options=dict(_SCHED_OPTS)
     )
     txt = compiled.as_text()
     with open(f"/tmp/hlo_b{batch}.txt", "w") as f:

@@ -30,6 +30,8 @@ import numpy as np  # noqa: E402
 
 sys.path.insert(0, "/root/repo")
 
+from tpuwsi.core.compile import _SCHED_OPTS  # noqa: E402
+
 
 def capture(batch_size: int, logdir: str):
     from bench import build
@@ -39,7 +41,7 @@ def capture(batch_size: int, logdir: str):
     imgs = np.random.randint(0, 255, (batch_size, 256, 256, 3), dtype=np.uint8)
     b = {"images": jnp.asarray(imgs)}
     step = step.lower(state, b, rng).compile(
-        compiler_options={"xla_tpu_enable_latency_hiding_scheduler": "true"}
+        compiler_options=dict(_SCHED_OPTS)
     )
     state, m = step(state, b, rng)
     float(m["loss"])

@@ -14,7 +14,17 @@ import logging
 
 import jax
 
-_SCHED_OPTS = {"xla_tpu_enable_latency_hiding_scheduler": "true"}
+_SCHED_OPTS = {
+    "xla_tpu_enable_latency_hiding_scheduler": "true",
+    # Round-3 per-fusion MFU accounting (scripts/exp_mfu3.py + exp_flags3b):
+    # the GEMM region's slack concentrates in epilogue-fused backward combos
+    # (reduce/broadcast + conv-output fusion, 61-77% MFU); disabling both
+    # measured +2.4%/+0.3% (per-call/scanned driver) and never worse. Conv
+    # INPUT fusion must stay on (-31% when off). Unknown-flag rejections
+    # fall back to plain jit via the except below.
+    "xla_tpu_rwb_fusion": "false",
+    "xla_jf_conv_output_fusion": "false",
+}
 
 
 def scheduled_step(jitted):
