@@ -52,11 +52,14 @@ def test_invert_solarize_posterize_autocontrast_match_pil():
         np.asarray(_op_solarize(f, 5.0, 1.0)).astype(np.uint8),
         np.asarray(ImageOps.solarize(Image.fromarray(img), threshold=128)),
     )
-    # posterize at m=10 → 4 bits kept
-    np.testing.assert_array_equal(
-        np.asarray(_op_posterize(f, 10.0, 1.0)).astype(np.uint8),
-        np.asarray(ImageOps.posterize(Image.fromarray(img), bits=4)),
-    )
+    # PosterizeIncreasing (timm auto_augment.py): kept bits = 4 - int(m/10*4)
+    # m=0 → 4 bits, m=5 → 2 bits, m=9 → 1 bit (near-binary)
+    for m, bits in ((0.0, 4), (5.0, 2), (9.0, 1)):
+        np.testing.assert_array_equal(
+            np.asarray(_op_posterize(f, m, 1.0)).astype(np.uint8),
+            np.asarray(ImageOps.posterize(Image.fromarray(img), bits=bits)),
+            err_msg=f"posterize m={m}",
+        )
     # autocontrast: PIL uses per-channel min/max with no clipping cutoff
     ours = np.asarray(_op_autocontrast(f, 0, 1.0))
     ref = np.asarray(ImageOps.autocontrast(Image.fromarray(img)))

@@ -472,3 +472,20 @@ def test_timm_train_alias_defaults(patch_folder, tmp_path):
     rows = list(csv.DictReader(open(os.path.join(run_dir, "summary.csv"))))
     # per-epoch folder validation ran (timm default) → top1 present
     assert "eval_top1" in rows[0]
+
+
+def test_timm_compose_argv_respects_glued_short_options():
+    """Regression: '-b64' must suppress the '-b 128' timm default (argparse
+    keeps the LAST occurrence, so a trailing default would silently win)."""
+    from tpuwsi.cli.timm_train import compose_argv
+
+    out = compose_argv(["data", "-b64"])
+    assert "-b" not in out and "128" not in out
+    assert out[:3] == ["--data-dir", "data", "-b64"]
+    # separate form and long form also respected
+    assert "128" not in compose_argv(["data", "-b", "64"])
+    assert "128" not in compose_argv(["data", "--batch-size=64"])
+    # defaults appear when unset
+    out = compose_argv(["data"])
+    assert out[out.index("-b") + 1] == "128"
+    assert out[out.index("--eval-metric") + 1] == "top1"

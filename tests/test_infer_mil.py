@@ -333,3 +333,15 @@ def test_locator_paired_locations(tmp_path):
     })
     pair = loc.paired_locations("CAT", "ER", 1, is_train=True)
     assert pair == ("/r/train", "/t/train")
+
+
+def test_paired_with_fixed_tile_num(tmp_path):
+    """Regression: receptor tile_locations are stored UNTRUNCATED — the
+    is_Tumor alignment check must compare only the first fixed_tile_num
+    rows instead of raising a spurious shape mismatch."""
+    rdir, tdir = _paired_fixture(tmp_path, n_tiles=6)
+    ds = FeaturesMILDataset((rdir, tdir), bag_size=2,
+                            minimum_tiles_in_slide=2, fixed_tile_num=4)
+    bag, *_ = ds.sample_bag(0, np.random.default_rng(0))
+    assert bag.shape == (2, 16)
+    np.testing.assert_allclose(bag[:, 8:], bag[:, :8] + 100.0, rtol=1e-5)

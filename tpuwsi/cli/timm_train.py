@@ -30,19 +30,30 @@ _TIMM_DEFAULTS = {
 }
 
 
-def main(argv=None):
-    argv = list(argv if argv is not None else sys.argv[1:])
+def compose_argv(argv):
+    """Final argv: user args + timm defaults for flags the user did not set."""
+    argv = list(argv)
     if not any(a.startswith("--data-dir") for a in argv):
         # timm_train.py positional data_dir compatibility
         if argv and not argv[0].startswith("-"):
             argv = ["--data-dir", argv[0]] + argv[1:]
     given = {a.split("=")[0] for a in argv}
+    # glued short options ('-b64') must also count as given, or the
+    # appended default would silently win (argparse keeps the LAST value)
+    short_given = {
+        a[:2] for a in argv
+        if len(a) > 2 and a[0] == "-" and a[1] != "-" and a[2] != "="
+    }
     extra = []
     for flag, value in _TIMM_DEFAULTS.items():
         alias = {"-b": "--batch-size"}.get(flag, flag)
-        if flag not in given and alias not in given:
+        if flag not in given and alias not in given and flag not in short_given:
             extra += [flag, value]
-    return _main(argv + extra)
+    return argv + extra
+
+
+def main(argv=None):
+    return _main(compose_argv(argv if argv is not None else sys.argv[1:]))
 
 
 if __name__ == "__main__":

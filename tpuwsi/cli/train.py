@@ -74,6 +74,17 @@ def _fitting_mesh(global_batch_size: int, model_parallel: int = 1):
             f"--model-parallel {model} does not divide device count {n}"
         )
     data = math.gcd(global_batch_size, n // model)
+    if jax.process_count() > 1 and data * model != n:
+        # A sub-mesh is only valid single-process: jax.devices() is
+        # process-major, so truncating it strands later processes with zero
+        # addressable devices in the mesh (their shard_batch/collectives
+        # would fail with an opaque runtime error).
+        raise ValueError(
+            f"global batch {global_batch_size} with --model-parallel {model} "
+            f"uses only {data * model} of {n} devices; on multi-host runs the "
+            "global batch must be divisible by devices/model-parallel "
+            f"({n // model})."
+        )
     return create_mesh(
         MeshConfig(data=data, model=model),
         devices=jax.devices()[: data * model],
@@ -150,7 +161,10 @@ def main(argv=None):
                 1.0 - args.val_split, np.random.default_rng(args.seed)
             )
         num_classes = args.num_output or args.num_classes or train_ds.num_classes
-        steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
+        # each host consumes a 1/pcount strided slice of the dataset, so the
+        # schedule must count PER-HOST optimizer steps (global batch rows
+        # per step = batch_size * pcount)
+        steps_per_epoch = max(len(train_ds) // (args.batch_size * pcount), 1)
     else:
         table = load_slide_table(
             args.dataset,
@@ -187,7 +201,7 @@ def main(argv=None):
             print_timing=args.time,
         )
         num_classes = args.num_output or args.num_classes or 2
-        steps_per_epoch = max(len(sampler) // args.batch_size, 1)
+        steps_per_epoch = max(len(sampler) // (args.batch_size * pcount), 1)
 
     # ---------------- model + optimizer ----------------
     on_tpu = jax.default_backend() == "tpu"
@@ -649,7 +663,7 @@ def train_survival(args, output_dir, ledger, exp):
         table, n_tiles=args.n_patches_train, bag_size=1,
         num_threads=args.workers, print_timing=args.time,
     )
-    steps_per_epoch = max(len(sampler) // args.batch_size, 1)
+    steps_per_epoch = max(len(sampler) // (args.batch_size * pcount), 1)
 
     on_tpu = jax.default_backend() == "tpu"
     img_size = args.img_size or args.tile_size
@@ -717,6 +731,18 @@ def train_survival(args, output_dir, ledger, exp):
 
     summary_path = os.path.join(output_dir, "summary.csv")
     rng = jax.random.PRNGKey(args.seed)
+    # eval-side slide table + walker are epoch-invariant — build once, not
+    # per eval epoch (the table load merges multi-thousand-row cohort xlsx)
+    infer_table = load_survival_slide_table(
+        args.dataset, tile_size=args.tile_size,
+        test_fold=args.test_fold, train=False, train_type="Infer",
+        infer_folds=[args.test_fold], bag_size=0,
+        desired_magnification=args.mag, data_root=args.data_root,
+    )
+    walker = SurvivalSlideWalker(
+        infer_table, tiles_per_iter=args.tiles_per_iter,
+        num_tiles=args.n_patches_test,
+    )
     with mesh:
         for epoch in range(args.epochs):
             epoch_rng = np.random.default_rng(args.seed + epoch)
@@ -751,16 +777,6 @@ def train_survival(args, output_dir, ledger, exp):
 
             eval_metrics = {}
             if epoch % args.eval_rate == 0 or epoch == args.epochs - 1:
-                infer_table = load_survival_slide_table(
-                    args.dataset, tile_size=args.tile_size,
-                    test_fold=args.test_fold, train=False, train_type="Infer",
-                    infer_folds=[args.test_fold], bag_size=0,
-                    desired_magnification=args.mag, data_root=args.data_root,
-                )
-                walker = SurvivalSlideWalker(
-                    infer_table, tiles_per_iter=args.tiles_per_iter,
-                    num_tiles=args.n_patches_test,
-                )
                 agg = SurvivalAggregator()
                 for chunk in walker.walk():
                     risks = risk_fn(state.params, jnp.asarray(chunk.images))
@@ -806,7 +822,8 @@ def train_ssl(args, output_dir):
     folder_mode = bool(args.data_dir)
     if folder_mode:
         ds = ImageFolderDataset(args.data_dir)
-        steps_per_epoch = max(len(ds) // args.batch_size, 1)
+        # per-host steps: each host sees a 1/pcount strided slice
+        steps_per_epoch = max(len(ds) // (args.batch_size * pcount), 1)
     else:
         table = load_slide_table(
             args.dataset, tile_size=args.tile_size, target_kind=args.target,
@@ -818,7 +835,7 @@ def train_ssl(args, output_dir):
             table, n_tiles=args.n_patches_train, bag_size=1,
             num_threads=args.workers,
         )
-        steps_per_epoch = max(len(sampler) // args.batch_size, 1)
+        steps_per_epoch = max(len(sampler) // (args.batch_size * pcount), 1)
 
     cfg = dataclasses.replace(
         parse_model_name(args.model),

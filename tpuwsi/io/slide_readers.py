@@ -148,4 +148,14 @@ def open_slide(path: str, prefer_native: bool = True) -> SlideReader:
             "convert the cohort to tiled TIFF (the native ingest path reads "
             "tiled and striped TIFF/SVS/NDPI without openslide)."
         )
+    if ext in (".svs", ".ndpi"):
+        # Pyramidal proprietary containers must never fall through to PIL:
+        # PIL reads page 0 of whatever it can parse (or dies on the
+        # decompression-bomb limit) — training on that is silent garbage.
+        raise RuntimeError(
+            f"cannot read {path}: the native reader "
+            f"{'failed to parse it' if prefer_native else 'is disabled'} and "
+            "openslide is not installed. Build native/ (build.sh) or install "
+            "openslide-python + libopenslide."
+        )
     return ImageSlideReader(path)

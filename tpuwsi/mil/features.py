@@ -289,8 +289,12 @@ class FeaturesMILDataset:
                             f"num tiles mismatch for {name}: receptor {nt} "
                             f"vs is_Tumor {rec['num_tiles']}"
                         )
+                    # Receptor tile_locations are stored UNTRUNCATED (the
+                    # reference keeps the full location table even when
+                    # fixed_tile_num trims the features) — align both sides
+                    # to nt before comparing.
                     if not np.array_equal(
-                        self.tile_locations[i],
+                        np.asarray(self.tile_locations[i])[:nt],
                         rec["tile_locations"][:nt],
                         equal_nan=True,
                     ):

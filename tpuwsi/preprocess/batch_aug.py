@@ -133,10 +133,14 @@ def make_random_erasing(
 
     def erase_one(key, img):
         h, w, c = img.shape
+        # timm RandomErasing semantics: ONE apply-probability roll per
+        # image; when count > 1 each rectangle targets area/count.
+        key, kp = jax.random.split(key)
+        do_img = jax.random.bernoulli(kp, prob)
 
         def body(i, carry):
             img, key = carry
-            key, ka, kr, ky, kx, kf, kp = jax.random.split(key, 7)
+            key, ka, kr, ky, kx, kf = jax.random.split(key, 6)
             frac = jax.random.uniform(
                 ka, (), minval=area_range[0], maxval=area_range[1]
             )
@@ -145,7 +149,7 @@ def make_random_erasing(
                     kr, (), minval=log_aspect[0], maxval=log_aspect[1]
                 )
             )
-            area = frac * h * w
+            area = frac * h * w / count
             eh = jnp.clip(
                 jnp.sqrt(area * aspect).astype(jnp.int32), 1, h
             )
@@ -164,8 +168,7 @@ def make_random_erasing(
                 fill = jax.random.normal(kf, img.shape, img.dtype)
             else:
                 fill = jnp.zeros_like(img)
-            do = jax.random.bernoulli(kp, prob)
-            img = jnp.where(do & box[..., None], fill, img)
+            img = jnp.where(do_img & box[..., None], fill, img)
             return img, key
 
         img, _ = jax.lax.fori_loop(0, count, body, (img, key))
@@ -273,9 +276,11 @@ def _op_rotate(img, m, sign):
 
 
 def _op_posterize(img, m, sign):
-    bits_removed = jnp.round(m / 10.0 * 4.0).astype(jnp.int32)
-    keep = jnp.clip(8 - bits_removed, 1, 8)
-    q = (2 ** (8 - keep)).astype(jnp.float32)
+    # timm PosterizeIncreasing: kept bits = 4 - int(m/10 * 4) — m=9 keeps a
+    # single MSB (near-binary), m=0 keeps 4. Clamped to >=1 where PIL would
+    # raise on 0 kept bits (m=10).
+    keep = jnp.clip(4 - jnp.floor(m / 10.0 * 4.0).astype(jnp.int32), 1, 8)
+    q = (2.0 ** (8 - keep)).astype(jnp.float32)
     return jnp.floor(jnp.clip(img, 0, 255) / q) * q
 
 
