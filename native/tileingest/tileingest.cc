@@ -7,9 +7,12 @@
 #include <tiffio.h>
 
 #include "jp2k.h"
+#include "mirax.h"
+#include "slide.h"
 
 #include <algorithm>
 #include <atomic>
+#include <cctype>
 #include <condition_variable>
 #include <cstring>
 #include <memory>
@@ -20,21 +23,17 @@
 
 namespace {
 
-struct Level {
-  tdir_t dir = 0;
-  int64_t width = 0;
-  int64_t height = 0;
-  double downsample = 1.0;
-};
+using tileingest::Level;
+using tileingest::Slide;
 
-struct Slide {
-  std::string path;
-  std::vector<Level> levels;
+// TIFF-container backend (tiled/striped TIFF, Aperio SVS incl. JP2K,
+// Hamamatsu NDPI). MIRAX lives in mirax.cc behind the same Slide interface.
+struct TiffSlide : Slide {
   // libtiff handles are NOT thread-safe; one handle per (slide, thread).
   std::mutex handles_mu;
   std::vector<TIFF*> handles;
 
-  ~Slide() {
+  ~TiffSlide() override {
     for (TIFF* t : handles)
       if (t) TIFFClose(t);
   }
@@ -53,6 +52,9 @@ struct Slide {
     std::lock_guard<std::mutex> lk(handles_mu);
     handles.push_back(t);
   }
+
+  int read_rect(int level, int64_t x0, int64_t y0, int64_t w, int64_t h,
+                uint8_t* out) override;
 };
 
 std::mutex g_slides_mu;
@@ -70,10 +72,10 @@ std::shared_ptr<Slide> get_slide(int id) {
 
 // Reads the full rect (x0,y0,w,h) in LEVEL coordinates into out RGB8.
 // Out-of-bounds zero-filled. Returns 0 on success.
-int read_level_rect(Slide* s, TIFF* tif, int level, int64_t x0, int64_t y0,
-                    int64_t w, int64_t h, uint8_t* out) {
+int read_level_rect(TiffSlide* s, TIFF* tif, int level, int64_t x0,
+                    int64_t y0, int64_t w, int64_t h, uint8_t* out) {
   const Level& lv = s->levels[level];
-  if (!TIFFSetDirectory(tif, lv.dir)) return -2;
+  if (!TIFFSetDirectory(tif, static_cast<tdir_t>(lv.dir))) return -2;
   std::memset(out, 0, static_cast<size_t>(w) * h * 3);
 
   const int64_t rx0 = std::max<int64_t>(x0, 0);
@@ -187,6 +189,15 @@ int read_level_rect(Slide* s, TIFF* tif, int level, int64_t x0, int64_t y0,
     }
   }
   return 0;
+}
+
+int TiffSlide::read_rect(int level, int64_t x0, int64_t y0, int64_t w,
+                         int64_t h, uint8_t* out) {
+  TIFF* tif = acquire();
+  if (!tif) return -2;
+  const int rc = read_level_rect(this, tif, level, x0, y0, w, h, out);
+  release(tif);
+  return rc;
 }
 
 // Bilinear resize RGB8 (in: sw×sh) → (out: dw×dh).
@@ -336,17 +347,10 @@ class Pool {
     const double ds = s->levels[r.level].downsample;
     const int64_t lx = static_cast<int64_t>(r.x / ds);
     const int64_t ly = static_cast<int64_t>(r.y / ds);
-    TIFF* tif = s->acquire();
-    if (!tif) {
-      std::memset(out, 0, static_cast<size_t>(r.out_size) * r.out_size * 3);
-      job.failures->fetch_add(1);
-      return;
-    }
     std::vector<uint8_t> buf(static_cast<size_t>(r.adjusted_size) *
                              r.adjusted_size * 3);
-    int rc = read_level_rect(s.get(), tif, r.level, lx, ly, r.adjusted_size,
-                             r.adjusted_size, buf.data());
-    s->release(tif);
+    int rc = s->read_rect(r.level, lx, ly, r.adjusted_size, r.adjusted_size,
+                          buf.data());
     if (rc != 0) {
       // blank-patch fallback (utils.py:175-181) — zero-filled but COUNTED.
       std::memset(out, 0, static_cast<size_t>(r.out_size) * r.out_size * 3);
@@ -375,11 +379,28 @@ extern "C" {
 int ti_abi_version() { return 1; }
 
 int ti_open(const char* path) {
+  {
+    // MIRAX (.mrxs): directory-based format, no TIFF container — route to
+    // the mirax.cc backend (reference: openslide's mirax vendor driver
+    // behind utils.py:176 read_region; CARMEL cohorts,
+    // datasets.py:1083-1086).
+    const std::string p(path);
+    const size_t dot = p.find_last_of('.');
+    std::string ext = dot == std::string::npos ? "" : p.substr(dot);
+    for (char& c : ext) c = static_cast<char>(std::tolower(c));
+    if (ext == ".mrxs") {
+      std::shared_ptr<Slide> slide(tileingest::mirax_open(path));
+      if (!slide) return -1;
+      std::lock_guard<std::mutex> lk(g_slides_mu);
+      g_slides.push_back(std::move(slide));
+      return static_cast<int>(g_slides.size()) - 1;
+    }
+  }
   TIFFSetErrorHandler(nullptr);  // quiet: errors become return codes
   TIFFSetWarningHandler(nullptr);
   TIFF* tif = TIFFOpen(path, "r");
   if (!tif) return -1;
-  auto slide = std::make_shared<Slide>();
+  auto slide = std::make_shared<TiffSlide>();
   slide->path = path;
   // Enumerate directories as pyramid levels. Real Aperio SVS layout is:
   // dir 0 base (tiled), dir 1 strip thumbnail, then the tiled reduced
@@ -463,12 +484,8 @@ int ti_read_region(int slide, int level, int64_t x, int64_t y, int64_t w,
   if (!s || level < 0 || level >= static_cast<int>(s->levels.size()))
     return -1;
   const double ds = s->levels[level].downsample;
-  TIFF* tif = s->acquire();
-  if (!tif) return -2;
-  int rc = read_level_rect(s.get(), tif, level, static_cast<int64_t>(x / ds),
-                           static_cast<int64_t>(y / ds), w, h, out);
-  s->release(tif);
-  return rc;
+  return s->read_rect(level, static_cast<int64_t>(x / ds),
+                      static_cast<int64_t>(y / ds), w, h, out);
 }
 
 int ti_pool_start(int n_threads) {

@@ -70,6 +70,14 @@ int ti_write_synthetic(const char* path, int64_t width, int64_t height,
 int ti_write_synthetic_svs(const char* path, int64_t width, int64_t height,
                            int levels, int tile, uint32_t seed);
 
+// Same deterministic pattern as a MIRAX slide: `path` must end in .mrxs;
+// writes the stub file plus the sibling data directory (Slidedat.ini,
+// Index.dat, Data0000.dat with JPEG tiles and a camera-position buffer
+// with overlaps). `tile` is the per-division tile size. For .mrxs reader
+// tests (mirax.cc).
+int ti_write_synthetic_mrxs(const char* path, int64_t width, int64_t height,
+                            int levels, int tile, uint32_t seed);
+
 // Version/health probe.
 int ti_abi_version();
 

@@ -147,19 +147,6 @@ def test_native_reads_striped_ndpi_container(tmp_path):
     r.close()
 
 
-def test_mrxs_without_openslide_fails_loudly(tmp_path):
-    """.mrxs (MIRAX) needs libopenslide; without it the error must be loud
-    and actionable — not a silent PIL fallback over the index file."""
-    from tpuwsi.io import slide_readers
-
-    p = str(tmp_path / "carmel.mrxs")
-    open(p, "wb").write(b"\x00" * 64)
-    if slide_readers.HAVE_OPENSLIDE:
-        pytest.skip("openslide installed; fallback covers mrxs")
-    with pytest.raises(RuntimeError, match="mrxs.*openslide"):
-        slide_readers.open_slide(p)
-
-
 def test_restart_pool_resizes(tmp_path):
     from tpuwsi.io.ingest import (
         NativeBatchExtractor,
@@ -181,6 +168,108 @@ def test_restart_pool_resizes(tmp_path):
         assert out.shape == (1, 128, 128, 3)
         assert ex.failures == 0
     reader.close()
+
+
+# ---- MIRAX (.mrxs) --------------------------------------------------------------
+
+
+def _mrxs_pattern(xs, ys, seed):
+    """The synthetic fixture's analytic content at level-0 coords (see
+    native/tileingest/mirax.cc pattern_pixel)."""
+    gx, gy = np.meshgrid(np.asarray(xs), np.asarray(ys))
+    return np.stack(
+        [(gx // 7 + seed) % 256, (gy // 7 + seed * 3) % 256,
+         ((gx + gy) // 11 + seed * 5) % 256],
+        axis=-1,
+    ).astype(np.int16)
+
+
+@pytest.fixture(scope="module")
+def synthetic_mrxs(tmp_path_factory):
+    from tpuwsi.io.ingest import write_synthetic_mrxs
+
+    path = str(tmp_path_factory.mktemp("mirax") / "carmel_like.mrxs")
+    write_synthetic_mrxs(path, 2000, 1600, levels=3, tile=256, seed=7)
+    return path
+
+
+def test_mrxs_pyramid_metadata(synthetic_mrxs):
+    """CARMEL-class cohorts are MIRAX (datasets.py:1083-1086); the native
+    reader must expose the OpenSlide-convention pyramid."""
+    r = CTileReader(synthetic_mrxs)
+    assert len(r.level_downsamples) == 3
+    assert [round(d) for d in r.level_downsamples] == [1, 2, 4]
+    w0, h0 = r.dimensions
+    # camera advance = tile - tile/8 = 224; dims = n*advance + overlap
+    assert w0 >= 2000 and h0 >= 1600
+    assert r._level_dims[1] == ((w0 + 1) // 2, (h0 + 1) // 2)
+    r.close()
+
+
+def test_mrxs_read_region_stitches_overlapping_cameras(synthetic_mrxs):
+    """The fixture's camera positions overlap by 32 px, like real MIRAX
+    mosaics; a region spanning several cameras must stitch to the analytic
+    pattern (tiles agree in the overlap bands, JPEG tolerance only)."""
+    r = CTileReader(synthetic_mrxs)
+    x0, y0, w, h = 150, 100, 500, 400  # spans 3x2 cameras + overlap bands
+    got = r.read_region((x0, y0), 0, (w, h)).astype(np.int16)
+    ref = _mrxs_pattern(range(x0, x0 + w), range(y0, y0 + h), seed=7)
+    assert np.abs(got - ref).max() <= 6
+    r.close()
+
+
+def test_mrxs_zoom_levels_match_pattern(synthetic_mrxs):
+    """Zoom level n tiles cover 2^n x 2^n camera cells downsampled by 2^n
+    and are painted at position/2^n — content must match the analytic
+    pattern sampled at stride 2^n."""
+    r = CTileReader(synthetic_mrxs)
+    for level, ds in ((1, 2), (2, 4)):
+        x0, y0, w, h = 40, 30, 200, 150  # level coords
+        got = r.read_region((x0 * ds, y0 * ds), level, (w, h)).astype(np.int16)
+        ref = _mrxs_pattern(
+            np.arange(x0, x0 + w) * ds, np.arange(y0, y0 + h) * ds, seed=7
+        )
+        assert np.abs(got - ref).max() <= 6, f"level {level}"
+    r.close()
+
+
+def test_mrxs_out_of_bounds_zero_filled(synthetic_mrxs):
+    r = CTileReader(synthetic_mrxs)
+    w0, h0 = r.dimensions
+    tile = r.read_region((w0 - 64, h0 - 64), 0, (128, 128))
+    assert (tile[96:, 96:] == 0).all()
+    assert tile[:32, :32].std() > 0
+    r.close()
+
+
+def test_mrxs_through_open_slide_and_pool(synthetic_mrxs):
+    """open_slide must route .mrxs to the native reader (no openslide in
+    this image), and the threaded batch extractor must decode it."""
+    r = open_slide(synthetic_mrxs)
+    assert type(r).__name__ == "CTileReader"
+    ex = NativeBatchExtractor(n_threads=4)
+    reqs = [(r, 0, 64 * i, 48 * i, 256) for i in range(8)]
+    out = ex.extract(reqs, out_size=128)
+    assert ex.failures == 0
+    assert out.shape == (8, 128, 128, 3)
+    # spot-check one resized tile against the analytic pattern (2:1 box)
+    ref = _mrxs_pattern(range(0, 256), range(0, 256), seed=7).astype(np.float32)
+    ref_ds = ref.reshape(128, 2, 128, 2, 3).mean(axis=(1, 3))
+    assert np.abs(out[0].astype(np.float32) - ref_ds).max() <= 8
+    r.close()
+
+
+def test_mrxs_bogus_file_fails_loudly(tmp_path):
+    """A stub .mrxs with no data directory must raise the actionable error,
+    never fall through to PIL (training on the stub would be garbage)."""
+    from tpuwsi.io import slide_readers
+
+    p = str(tmp_path / "broken.mrxs")
+    open(p, "wb").write(b"\x00" * 64)
+    if slide_readers.HAVE_OPENSLIDE:
+        pytest.skip("openslide installed; fallback covers mrxs")
+    with pytest.raises(RuntimeError, match="mrxs|MIRAX"):
+        slide_readers.open_slide(p)
 
 
 # ---- Aperio JP2K (compression 33005 RGB / 33003 YCbCr) ------------------------

@@ -82,6 +82,11 @@ def _load():
                     lib.ti_write_synthetic.argtypes
                 )
                 lib.ti_write_synthetic_svs.restype = ctypes.c_int
+            if hasattr(lib, "ti_write_synthetic_mrxs"):
+                lib.ti_write_synthetic_mrxs.argtypes = (
+                    lib.ti_write_synthetic.argtypes
+                )
+                lib.ti_write_synthetic_mrxs.restype = ctypes.c_int
             _lib = lib
             return _lib
     raise OSError("libtileingest.so not built (see tpuwsi/io/ingest.py)")
@@ -124,6 +129,19 @@ def write_synthetic_svs_layout(path: str, width: int, height: int,
     )
     if rc != 0:
         raise IOError(f"ti_write_synthetic_svs failed ({rc})")
+
+
+def write_synthetic_mrxs(path: str, width: int, height: int, levels: int = 3,
+                         tile: int = 256, seed: int = 0):
+    """Synthetic MIRAX slide (.mrxs stub + sibling data directory with
+    Slidedat.ini / Index.dat / Data0000.dat, JPEG tiles, camera-position
+    buffer with real overlaps) for .mrxs reader tests (native/tileingest/
+    mirax.cc)."""
+    rc = _load().ti_write_synthetic_mrxs(
+        path.encode(), width, height, levels, tile, seed
+    )
+    if rc != 0:
+        raise IOError(f"ti_write_synthetic_mrxs failed ({rc})")
 
 
 class CTileReader(SlideReader):

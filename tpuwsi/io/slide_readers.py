@@ -116,37 +116,39 @@ class SyntheticSlideReader(SlideReader):
 
 
 def open_slide(path: str, prefer_native: bool = True) -> SlideReader:
-    """Pick a reader for the file. Native C++ ingest for TIFF-container
-    formats when available (tiled AND striped layouts, which covers
+    """Pick a reader for the file. Native C++ ingest when available:
+    TIFF-container formats (tiled AND striped layouts, which covers
     .svs/.tif and NDPI-class striped-JPEG slides; JPEG/LZW/deflate via
     libtiff and Aperio JP2K 33003/33005 via libopenjp2 — see
-    native/tileingest/jp2k.cc), then openslide, then PIL.
-
-    .mrxs (MIRAX — a directory-based proprietary format, the CARMEL
-    cohorts, datasets.py:1083-1086) has no TIFF container: it needs
-    libopenslide. When openslide is absent the failure is LOUD — silently
-    handing an .mrxs index file to PIL would train on garbage.
+    native/tileingest/jp2k.cc) and MIRAX .mrxs (the CARMEL cohorts,
+    datasets.py:1083-1086; native/tileingest/mirax.cc parses
+    Slidedat.ini/Index.dat and stitches the camera mosaic from the
+    position buffer). Then openslide, then PIL.
     """
     ext = os.path.splitext(path)[1].lower()
-    if prefer_native and ext in (".tif", ".tiff", ".svs", ".ndpi"):
+    if prefer_native and ext in (".tif", ".tiff", ".svs", ".ndpi", ".mrxs"):
         try:
             from tpuwsi.io.ingest import CTileReader, native_available
 
             if native_available():
                 return CTileReader(path)
         except Exception:
-            # fall through: libtiff could not parse this particular file
-            # (e.g. an NDPI variant with out-of-spec JPEG dims) — try the
-            # openslide / PIL fallbacks below.
+            # fall through: the native backend could not parse this
+            # particular file (e.g. an NDPI variant with out-of-spec JPEG
+            # dims, or a PNG/BMP24 MIRAX variant) — try the openslide / PIL
+            # fallbacks below.
             pass
     if HAVE_OPENSLIDE and ext in (".svs", ".mrxs", ".ndpi", ".tif", ".tiff"):
         return OpenSlideReader(path)
     if ext == ".mrxs":
+        # MIRAX is directory-based — PIL on the .mrxs stub would be garbage.
         raise RuntimeError(
-            f"cannot read {path}: .mrxs (MIRAX) requires libopenslide, which "
-            "is not installed. Install openslide-python + libopenslide, or "
-            "convert the cohort to tiled TIFF (the native ingest path reads "
-            "tiled and striped TIFF/SVS/NDPI without openslide)."
+            f"cannot read {path}: the native MIRAX reader "
+            f"{'failed to parse it' if prefer_native else 'is disabled'} "
+            "(JPEG tile format and VIMSLIDE_POSITION_BUFFER/grid positions "
+            "are supported; PNG/BMP24 and zlib StitchingIntensityLayer "
+            "variants are not) and openslide is not installed. Build "
+            "native/ (build.sh) or install openslide-python + libopenslide."
         )
     if ext in (".svs", ".ndpi"):
         # Pyramidal proprietary containers must never fall through to PIL:
