@@ -259,6 +259,52 @@ def test_mrxs_through_open_slide_and_pool(synthetic_mrxs):
     r.close()
 
 
+def test_mrxs_camera_divisions_and_multifile(tmp_path):
+    """Real MIRAX exports divide each camera image into divisions² stored
+    tiles (usually 2x2 or 4x4) and spread tiles over several Data files;
+    the reader must map image_number -> (camera, division) -> position and
+    follow per-entry file numbers."""
+    from mirax_fixture import pattern, write_mirax
+
+    p = write_mirax(
+        str(tmp_path / "div2.mrxs"), cam_x=3, cam_y=2, divisions=2,
+        tile=64, overlap=8, levels=2, seed=5, n_data_files=2,
+    )
+    r = CTileReader(p)
+    # extent: 3 cameras across, advance 2*64-8=120, last camera 128 wide
+    assert r.dimensions == (2 * 120 + 128, 1 * 120 + 128)
+    assert [round(d) for d in r.level_downsamples] == [1, 2]
+    # spans division boundaries inside cameras AND the camera overlap bands
+    got = r.read_region((30, 20), 0, (300, 200)).astype(np.int16)
+    ref = pattern(range(30, 330), range(20, 220), seed=5).astype(np.int16)
+    assert np.abs(got - ref).max() <= 6
+    # level 1 = one stored tile per camera
+    got1 = r.read_region((0, 0), 1, (150, 100)).astype(np.int16)
+    ref1 = pattern(np.arange(150) * 2, np.arange(100) * 2, 5).astype(np.int16)
+    assert np.abs(got1 - ref1).max() <= 6
+    r.close()
+
+
+def test_mrxs_absent_cameras_zero_filled(tmp_path):
+    """Cameras with position-buffer flag 0 (off-tissue, never captured) must
+    read as zeros, not stale/garbage tiles — MIRAX mosaics are sparse."""
+    from mirax_fixture import write_mirax
+
+    p = write_mirax(
+        str(tmp_path / "sparse.mrxs"), cam_x=3, cam_y=2, divisions=1,
+        tile=64, overlap=8, levels=1, seed=9,
+        absent_cameras=((1, 0),),  # middle camera of the top row
+    )
+    r = CTileReader(p)
+    # camera advance 56: camera 0 covers x<64, camera 2 covers x>=112 — the
+    # uncovered hole of absent camera (1,0) is x in [64, 112)
+    mid = r.read_region((66, 4), 0, (44, 44))
+    assert (mid == 0).all()
+    left = r.read_region((4, 4), 0, (40, 40))
+    assert left.std() > 0
+    r.close()
+
+
 def test_mrxs_bogus_file_fails_loudly(tmp_path):
     """A stub .mrxs with no data directory must raise the actionable error,
     never fall through to PIL (training on the stub would be garbage)."""
