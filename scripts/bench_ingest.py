@@ -5,7 +5,11 @@ Measures the C++ batch extractor (decode JPEG-compressed pyramid tiles +
 bilinear resize to 256²) against the pure-Python PIL path — the reference's
 data-pipeline hot spot (SURVEY §3.2, hard part #1: host ingest rate).
 
-Usage: python scripts/bench_ingest.py [n_tiles] [n_threads]
+Usage: python scripts/bench_ingest.py [n_tiles] [n_threads] [tif|mrxs]
+
+The mrxs mode benches the MIRAX backend (native/tileingest/mirax.cc):
+camera-mosaic stitching means each 512² read touches up to 9 overlapping
+JPEG tiles, so it is the worst-case decode amplification of the formats.
 """
 
 import sys
@@ -29,8 +33,15 @@ def main():
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     threads = int(sys.argv[2]) if len(sys.argv) > 2 else 0
-    path = "/tmp/ingest_bench.tif"
-    write_synthetic_slide(path, 8192, 8192, levels=3, tile=256, seed=3)
+    fmt = sys.argv[3] if len(sys.argv) > 3 else "tif"
+    if fmt == "mrxs":
+        from tpuwsi.io.ingest import write_synthetic_mrxs
+
+        path = "/tmp/ingest_bench.mrxs"
+        write_synthetic_mrxs(path, 8192, 8192, levels=3, tile=256, seed=3)
+    else:
+        path = "/tmp/ingest_bench.tif"
+        write_synthetic_slide(path, 8192, 8192, levels=3, tile=256, seed=3)
     reader = CTileReader(path)
     rng = np.random.default_rng(0)
     xs = rng.integers(0, 8192 - 512, size=n)
