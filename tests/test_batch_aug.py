@@ -153,3 +153,91 @@ def test_mixup_in_train_step_learns():
         state, m = step(state, batch, jax.random.PRNGKey(1))
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
+
+
+# ---- timm folder transform stack (preprocess/timm_aug.py) --------------------
+
+
+def test_timm_train_aug_shapes_and_normalization():
+    from tpuwsi.preprocess.timm_aug import make_timm_train_aug
+
+    aug = make_timm_train_aug(32, scale=(0.9, 1.0), color_jitter=None)
+    imgs = np.random.default_rng(0).integers(
+        0, 255, (4, 48, 48, 3), dtype=np.uint8
+    )
+    jit_aug = jax.jit(aug)
+    out = np.asarray(jit_aug(jax.random.PRNGKey(0), jnp.asarray(imgs)))
+    assert out.shape == (4, 32, 32, 3)
+    assert out.dtype == np.float32
+    # ImageNet normalization: uint8 mid-grey ≈ (0.5-mean)/std, bounded
+    assert -3.0 < out.mean() < 3.0
+    # deterministic under the same key
+    out2 = np.asarray(jit_aug(jax.random.PRNGKey(0), jnp.asarray(imgs)))
+    np.testing.assert_allclose(out, out2, rtol=1e-6)
+
+
+def test_timm_train_aug_mean_std_override_and_hflip():
+    from tpuwsi.preprocess.timm_aug import make_timm_train_aug
+
+    # identity crop (scale=1, ratio=1), no jitter, mean 0 / std 1 → raw
+    # [0,1] pixels; hflip=1.0 must mirror every image
+    base = make_timm_train_aug(
+        16, scale=(1.0, 1.0), ratio=(1.0, 1.0), hflip=0.0,
+        color_jitter=None, mean=(0, 0, 0), std=(1, 1, 1),
+    )
+    flip = make_timm_train_aug(
+        16, scale=(1.0, 1.0), ratio=(1.0, 1.0), hflip=1.0,
+        color_jitter=None, mean=(0, 0, 0), std=(1, 1, 1),
+    )
+    imgs = np.random.default_rng(1).integers(
+        0, 255, (2, 16, 16, 3), dtype=np.uint8
+    )
+    a = np.asarray(base(jax.random.PRNGKey(3), jnp.asarray(imgs)))
+    b = np.asarray(flip(jax.random.PRNGKey(3), jnp.asarray(imgs)))
+    assert a.min() >= 0.0 and a.max() <= 1.0
+    np.testing.assert_allclose(a[:, :, ::-1], b, atol=1e-5)
+
+
+def test_timm_eval_center_crop():
+    from tpuwsi.preprocess.timm_aug import make_timm_eval
+
+    ev = make_timm_eval(16, crop_pct=0.5, mean=(0, 0, 0), std=(1, 1, 1))
+    # 32x32 source, resize target = 16/0.5 = 32 (identity), center crop 16
+    img = np.zeros((1, 32, 32, 3), np.uint8)
+    img[0, 8:24, 8:24] = 255
+    out = np.asarray(ev(None, jnp.asarray(img)))
+    assert out.shape == (1, 16, 16, 3)
+    assert out.mean() > 0.95  # the crop landed exactly on the bright center
+
+
+def test_clip_modes_produce_finite_updates():
+    import optax
+
+    from tpuwsi.train.optim import OptimConfig, make_optimizer
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    grads = {"w": jnp.full((4, 4), 10.0), "b": jnp.full((4,), 10.0)}
+    for mode in ("norm", "value", "agc"):
+        cfg = OptimConfig(opt="sgd", lr=0.1, clip_grad=0.5, clip_mode=mode,
+                          epochs=1, warmup_epochs=0, steps_per_epoch=10)
+        tx, _ = make_optimizer(cfg, params, global_batch_size=8)
+        st = tx.init(params)
+        upd, _ = tx.update(grads, st, params)
+        flat = jnp.concatenate([u.ravel() for u in jax.tree_util.tree_leaves(upd)])
+        assert bool(jnp.isfinite(flat).all()), mode
+    with np.testing.assert_raises(ValueError):
+        cfg = OptimConfig(opt="sgd", lr=0.1, clip_grad=0.5, clip_mode="bogus",
+                          epochs=1, warmup_epochs=0, steps_per_epoch=10)
+        make_optimizer(cfg, params, global_batch_size=8)
+
+
+def test_cooldown_epochs_hold_min_lr():
+    from tpuwsi.train.optim import OptimConfig, make_schedule
+
+    cfg = OptimConfig(lr=1.0, sched="cosine", epochs=10, warmup_epochs=0,
+                      min_lr=0.01, cooldown_epochs=3, steps_per_epoch=10)
+    sched = make_schedule(cfg, peak_lr=1.0)
+    # decay finishes at epoch 7; epochs 7-9 hold min_lr
+    assert abs(float(sched(70)) - 0.01) < 1e-6
+    assert abs(float(sched(95)) - 0.01) < 1e-6
+    assert float(sched(35)) > 0.1

@@ -60,6 +60,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--warmup-lr", default=1e-5, type=float)
     parser.add_argument("--min-lr", default=0.0, type=float)
     parser.add_argument("--clip-grad", default=None, type=float)
+    parser.add_argument("--clip-mode", default="norm", type=str,
+                        help="gradient clipping mode: norm | value | agc")
+    parser.add_argument("--cooldown-epochs", default=0, type=int,
+                        help="hold min_lr for the final N epochs (timm)")
+    parser.add_argument("--start-epoch", default=None, type=int,
+                        help="manual epoch offset (timm --start-epoch); "
+                             "defaults to 0 or the resumed epoch")
     parser.add_argument("--smoothing", default=0.1, type=float)
     parser.add_argument("--bce-loss", action="store_true", default=False)
     parser.add_argument("--drop", default=0.0, type=float)
@@ -74,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--output", default="", type=str)
     parser.add_argument("--experiment", default="", type=str)
     parser.add_argument("--eval-metric", default="auc", type=str)
+    parser.add_argument("-vb", "--validation-batch-size", default=None,
+                        type=int, help="eval batch size (defaults to -b)")
+    parser.add_argument("--save-images", action="store_true", default=False,
+                        help="save a PNG grid of the first augmented batch "
+                             "each epoch (train.py:1114-1120)")
     # folder-mode validation split when no explicit val/ subtree exists
     # (timm --val-split analogue); 0 disables folder-mode validation.
     parser.add_argument("--val-split", default=0.2, type=float)
@@ -125,6 +137,21 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--warmup-teacher-temp", default=0.04, type=float)
     parser.add_argument("--warmup-teacher-temp-epochs", default=0, type=int)
     parser.add_argument("--ema-base", default=0.996, type=float)
+    # timm folder-mode transform stack (timm create_transform surface,
+    # timm_train.py:614-663) — active with --transform_type timm
+    parser.add_argument("--hflip", default=0.5, type=float)
+    parser.add_argument("--vflip", default=0.0, type=float)
+    parser.add_argument("--color-jitter", default=0.4, type=float)
+    parser.add_argument("--scale", default=[0.08, 1.0], type=float,
+                        nargs="+", help="RandomResizedCrop area range")
+    parser.add_argument("--ratio", default=[3. / 4., 4. / 3.], type=float,
+                        nargs="+", help="RandomResizedCrop aspect range")
+    parser.add_argument("--crop-pct", default=0.875, type=float,
+                        help="eval center-crop fraction")
+    parser.add_argument("--mean", default=None, type=float, nargs="+",
+                        help="normalization mean override (3 floats)")
+    parser.add_argument("--std", default=None, type=float, nargs="+",
+                        help="normalization std override (3 floats)")
     # timm folder-mode batch augmentations (timm_train.py:238-271)
     parser.add_argument("--aa", default=None, type=str,
                         help="auto-augment spec, e.g. rand-m9-mstd0.5")

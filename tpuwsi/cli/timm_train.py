@@ -9,6 +9,11 @@ differ from the GipMed trainer's (timm_train.py argparse defaults):
   --val-split   0.2       (timm validates every epoch; our folder split)
   --eval_rate   1         (validate every epoch, timm_train.py:951)
   -b            128       (timm_train.py:163)
+  --transform_type timm   (the real timm create_transform stack: RRC +
+                           flips + ColorJitter + ImageNet normalize —
+                           preprocess/timm_aug.py — instead of GipMed
+                           recipes; --scale/--ratio/--hflip/--vflip/
+                           --color-jitter/--crop-pct/--mean/--std wired)
   --sched       cosine, --epochs 300, --opt sgd (nesterov)  (same values)
 
 Flags the user passes explicitly always win; the timm batch-augmentation
@@ -27,6 +32,7 @@ _TIMM_DEFAULTS = {
     "--val-split": "0.2",
     "--eval_rate": "1",
     "-b": "128",
+    "--transform_type": "timm",
 }
 
 

@@ -237,11 +237,13 @@ def main(argv=None):
         momentum=args.momentum,
         weight_decay=args.weight_decay,
         clip_grad=args.clip_grad,
+        clip_mode=args.clip_mode,
         sched=args.sched,
         epochs=args.epochs,
         warmup_epochs=args.warmup_epochs,
         warmup_lr=args.warmup_lr,
         min_lr=args.min_lr,
+        cooldown_epochs=args.cooldown_epochs,
         steps_per_epoch=steps_per_epoch,
     )
     tx, schedule = make_optimizer(ocfg, params, global_batch)
@@ -278,11 +280,24 @@ def main(argv=None):
     else:
         loss_fn = lambda l, y: cross_entropy(l, y, args.smoothing)
 
-    aug = make_recipe(
-        args.transform_type, train=True, tile_size=img_size,
-        color_param=args.c_param,
-        norm_type="Amir" if args.dataset.startswith("TMA") else "Ron",
-    )
+    if folder_mode and args.transform_type == "timm":
+        # real timm create_transform stack (timm_train.py:614-663): RRC +
+        # flips + ColorJitter (suppressed under auto-augment, like timm) +
+        # mean/std normalization, all on device
+        from tpuwsi.preprocess.timm_aug import make_timm_train_aug
+
+        aug = make_timm_train_aug(
+            img_size, scale=args.scale, ratio=args.ratio,
+            hflip=args.hflip, vflip=args.vflip,
+            color_jitter=None if args.aa else args.color_jitter,
+            mean=args.mean, std=args.std,
+        )
+    else:
+        aug = make_recipe(
+            args.transform_type, train=True, tile_size=img_size,
+            color_param=args.c_param,
+            norm_type="Amir" if args.dataset.startswith("TMA") else "Ron",
+        )
     # timm folder-mode batch augs (timm_train.py:238-271, 585-612):
     # RandAugment on raw uint8 → recipe (aug+norm) → RandomErasing;
     # Mixup/CutMix runs inside the step on the normalized batch.
@@ -334,10 +349,17 @@ def main(argv=None):
                      keep_state_sharding=tp)
     )
 
-    eval_norm = make_recipe(
-        args.transform_type, train=False, tile_size=img_size,
-        norm_type="Amir" if args.dataset.startswith("TMA") else "Ron",
-    )
+    if folder_mode and args.transform_type == "timm":
+        from tpuwsi.preprocess.timm_aug import make_timm_eval
+
+        eval_norm = make_timm_eval(
+            img_size, crop_pct=args.crop_pct, mean=args.mean, std=args.std,
+        )
+    else:
+        eval_norm = make_recipe(
+            args.transform_type, train=False, tile_size=img_size,
+            norm_type="Amir" if args.dataset.startswith("TMA") else "Ron",
+        )
     eval_step = jax.jit(
         make_eval_step(
             model.apply,
@@ -354,8 +376,12 @@ def main(argv=None):
     tracker = Tracker(output_dir, use_wandb=args.log_wandb, config=vars(args))
     rng = jax.random.PRNGKey(args.seed)
     summary_path = os.path.join(output_dir, "summary.csv")
+    # --start-epoch: manual offset, else resume's completed epochs, else 0
+    start_epoch = args.start_epoch
+    if start_epoch is None:
+        start_epoch = int(state.step) // max(steps_per_epoch, 1)
     with mesh:
-        for epoch in range(args.epochs):
+        for epoch in range(start_epoch, args.epochs):
             # The epoch shuffle seed must be IDENTICAL on every host so the
             # process-strided slices of the index stream stay disjoint
             # (DistributedSampler semantics); per-host variation comes from
@@ -405,6 +431,23 @@ def main(argv=None):
                         os.path.join(output_dir, "images"),
                         f"epoch{epoch}_batch0.png",
                     )
+                if args.save_images and i == 0:
+                    # --save-images parity (train.py:1114-1120): the
+                    # POST-augmentation batch, min-max scaled to uint8 like
+                    # torchvision save_image's normalize branch.
+                    augd = np.asarray(
+                        aug(jax.random.fold_in(rng, epoch),
+                            jnp.asarray(batch["images"]))
+                    )
+                    lo, hi = float(augd.min()), float(augd.max())
+                    save_batch_images(
+                        ((augd - lo) / max(hi - lo, 1e-6) * 255).astype(
+                            np.uint8
+                        ),
+                        batch.get("labels"),
+                        os.path.join(output_dir, "images"),
+                        f"epoch{epoch}_aug0.png",
+                    )
                 sb = shard_batch(
                     mesh, {"images": batch["images"], "labels": batch["labels"]}
                 )
@@ -445,7 +488,8 @@ def main(argv=None):
                 # folder-mode per-epoch validation: top-1/top-5/loss (+ AUC
                 # for binary) — timm_train.py:951-1025 validate() parity.
                 eval_metrics = evaluate_folder(
-                    val_ds, state, eval_step, args.batch_size
+                    val_ds, state, eval_step,
+                    args.validation_batch_size or args.batch_size,
                 )
                 logging.info("epoch %d folder eval: %s", epoch, eval_metrics)
                 tracker.log(
@@ -681,7 +725,8 @@ def train_survival(args, output_dir, ledger, exp):
         opt=args.opt, lr=args.lr, base_lr=args.lr_base,
         lr_base_size=args.lr_base_size,
         momentum=args.momentum, weight_decay=args.weight_decay,
-        clip_grad=args.clip_grad, sched=args.sched, epochs=args.epochs,
+        clip_grad=args.clip_grad, clip_mode=args.clip_mode,
+        sched=args.sched, epochs=args.epochs,
         warmup_epochs=args.warmup_epochs, warmup_lr=args.warmup_lr,
         min_lr=args.min_lr, steps_per_epoch=steps_per_epoch,
     )
@@ -880,6 +925,7 @@ def train_ssl(args, output_dir):
         warmup_epochs=args.warmup_epochs,
         steps_per_epoch=steps_per_epoch,
         clip_grad=args.clip_grad or 3.0,
+        clip_mode=args.clip_mode,
     )
     tx, _ = make_optimizer(ocfg, params, global_batch)
     state = create_dino_state(params, tx, dcfg)

@@ -1,0 +1,110 @@
+"""timm folder-mode transform stack, on device.
+
+Parity: the reference's vanilla trainer builds its pipeline through timm
+``create_loader``/``create_transform`` (timm_train.py:614-663):
+
+  train: RandomResizedCrop(scale, ratio) -> hflip/vflip -> ColorJitter
+         (suppressed when auto-augment is active) -> normalize
+         [-> RandomErasing, wired separately in cli/train.py]
+  eval:  Resize(img_size / crop_pct) -> CenterCrop(img_size) -> normalize
+
+Mean/std default to the ImageNet bank and can be overridden per flag
+(``--mean``/``--std``), like timm's data-config resolution.
+
+Everything is a jit-able batch function (B, H, W, 3) uint8/float -> f32,
+vmapped per image with per-image keys — no host-side PIL.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from tpuwsi.preprocess import augment as A
+from tpuwsi.preprocess.multicrop import random_resized_crop
+from tpuwsi.preprocess.normalize import MEAN, STD
+
+
+def _to_float(images):
+    images = jnp.asarray(images)
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) / 255.0
+    return images.astype(jnp.float32)
+
+
+def _stats(mean, std, norm_type):
+    mean = MEAN[norm_type] if mean is None else tuple(mean)
+    std = STD[norm_type] if std is None else tuple(std)
+    return jnp.asarray(mean, jnp.float32), jnp.asarray(std, jnp.float32)
+
+
+def make_timm_train_aug(
+    img_size: int,
+    scale: Sequence[float] = (0.08, 1.0),
+    ratio: Sequence[float] = (3.0 / 4.0, 4.0 / 3.0),
+    hflip: float = 0.5,
+    vflip: float = 0.0,
+    color_jitter: Optional[float] = 0.4,
+    mean: Optional[Sequence[float]] = None,
+    std: Optional[Sequence[float]] = None,
+    norm_type: str = "Imagenet",
+):
+    """fn(key, images): uint8 (B, H, W, 3) -> normalized f32 (B, s, s, 3)."""
+    jit_params = (
+        A.jitter_params(
+            brightness=color_jitter, contrast=color_jitter,
+            saturation=color_jitter,
+        )
+        if color_jitter
+        else None
+    )
+    mean_a, std_a = _stats(mean, std, norm_type)
+
+    def per_image(key, img):
+        kc, kh, kv, kj = jax.random.split(key, 4)
+        v = random_resized_crop(kc, img, img_size, tuple(scale), tuple(ratio))
+        if hflip > 0:
+            v = A.random_hflip(kh, v, p=hflip)
+        if vflip > 0:
+            v = A.random_vflip(kv, v, p=vflip)
+        if jit_params is not None:
+            v = A.color_jitter(kj, v, *jit_params)
+        return v
+
+    def batch_fn(key, images):
+        images = _to_float(images)
+        keys = jax.random.split(key, images.shape[0])
+        out = jax.vmap(per_image)(keys, images)
+        return (out - mean_a) / std_a
+
+    return batch_fn
+
+
+def make_timm_eval(
+    img_size: int,
+    crop_pct: float = 0.875,
+    mean: Optional[Sequence[float]] = None,
+    std: Optional[Sequence[float]] = None,
+    norm_type: str = "Imagenet",
+):
+    """fn(key, images) (key ignored): resize to img_size/crop_pct, center
+    crop to img_size, normalize."""
+    mean_a, std_a = _stats(mean, std, norm_type)
+    resize_to = max(int(round(img_size / crop_pct)), img_size)
+
+    def per_image(img):
+        v = A.resize_bilinear(img, resize_to)
+        top = (resize_to - img_size) // 2
+        return jax.lax.dynamic_slice(
+            v, (top, top, 0), (img_size, img_size, v.shape[-1])
+        )
+
+    def batch_fn(key, images):
+        del key
+        images = _to_float(images)
+        out = jax.vmap(per_image)(images)
+        return (out - mean_a) / std_a
+
+    return batch_fn

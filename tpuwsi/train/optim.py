@@ -29,6 +29,9 @@ class OptimConfig:
     eps: float = 1e-8
     betas: tuple = (0.9, 0.999)
     clip_grad: Optional[float] = None
+    # timm --clip-mode: 'norm' (global-norm), 'value', 'agc' (adaptive
+    # gradient clipping, clip_grad is the AGC clipping factor)
+    clip_mode: str = "norm"
     # DINO-style cosine weight-decay schedule (start → end over training);
     # None keeps constant weight_decay.
     weight_decay_end: Optional[float] = None
@@ -41,6 +44,9 @@ class OptimConfig:
     steps_per_epoch: int = 1000
     decay_epochs: int = 90
     decay_rate: float = 0.1
+    # timm --cooldown-epochs: hold min_lr for the final N epochs (the decay
+    # completes by epochs - cooldown_epochs)
+    cooldown_epochs: int = 0
 
     def resolved_lr(self, global_batch_size: int) -> float:
         """train.py:569-581 world-size scaling."""
@@ -55,13 +61,18 @@ class OptimConfig:
 def make_schedule(cfg: OptimConfig, peak_lr: float) -> optax.Schedule:
     warmup_steps = cfg.warmup_epochs * cfg.steps_per_epoch
     total_steps = cfg.epochs * cfg.steps_per_epoch
-    decay_steps = max(total_steps - warmup_steps, 1)
+    # cooldown (timm): finish the decay early and hold min_lr to the end —
+    # optax schedules hold their final value past decay_steps, so shrinking
+    # decay_steps is exactly the timm semantics.
+    decay_total = max(
+        total_steps - cfg.cooldown_epochs * cfg.steps_per_epoch, warmup_steps + 1
+    )
     if cfg.sched == "cosine":
         return optax.warmup_cosine_decay_schedule(
             init_value=cfg.warmup_lr,
             peak_value=peak_lr,
             warmup_steps=warmup_steps,
-            decay_steps=total_steps,
+            decay_steps=decay_total,
             end_value=cfg.min_lr,
         )
     if cfg.sched == "step":
@@ -86,6 +97,17 @@ def make_schedule(cfg: OptimConfig, peak_lr: float) -> optax.Schedule:
             )
         return optax.constant_schedule(peak_lr)
     raise ValueError(f"unknown schedule {cfg.sched!r}")
+
+
+def _clip_transform(cfg: OptimConfig) -> optax.GradientTransformation:
+    """timm --clip-grad/--clip-mode (train.py:165-169 surface)."""
+    if cfg.clip_mode == "norm":
+        return optax.clip_by_global_norm(cfg.clip_grad)
+    if cfg.clip_mode == "value":
+        return optax.clip(cfg.clip_grad)
+    if cfg.clip_mode == "agc":
+        return optax.adaptive_grad_clip(cfg.clip_grad)
+    raise ValueError(f"unknown clip mode {cfg.clip_mode!r}")
 
 
 def _no_decay_mask(params):
@@ -151,7 +173,7 @@ def make_optimizer(
             optax.scale_by_learning_rate(schedule),
         )
         if cfg.clip_grad is not None:
-            tx = optax.chain(optax.clip_by_global_norm(cfg.clip_grad), tx)
+            tx = optax.chain(_clip_transform(cfg), tx)
         return tx, schedule
     if name in ("sgd", "momentum", "nesterov"):
         tx = optax.chain(
@@ -189,5 +211,5 @@ def make_optimizer(
         raise ValueError(f"unknown optimizer {cfg.opt!r}")
 
     if cfg.clip_grad is not None:
-        tx = optax.chain(optax.clip_by_global_norm(cfg.clip_grad), tx)
+        tx = optax.chain(_clip_transform(cfg), tx)
     return tx, schedule
