@@ -489,3 +489,15 @@ def test_timm_compose_argv_respects_glued_short_options():
     out = compose_argv(["data"])
     assert out[out.index("-b") + 1] == "128"
     assert out[out.index("--eval-metric") + 1] == "top1"
+
+
+def test_pretrained_flag_errors_actionably(tmp_path):
+    """--pretrained must fail loudly with the offline-converter pointer
+    (PARITY.md non-goals), never silently train from scratch."""
+    import pytest as _pytest
+
+    from tpuwsi.cli.train import main
+
+    with _pytest.raises(SystemExit, match="initial-checkpoint"):
+        main(["--data-dir", str(tmp_path), "--pretrained", "--epochs", "1",
+              "--output", str(tmp_path / "out")])

@@ -90,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
     # (timm --val-split analogue); 0 disables folder-mode validation.
     parser.add_argument("--val-split", default=0.2, type=float)
     parser.add_argument("--resume", default="", type=str)
+    parser.add_argument("--pretrained", action="store_true", default=False,
+                        help="timm hub download — unsupported (no egress); "
+                             "use --initial-checkpoint with locally "
+                             "converted torch weights (models/convert.py)")
     parser.add_argument("--initial-checkpoint", default="", type=str)
     parser.add_argument("--num-classes", type=int, default=None)
     parser.add_argument("--img-size", type=int, default=None)

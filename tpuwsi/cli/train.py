@@ -204,6 +204,15 @@ def main(argv=None):
         steps_per_epoch = max(len(sampler) // (args.batch_size * pcount), 1)
 
     # ---------------- model + optimizer ----------------
+    if args.pretrained:
+        # timm --pretrained pulls from its hub; unsupported here by decision
+        # (PARITY.md non-goals) — point at the offline converter instead.
+        raise SystemExit(
+            "--pretrained downloads from the timm hub, which this "
+            "environment cannot reach. Convert torch weights offline with "
+            "tpuwsi.models.convert (ViT + ResNet-50-trunc, golden-tested) "
+            "and pass them via --initial-checkpoint."
+        )
     on_tpu = jax.default_backend() == "tpu"
     img_size = args.img_size or args.tile_size
     model = create_model(
