@@ -57,6 +57,7 @@
 #include <fstream>
 #include <map>
 #include <memory>
+#include <mutex>
 #include <sstream>
 #include <string>
 #include <sys/stat.h>
@@ -209,7 +210,12 @@ bool read_record_entries(const std::vector<uint8_t>& idx, int32_t root,
   const size_t ptr_at = static_cast<size_t>(root) + 4 * record;
   if (ptr_at + 4 > idx.size()) return false;
   int32_t page = le32(idx.data() + ptr_at);
+  // Cycle/corruption guard: a well-formed chain cannot have more pages than
+  // the file has 8-byte headers — a self- or back-pointing next_page in a
+  // corrupt Index.dat must fail loudly, not hang ti_open.
+  size_t pages_left = idx.size() / 8 + 1;
   while (page != 0) {
+    if (pages_left-- == 0) return false;
     if (static_cast<size_t>(page) + 8 > idx.size()) return false;
     const int32_t count = le32(idx.data() + page);
     const int32_t next = le32(idx.data() + page + 4);
@@ -245,12 +251,26 @@ struct MiraxLevel {
 };
 
 struct MiraxSlide : Slide {
-  std::vector<int> fds;  // one per data file, pread-shared across workers
+  // Data files are opened LAZILY on first read (a sampler can hold hundreds
+  // of slides x tens of Data%04d.dat each — eager fds would exhaust the
+  // ulimit; the TIFF backend's per-thread handles are lazy the same way).
+  // fd states: -2 = not yet opened, -1 = open failed, >=0 = usable.
+  std::vector<std::string> data_files;
+  std::vector<int> fds;
+  std::mutex fds_mu;
   std::vector<MiraxLevel> zoom;
 
   ~MiraxSlide() override {
     for (int fd : fds)
       if (fd >= 0) ::close(fd);
+  }
+
+  int fd_for(int fileno) {
+    std::lock_guard<std::mutex> lk(fds_mu);
+    if (fileno < 0 || fileno >= static_cast<int>(fds.size())) return -1;
+    if (fds[fileno] == -2)
+      fds[fileno] = ::open(data_files[fileno].c_str(), O_RDONLY);
+    return fds[fileno];
   }
 
   int read_rect(int level, int64_t x0, int64_t y0, int64_t w, int64_t h,
@@ -281,10 +301,10 @@ struct MiraxSlide : Slide {
       const int64_t cy1 =
           std::min({ty + lv.th, y0 + h, levels[level].height});
       if (cx0 >= cx1 || cy0 >= cy1) continue;
-      if (it->fileno < 0 || it->fileno >= static_cast<int32_t>(fds.size()))
-        return -7;
+      const int fd = fd_for(it->fileno);
+      if (fd < 0) return -7;
       raw.resize(static_cast<size_t>(it->length));
-      if (pread(fds[it->fileno], raw.data(), raw.size(),
+      if (pread(fd, raw.data(), raw.size(),
                 static_cast<off_t>(it->offset)) !=
           static_cast<ssize_t>(raw.size()))
         return -7;
@@ -299,11 +319,6 @@ struct MiraxSlide : Slide {
     return 0;
   }
 };
-
-std::string dirname_of(const std::string& path) {
-  const size_t slash = path.find_last_of('/');
-  return slash == std::string::npos ? "." : path.substr(0, slash);
-}
 
 }  // namespace
 
@@ -393,10 +408,8 @@ Slide* mirax_open(const char* cpath) {
 
   auto slide = std::make_unique<MiraxSlide>();
   slide->path = path;
-  for (const std::string& f : data_files) {
-    const int fd = ::open(f.c_str(), O_RDONLY);
-    slide->fds.push_back(fd);  // a missing file only fails reads that hit it
-  }
+  slide->data_files = data_files;
+  slide->fds.assign(data_files.size(), -2);  // lazy: opened on first read
 
   std::vector<int64_t> cam_px(cam_x * cam_y), cam_py(cam_x * cam_y);
   std::vector<bool> cam_ok(cam_x * cam_y, false);
@@ -415,7 +428,7 @@ Slide* mirax_open(const char* cpath) {
           if (e.fileno >= 0 && e.fileno < file_count &&
               e.length >= 9 * cam_x * cam_y) {
             std::vector<uint8_t> buf(e.length);
-            const int fd = slide->fds[e.fileno];
+            const int fd = slide->fd_for(e.fileno);
             if (fd >= 0 && pread(fd, buf.data(), buf.size(),
                                  static_cast<off_t>(e.offset)) ==
                                static_cast<ssize_t>(buf.size())) {
@@ -460,7 +473,6 @@ Slide* mirax_open(const char* cpath) {
     if (!read_record_entries(idx, hier_root,
                              zoom_record0 + static_cast<int>(z), &es))
       return nullptr;
-    const int64_t ds = static_cast<int64_t>(1) << z;
     for (const IndexEntry& e : es) {
       if (e.image < 0 || e.length <= 0) continue;
       const int64_t gx = e.image % gridw;

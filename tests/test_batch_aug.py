@@ -241,3 +241,34 @@ def test_cooldown_epochs_hold_min_lr():
     assert abs(float(sched(70)) - 0.01) < 1e-6
     assert abs(float(sched(95)) - 0.01) < 1e-6
     assert float(sched(35)) > 0.1
+
+
+def test_start_epoch_schedule_offset():
+    """timm --start-epoch advances the scheduler (lr_scheduler.step(N)); a
+    fresh run with an offset must NOT replay warmup (review finding r3)."""
+    from tpuwsi.train.optim import OptimConfig, make_schedule
+
+    cfg = OptimConfig(lr=1.0, sched="cosine", epochs=10, warmup_epochs=2,
+                      min_lr=0.0, steps_per_epoch=10)
+    off = OptimConfig(lr=1.0, sched="cosine", epochs=10, warmup_epochs=2,
+                      min_lr=0.0, steps_per_epoch=10,
+                      schedule_offset_steps=50)
+    base, shifted = make_schedule(cfg, 1.0), make_schedule(off, 1.0)
+    # shifted(0) == base(50): mid-decay, far from the warmup_lr start
+    assert abs(float(shifted(0)) - float(base(50))) < 1e-6
+    assert float(shifted(0)) > 0.5  # not replaying warmup_lr=1e-5
+    # end of the shifted run == end of the base run
+    assert abs(float(shifted(49)) - float(base(99))) < 1e-6
+
+
+def test_cooldown_applies_to_step_schedule():
+    from tpuwsi.train.optim import OptimConfig, make_schedule
+
+    cfg = OptimConfig(lr=1.0, sched="step", epochs=10, warmup_epochs=0,
+                      decay_epochs=2, decay_rate=0.5, min_lr=0.03,
+                      cooldown_epochs=4, steps_per_epoch=10)
+    sched = make_schedule(cfg, 1.0)
+    # decay window ends at epoch 6 (step 60); cooldown holds min_lr after
+    assert abs(float(sched(65)) - 0.03) < 1e-9
+    assert abs(float(sched(99)) - 0.03) < 1e-9
+    assert float(sched(55)) > 0.1

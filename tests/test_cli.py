@@ -501,3 +501,18 @@ def test_pretrained_flag_errors_actionably(tmp_path):
     with _pytest.raises(SystemExit, match="initial-checkpoint"):
         main(["--data-dir", str(tmp_path), "--pretrained", "--epochs", "1",
               "--output", str(tmp_path / "out")])
+
+
+def test_pretrained_flag_errors_before_dispatch(tmp_path):
+    """The --pretrained guard must fire for the --ssl and survival dispatch
+    paths too, before any dataset work (review finding r3)."""
+    import pytest as _pytest
+
+    from tpuwsi.cli.train import main
+
+    with _pytest.raises(SystemExit, match="initial-checkpoint"):
+        main(["--ssl", "--data-dir", str(tmp_path), "--pretrained",
+              "--output", str(tmp_path / "o")])
+    with _pytest.raises(SystemExit, match="initial-checkpoint"):
+        main(["-tar", "Survival_Time", "--pretrained",
+              "--output", str(tmp_path / "o2")])

@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pytest
 
@@ -174,14 +176,11 @@ def test_restart_pool_resizes(tmp_path):
 
 
 def _mrxs_pattern(xs, ys, seed):
-    """The synthetic fixture's analytic content at level-0 coords (see
-    native/tileingest/mirax.cc pattern_pixel)."""
-    gx, gy = np.meshgrid(np.asarray(xs), np.asarray(ys))
-    return np.stack(
-        [(gx // 7 + seed) % 256, (gy // 7 + seed * 3) % 256,
-         ((gx + gy) // 11 + seed * 5) % 256],
-        axis=-1,
-    ).astype(np.int16)
+    """The synthetic fixtures' analytic content at level-0 coords (shared
+    with the Python fixture; matches mirax.cc pattern_pixel)."""
+    from mirax_fixture import pattern
+
+    return pattern(xs, ys, seed).astype(np.int16)
 
 
 @pytest.fixture(scope="module")
@@ -388,3 +387,24 @@ def test_jp2k_svs_through_open_slide_and_pool(tmp_path):
         np.testing.assert_array_equal(
             out[i], img[32 * i:32 * i + 128, 64 * i:64 * i + 128]
         )
+
+
+def test_mrxs_corrupt_index_page_chain_fails_fast(tmp_path):
+    """A corrupt Index.dat whose page chain points at itself must make
+    ti_open fail (loud -1), not hang forever walking the cycle."""
+    import struct
+
+    from mirax_fixture import write_mirax
+
+    p = write_mirax(str(tmp_path / "cycle.mrxs"), cam_x=2, cam_y=1,
+                    divisions=1, tile=32, overlap=8, levels=1, seed=1)
+    base = os.path.splitext(p)[0]
+    idx_path = os.path.join(base, "Index.dat")
+    idx = bytearray(open(idx_path, "rb").read())
+    slide_id_len = len(f"PYSYNTH-{1:08x}")
+    hier_root = struct.unpack_from("<i", idx, 5 + slide_id_len)[0]
+    page = struct.unpack_from("<i", idx, hier_root)[0]
+    struct.pack_into("<i", idx, page + 4, page)  # next_page -> itself
+    open(idx_path, "wb").write(idx)
+    with pytest.raises(IOError):
+        CTileReader(p)

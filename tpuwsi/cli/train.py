@@ -115,6 +115,17 @@ def main(argv=None):
     from tpuwsi.utils.ledger import ExperimentLedger
 
     args = parse_args(argv)
+    if args.pretrained:
+        # timm --pretrained pulls from its hub; unsupported here by decision
+        # (PARITY.md non-goals) — point at the offline converter instead.
+        # Checked FIRST: it must also cover --ssl / Survival_* dispatch and
+        # fire before any dataset/metadata work.
+        raise SystemExit(
+            "--pretrained downloads from the timm hub, which this "
+            "environment cannot reach. Convert torch weights offline with "
+            "tpuwsi.models.convert (ViT + ResNet-50-trunc, golden-tested) "
+            "and pass them via --initial-checkpoint."
+        )
     _setup_jax()
     # multi-host init (reference: torchrun + init_distributed_device,
     # train.py:431, sbatch-ssl.sh:55) — no-op single-host
@@ -160,6 +171,15 @@ def main(argv=None):
             train_ds, val_ds = train_ds.split(
                 1.0 - args.val_split, np.random.default_rng(args.seed)
             )
+        if args.transform_type == "timm" and val_ds is not None:
+            # timm eval = Resize(img_size/crop_pct) -> CenterCrop(img_size):
+            # the HOST loader must hand the eval transform the resize target,
+            # not an already-img_size image (which would up/down round-trip
+            # and crop away real content — review finding r3).
+            eval_img = args.img_size or args.tile_size
+            val_ds.image_size = max(
+                int(round(eval_img / args.crop_pct)), eval_img
+            )
         num_classes = args.num_output or args.num_classes or train_ds.num_classes
         # each host consumes a 1/pcount strided slice of the dataset, so the
         # schedule must count PER-HOST optimizer steps (global batch rows
@@ -204,15 +224,6 @@ def main(argv=None):
         steps_per_epoch = max(len(sampler) // (args.batch_size * pcount), 1)
 
     # ---------------- model + optimizer ----------------
-    if args.pretrained:
-        # timm --pretrained pulls from its hub; unsupported here by decision
-        # (PARITY.md non-goals) — point at the offline converter instead.
-        raise SystemExit(
-            "--pretrained downloads from the timm hub, which this "
-            "environment cannot reach. Convert torch weights offline with "
-            "tpuwsi.models.convert (ViT + ResNet-50-trunc, golden-tested) "
-            "and pass them via --initial-checkpoint."
-        )
     on_tpu = jax.default_backend() == "tpu"
     img_size = args.img_size or args.tile_size
     model = create_model(
@@ -254,6 +265,12 @@ def main(argv=None):
         min_lr=args.min_lr,
         cooldown_epochs=args.cooldown_epochs,
         steps_per_epoch=steps_per_epoch,
+        # timm --start-epoch advances the scheduler to that epoch; resumed
+        # runs restore the optax counts from the checkpoint instead.
+        schedule_offset_steps=(
+            args.start_epoch * steps_per_epoch
+            if args.start_epoch and not args.resume else 0
+        ),
     )
     tx, schedule = make_optimizer(ocfg, params, global_batch)
     if args.no_grad:

@@ -126,12 +126,15 @@ def open_slide(path: str, prefer_native: bool = True) -> SlideReader:
     position buffer). Then openslide, then PIL.
     """
     ext = os.path.splitext(path)[1].lower()
+    native_state = "is disabled (prefer_native=False)"
     if prefer_native and ext in (".tif", ".tiff", ".svs", ".ndpi", ".mrxs"):
         try:
             from tpuwsi.io.ingest import CTileReader, native_available
 
             if native_available():
+                native_state = "failed to parse it"
                 return CTileReader(path)
+            native_state = "is not built (run native/build.sh)"
         except Exception:
             # fall through: the native backend could not parse this
             # particular file (e.g. an NDPI variant with out-of-spec JPEG
@@ -143,8 +146,7 @@ def open_slide(path: str, prefer_native: bool = True) -> SlideReader:
     if ext == ".mrxs":
         # MIRAX is directory-based — PIL on the .mrxs stub would be garbage.
         raise RuntimeError(
-            f"cannot read {path}: the native MIRAX reader "
-            f"{'failed to parse it' if prefer_native else 'is disabled'} "
+            f"cannot read {path}: the native MIRAX reader {native_state} "
             "(JPEG tile format and VIMSLIDE_POSITION_BUFFER/grid positions "
             "are supported; PNG/BMP24 and zlib StitchingIntensityLayer "
             "variants are not) and openslide is not installed. Build "
@@ -155,8 +157,7 @@ def open_slide(path: str, prefer_native: bool = True) -> SlideReader:
         # PIL reads page 0 of whatever it can parse (or dies on the
         # decompression-bomb limit) — training on that is silent garbage.
         raise RuntimeError(
-            f"cannot read {path}: the native reader "
-            f"{'failed to parse it' if prefer_native else 'is disabled'} and "
+            f"cannot read {path}: the native reader {native_state} and "
             "openslide is not installed. Build native/ (build.sh) or install "
             "openslide-python + libopenslide."
         )

@@ -25,13 +25,7 @@ import jax.numpy as jnp
 from tpuwsi.preprocess import augment as A
 from tpuwsi.preprocess.multicrop import random_resized_crop
 from tpuwsi.preprocess.normalize import MEAN, STD
-
-
-def _to_float(images):
-    images = jnp.asarray(images)
-    if images.dtype == jnp.uint8:
-        return images.astype(jnp.float32) / 255.0
-    return images.astype(jnp.float32)
+from tpuwsi.preprocess.recipes import _to_float
 
 
 def _stats(mean, std, norm_type):
@@ -95,7 +89,13 @@ def make_timm_eval(
     resize_to = max(int(round(img_size / crop_pct)), img_size)
 
     def per_image(img):
-        v = A.resize_bilinear(img, resize_to)
+        # the CLI loads folder eval images at resize_to already (square
+        # tiles; timm's short-side Resize is equivalent there) — only
+        # resample when the source size actually differs
+        if img.shape[0] == resize_to and img.shape[1] == resize_to:
+            v = img
+        else:
+            v = A.resize_bilinear(img, resize_to)
         top = (resize_to - img_size) // 2
         return jax.lax.dynamic_slice(
             v, (top, top, 0), (img_size, img_size, v.shape[-1])

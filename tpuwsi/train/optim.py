@@ -47,6 +47,9 @@ class OptimConfig:
     # timm --cooldown-epochs: hold min_lr for the final N epochs (the decay
     # completes by epochs - cooldown_epochs)
     cooldown_epochs: int = 0
+    # timm --start-epoch on a FRESH run: the schedule starts this many steps
+    # in (resumed runs restore the optax counts from the checkpoint instead)
+    schedule_offset_steps: int = 0
 
     def resolved_lr(self, global_batch_size: int) -> float:
         """train.py:569-581 world-size scaling."""
@@ -67,14 +70,29 @@ def make_schedule(cfg: OptimConfig, peak_lr: float) -> optax.Schedule:
     decay_total = max(
         total_steps - cfg.cooldown_epochs * cfg.steps_per_epoch, warmup_steps + 1
     )
+    def _offset(sched):
+        if not cfg.schedule_offset_steps:
+            return sched
+        off = cfg.schedule_offset_steps
+        return lambda count: sched(count + off)
+
+    def _cooldown(sched):
+        # hold min_lr from decay_total on — timm's cooldown applies to every
+        # scheduler, not just cosine
+        if not cfg.cooldown_epochs:
+            return sched
+        return optax.join_schedules(
+            [sched, optax.constant_schedule(cfg.min_lr)], [decay_total]
+        )
+
     if cfg.sched == "cosine":
-        return optax.warmup_cosine_decay_schedule(
+        return _offset(optax.warmup_cosine_decay_schedule(
             init_value=cfg.warmup_lr,
             peak_value=peak_lr,
             warmup_steps=warmup_steps,
             decay_steps=decay_total,
             end_value=cfg.min_lr,
-        )
+        ))
     if cfg.sched == "step":
         sched = optax.exponential_decay(
             init_value=peak_lr,
@@ -84,18 +102,18 @@ def make_schedule(cfg: OptimConfig, peak_lr: float) -> optax.Schedule:
         )
         if warmup_steps:
             warm = optax.linear_schedule(cfg.warmup_lr, peak_lr, warmup_steps)
-            return optax.join_schedules([warm, sched], [warmup_steps])
-        return sched
+            sched = optax.join_schedules([warm, sched], [warmup_steps])
+        return _offset(_cooldown(sched))
     if cfg.sched in ("none", "constant"):
         if warmup_steps:
-            return optax.join_schedules(
+            return _offset(optax.join_schedules(
                 [
                     optax.linear_schedule(cfg.warmup_lr, peak_lr, warmup_steps),
                     optax.constant_schedule(peak_lr),
                 ],
                 [warmup_steps],
-            )
-        return optax.constant_schedule(peak_lr)
+            ))
+        return _offset(optax.constant_schedule(peak_lr))
     raise ValueError(f"unknown schedule {cfg.sched!r}")
 
 
