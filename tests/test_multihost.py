@@ -196,3 +196,36 @@ def test_cli_model_parallel_smoke(tmp_path):
         jax.tree_util.tree_map(lambda p: str(p.sharding), state.params)
     )
     assert any("model" in s for s in specs)
+
+
+def test_sequence_parallel_mil_pool_matches_single_device():
+    """SURVEY §5.7: the MIL bag axis shards over the mesh; the sharded
+    softmax-pool (pmax/psum) must match the single-device pool bitwise-ish,
+    including padded tiles and the fully-masked degenerate bag."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuwsi.core.mesh import MeshConfig, create_mesh
+    from tpuwsi.models.mil import masked_attention_pool, sharded_attention_pool
+
+    mesh = create_mesh(MeshConfig(data=8))
+    rng = np.random.default_rng(0)
+    B, N, D = 3, 64, 16
+    scores = jnp.asarray(rng.normal(size=(B, N)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, N)) < 0.7)
+    mask = mask.at[1].set(False)  # fully-masked bag → uniform attention
+    mask = mask.at[0, :4].set(True)
+
+    ref_pool, ref_before, ref_after = masked_attention_pool(scores, feats, mask)
+    with mesh:
+        pool, before, after = jax.jit(
+            lambda s, f, m: sharded_attention_pool(mesh, s, f, m)
+        )(scores, feats, mask)
+    np.testing.assert_allclose(np.asarray(pool), np.asarray(ref_pool),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(after), np.asarray(ref_after),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(before), np.asarray(ref_before),
+                               rtol=1e-6)

@@ -39,6 +39,38 @@ def masked_attention_pool(scores, feats, mask):
     return pooled, scores, attn
 
 
+def sharded_attention_pool(mesh, scores, feats, mask, axis: str = "data"):
+    """``masked_attention_pool`` with the BAG axis sharded over a mesh axis —
+    sequence parallelism over tiles (SURVEY §5.7): each device holds N/k
+    tiles of every bag; the softmax max rides ``pmax`` and the normaliser +
+    pooled sum ride ``psum``, so bag length scales past one device's HBM.
+
+    scores (B, N), feats (B, N, D), mask (B, N) with N divisible by the axis
+    size. Returns the same triple as ``masked_attention_pool``; ``pooled``
+    is replicated, the attention maps stay bag-sharded.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(scores, feats, mask):
+        s = jnp.where(mask, scores, NEG_INF)
+        # global max for stability; a fully-masked bag degrades to uniform
+        # attention exactly like jax.nn.softmax over all-NEG_INF rows
+        m = jax.lax.pmax(s.max(-1), axis)
+        e = jnp.exp(s - m[:, None])
+        denom = jax.lax.psum(e.sum(-1), axis)
+        attn = e / denom[:, None]
+        pooled = jax.lax.psum(jnp.einsum("bn,bnd->bd", attn, feats), axis)
+        return pooled, s, attn
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis, None), P(None, axis)),
+        out_specs=(P(None), P(None, axis), P(None, axis)),
+    )(scores, feats, mask)
+
+
 class GatedAttentionMIL(nn.Module):
     """Gated attention pooling + linear classifier over a feature bag."""
 
