@@ -199,7 +199,14 @@ int jp2k_decode(const uint8_t* buf, size_t len, uint8_t* out, int64_t w,
     // index with the per-component ratios.
     const int64_t iw = c0.w, ih = c0.h;
     const int64_t cw = std::min<int64_t>(w, iw), ch = std::min<int64_t>(h, ih);
-    const int shift0 = c0.prec > 8 ? static_cast<int>(c0.prec) - 8 : 0;
+    // Per-COMPONENT precision: JPEG-2000 allows e.g. 12-bit luma with 8-bit
+    // chroma; shifting every component by component 0's precision would
+    // silently corrupt the lower-precision planes.
+    int shift[3];
+    for (int c = 0; c < 3; ++c) {
+      const opj_image_comp_t& cc = image->comps[c];
+      shift[c] = cc.prec > 8 ? static_cast<int>(cc.prec) - 8 : 0;
+    }
     for (int64_t y = 0; y < ch; ++y) {
       uint8_t* dst = out + y * w * 3;
       for (int64_t x = 0; x < cw; ++x, dst += 3) {
@@ -212,7 +219,7 @@ int jp2k_decode(const uint8_t* buf, size_t len, uint8_t* out, int64_t w,
                                                cc.h - 1);
           int val = cc.data[sy * cc.w + sx];
           if (cc.sgnd) val += 1 << (cc.prec - 1);
-          v[c] = shift0 ? (val >> shift0) : val;
+          v[c] = shift[c] ? (val >> shift[c]) : val;
         }
         if (ycbcr) {
           // Full-range JPEG YCbCr → RGB (matches OpenSlide's 33003 path).

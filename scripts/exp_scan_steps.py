@@ -122,8 +122,13 @@ def _rebuild_raw(batch_size):
                       loss_pair_bf16=on_tpu)
     ocfg = OptimConfig(opt="adamw", lr=5e-4, weight_decay=0.04)
     tx, _ = make_optimizer(ocfg, params, global_batch_size=batch_size)
-    mc = make_multicrop(MultiCropConfig(global_size=224, local_size=96,
-                                        n_local=6))
+    # match bench.build's TPU augmentation dtype — an f32 multicrop here
+    # would add ~4-8 ms/step of extra device work to the per-call arm and
+    # misattribute it to dispatch latency (review finding r3)
+    mc = make_multicrop(MultiCropConfig(
+        global_size=224, local_size=96, n_local=6,
+        compute_dtype="bfloat16" if on_tpu else "float32",
+    ))
     return model.apply, tx, dcfg, mc
 
 

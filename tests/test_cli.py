@@ -474,21 +474,43 @@ def test_timm_train_alias_defaults(patch_folder, tmp_path):
     assert "eval_top1" in rows[0]
 
 
-def test_timm_compose_argv_respects_glued_short_options():
-    """Regression: '-b64' must suppress the '-b 128' timm default (argparse
-    keeps the LAST occurrence, so a trailing default would silently win)."""
-    from tpuwsi.cli.timm_train import compose_argv
+def test_timm_defaults_precedence():
+    """timm defaults must rank BELOW the YAML config and the command line
+    (they travel through the parser's defaults layer — injecting them as
+    argv would silently override '--config' values and glued/abbreviated
+    options, since argparse keeps the LAST occurrence)."""
+    from tpuwsi.cli.args import parse_args
+    from tpuwsi.cli.timm_train import _TIMM_DEFAULTS, compose_argv
 
-    out = compose_argv(["data", "-b64"])
-    assert "-b" not in out and "128" not in out
-    assert out[:3] == ["--data-dir", "data", "-b64"]
-    # separate form and long form also respected
-    assert "128" not in compose_argv(["data", "-b", "64"])
-    assert "128" not in compose_argv(["data", "--batch-size=64"])
-    # defaults appear when unset
-    out = compose_argv(["data"])
-    assert out[out.index("-b") + 1] == "128"
-    assert out[out.index("--eval-metric") + 1] == "top1"
+    # unset → timm defaults
+    a = parse_args(compose_argv(["data"]), default_overrides=_TIMM_DEFAULTS)
+    assert a.batch_size == 128 and a.eval_metric == "top1"
+    assert a.transform_type == "timm" and a.data_dir == "data"
+    # CLI wins over the defaults, in every spelling
+    for spelling in (["-b64"], ["-b", "64"], ["--batch-size=64"]):
+        a = parse_args(compose_argv(["data"] + spelling),
+                       default_overrides=_TIMM_DEFAULTS)
+        assert a.batch_size == 64, spelling
+    # abbreviated long option wins too
+    a = parse_args(compose_argv(["data", "--eval-met", "auc"]),
+                   default_overrides=_TIMM_DEFAULTS)
+    assert a.eval_metric == "auc"
+
+
+def test_timm_defaults_yield_to_config_yaml(tmp_path):
+    """--config values must beat the timm defaults (the reference loads YAML
+    into parser defaults, then parses — timm_train.py/train.py:396-410)."""
+    from tpuwsi.cli.args import parse_args
+    from tpuwsi.cli.timm_train import _TIMM_DEFAULTS, compose_argv
+
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text("batch_size: 512\neval_rate: 10\n")
+    a = parse_args(compose_argv(["data", "--config", str(cfg)]),
+                   default_overrides=_TIMM_DEFAULTS)
+    assert a.batch_size == 512
+    assert a.eval_rate == 10
+    # untouched defaults still apply
+    assert a.eval_metric == "top1"
 
 
 def test_pretrained_flag_errors_actionably(tmp_path):

@@ -184,9 +184,20 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
-    """Two-stage parse: --config YAML sets defaults (train.py:396-410)."""
+def parse_args(
+    argv: Optional[List[str]] = None,
+    default_overrides: Optional[dict] = None,
+) -> argparse.Namespace:
+    """Two-stage parse: --config YAML sets defaults (train.py:396-410).
+
+    ``default_overrides`` (dest -> value) sits BELOW the YAML config and the
+    command line in precedence — it replaces the parser's built-in defaults
+    only. This is how timm_train pins timm's own defaults without shadowing
+    user config values (injecting them as argv would beat the YAML, since
+    argparse keeps the last occurrence)."""
     parser = build_parser()
+    if default_overrides:
+        parser.set_defaults(**default_overrides)
     config_parser = argparse.ArgumentParser(add_help=False)
     config_parser.add_argument("--config", default="", type=str)
     given, remaining = config_parser.parse_known_args(argv)

@@ -27,39 +27,31 @@ import sys
 
 from tpuwsi.cli.train import main as _main
 
+# argparse DESTS, applied through parse_args(default_overrides=...) so they
+# rank BELOW --config YAML values and the command line (injecting them as
+# argv would silently beat YAML config and abbreviated long options).
 _TIMM_DEFAULTS = {
-    "--eval-metric": "top1",
-    "--val-split": "0.2",
-    "--eval_rate": "1",
-    "-b": "128",
-    "--transform_type": "timm",
+    "eval_metric": "top1",
+    "val_split": 0.2,
+    "eval_rate": 1,
+    "batch_size": 128,
+    "transform_type": "timm",
 }
 
 
 def compose_argv(argv):
-    """Final argv: user args + timm defaults for flags the user did not set."""
+    """timm_train.py positional data_dir compatibility only — the timm
+    defaults travel through the parser's defaults layer, not argv."""
     argv = list(argv)
     if not any(a.startswith("--data-dir") for a in argv):
-        # timm_train.py positional data_dir compatibility
         if argv and not argv[0].startswith("-"):
             argv = ["--data-dir", argv[0]] + argv[1:]
-    given = {a.split("=")[0] for a in argv}
-    # glued short options ('-b64') must also count as given, or the
-    # appended default would silently win (argparse keeps the LAST value)
-    short_given = {
-        a[:2] for a in argv
-        if len(a) > 2 and a[0] == "-" and a[1] != "-" and a[2] != "="
-    }
-    extra = []
-    for flag, value in _TIMM_DEFAULTS.items():
-        alias = {"-b": "--batch-size"}.get(flag, flag)
-        if flag not in given and alias not in given and flag not in short_given:
-            extra += [flag, value]
-    return argv + extra
+    return argv
 
 
 def main(argv=None):
-    return _main(compose_argv(argv if argv is not None else sys.argv[1:]))
+    argv = compose_argv(argv if argv is not None else sys.argv[1:])
+    return _main(argv, default_overrides=_TIMM_DEFAULTS)
 
 
 if __name__ == "__main__":

@@ -91,7 +91,7 @@ def _fitting_mesh(global_batch_size: int, model_parallel: int = 1):
     )
 
 
-def main(argv=None):
+def main(argv=None, default_overrides=None):
     import jax.numpy as jnp
 
     from tpuwsi.cli.args import parse_args
@@ -114,7 +114,7 @@ def main(argv=None):
     from tpuwsi.utils import start_log, update_summary
     from tpuwsi.utils.ledger import ExperimentLedger
 
-    args = parse_args(argv)
+    args = parse_args(argv, default_overrides=default_overrides)
     if args.pretrained:
         # timm --pretrained pulls from its hub; unsupported here by decision
         # (PARITY.md non-goals) — point at the offline converter instead.

@@ -161,4 +161,20 @@ def open_slide(path: str, prefer_native: bool = True) -> SlideReader:
             "openslide is not installed. Build native/ (build.sh) or install "
             "openslide-python + libopenslide."
         )
+    if ext in (".tif", ".tiff"):
+        # Plain single-page TIFFs (TMA cores, fixtures) are a legitimate PIL
+        # path, but a MULTI-PAGE tif is a WSI pyramid (ABCTB_TIF-class
+        # cohorts) — reading page 0 alone silently trains at the wrong
+        # magnification.
+        from PIL import Image
+
+        Image.MAX_IMAGE_PIXELS = None
+        with Image.open(path) as probe:
+            if getattr(probe, "n_frames", 1) > 1:
+                raise RuntimeError(
+                    f"cannot read {path}: multi-page (pyramidal) TIFF, but "
+                    f"the native reader {native_state} and openslide is not "
+                    "installed — PIL would read only page 0. Build native/ "
+                    "(build.sh) or install openslide-python + libopenslide."
+                )
     return ImageSlideReader(path)

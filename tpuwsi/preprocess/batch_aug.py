@@ -156,8 +156,14 @@ def make_random_erasing(
             ew = jnp.clip(
                 jnp.sqrt(area / aspect).astype(jnp.int32), 1, w
             )
-            top = jax.random.randint(ky, (), 0, h)
-            left = jax.random.randint(kx, (), 0, w)
+            # timm places the box fully in-bounds (top ∈ [0, h-eh]); sampling
+            # over [0, h) and clipping would under-erase the target area
+            top = jnp.floor(
+                jax.random.uniform(ky, ()) * (h - eh + 1).astype(jnp.float32)
+            ).astype(jnp.int32)
+            left = jnp.floor(
+                jax.random.uniform(kx, ()) * (w - ew + 1).astype(jnp.float32)
+            ).astype(jnp.int32)
             rows = jnp.arange(h)[:, None]
             cols = jnp.arange(w)[None, :]
             box = (
@@ -230,10 +236,6 @@ def _grayscale255(img):
 
 def _blend(a, b, factor):
     return jnp.clip(b + (a - b) * factor, 0.0, 255.0)
-
-
-def _op_identity(img, m, sign):
-    return img
 
 
 def _op_autocontrast(img, m, sign):
