@@ -408,3 +408,67 @@ def test_mrxs_corrupt_index_page_chain_fails_fast(tmp_path):
     open(idx_path, "wb").write(idx)
     with pytest.raises(IOError):
         CTileReader(p)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_mrxs_geometry_fuzz(tmp_path, seed):
+    """Randomized MIRAX geometry (camera grid, divisions, overlap, absent
+    cameras, data-file count): every in-bounds covered read must match the
+    analytic pattern; reads inside absent cameras must be zero."""
+    from mirax_fixture import pattern, write_mirax
+
+    rng = np.random.default_rng(100 + seed)
+    cam_x = int(rng.integers(2, 5))
+    cam_y = int(rng.integers(1, 4))
+    divisions = int(rng.choice([1, 2]))
+    tile = int(rng.choice([32, 64]))
+    overlap = int(rng.choice([0, 8, 16]))
+    levels = int(rng.integers(1, 3))
+    absent = []
+    if cam_x * cam_y > 2 and rng.random() < 0.5:
+        absent = [(int(rng.integers(0, cam_x)), int(rng.integers(0, cam_y)))]
+    p = write_mirax(
+        str(tmp_path / f"fuzz{seed}.mrxs"), cam_x=cam_x, cam_y=cam_y,
+        divisions=divisions, tile=tile, overlap=overlap, levels=levels,
+        seed=seed, absent_cameras=tuple(absent),
+        n_data_files=int(rng.integers(1, 4)),
+    )
+    r = CTileReader(p)
+    w0, h0 = r.dimensions
+    assert len(r.level_downsamples) == levels
+    cam_adv = divisions * tile - overlap
+    cam_w = divisions * tile
+    # OpenSlide semantics: level 0 spans the bounding box of PRESENT tiles —
+    # the reader subtracts the min present position as the origin
+    present = [(cx, cy) for cy in range(cam_y) for cx in range(cam_x)
+               if (cx, cy) not in absent]
+    ox = min(cx * cam_adv for cx, _ in present)
+    oy = min(cy * cam_adv for _, cy in present)
+
+    def covered(x, y):
+        # absolute coords inside ANY present camera's footprint
+        for cx, cy in present:
+            px, py = cx * cam_adv, cy * cam_adv
+            if px <= x < px + cam_w and py <= y < py + cam_w:
+                return True
+        return False
+
+    for _ in range(4):
+        rw = int(rng.integers(8, 64))
+        x0 = int(rng.integers(0, max(w0 - rw, 1)))
+        y0 = int(rng.integers(0, max(h0 - rw, 1)))
+        got = r.read_region((x0, y0), 0, (rw, rw)).astype(np.int16)
+        # tile content is the analytic pattern at ABSOLUTE level-0 coords
+        ref = pattern(range(ox + x0, ox + x0 + rw),
+                      range(oy + y0, oy + y0 + rw), seed)
+        for yy in range(0, rw, 7):
+            for xx in range(0, rw, 7):
+                if covered(ox + x0 + xx, oy + y0 + yy):
+                    assert abs(int(got[yy, xx, 0]) - int(ref[yy, xx, 0])) <= 6, (
+                        f"mismatch at {(x0+xx, y0+yy)}"
+                    )
+                else:
+                    assert (got[yy, xx] == 0).all(), (
+                        f"expected zero at {(x0+xx, y0+yy)}"
+                    )
+    r.close()
