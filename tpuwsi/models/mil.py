@@ -49,8 +49,12 @@ def sharded_attention_pool(mesh, scores, feats, mask, axis: str = "data"):
     size. Returns the same triple as ``masked_attention_pool``; ``pooled``
     is replicated, the attention maps stay bag-sharded.
     """
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    try:  # jax.shard_map is the stable home since 0.8; keep the old path
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     def local(scores, feats, mask):
         s = jnp.where(mask, scores, NEG_INF)
