@@ -538,3 +538,61 @@ def test_pretrained_flag_errors_before_dispatch(tmp_path):
     with _pytest.raises(SystemExit, match="initial-checkpoint"):
         main(["-tar", "Survival_Time", "--pretrained",
               "--output", str(tmp_path / "o2")])
+
+
+def test_run_book_command_replay():
+    """The exact command lines from the reference run book
+    (train_instruct.txt:17-31) must parse and route on the tpuwsi flag
+    surface — flag-for-flag parity, not just flag existence."""
+    commands = {
+        # srun Supervised / SSL (train_instruct.txt:17,18)
+        "supervised_srun": "--model vit_small_patch16_224 --dataset TCGA "
+        "--epochs 100 --target ER --workers 2 --num-classes 2 --log-wandb "
+        "--experiment Supervised --subexperiment 1.0",
+        "ssl_srun": "--model vit_small_patch16_224_dino --dataset TCGA "
+        "--epochs 100 --target ER --workers 2 --num-classes 2 --log-wandb "
+        "--experiment SSl --subexperiment 1.0",
+        # Supervised-Baseline (train_instruct.txt:24)
+        "baseline": "--model vit_small_patch16_224 --dataset CAT --epochs 500 "
+        "--target ER --num-classes 2 --batch-size 256 --workers 2 "
+        "--supervised --log-wandb --experiment Supervised --subexperiment 1.1 "
+        "--lr-base 0.001 --opt adam --warmup-epochs 20",
+        # Supervised-fine-tune-no-grad (train_instruct.txt:27-28)
+        "finetune_no_grad": "--model vit_small_patch16_224 --dataset CAT "
+        "--epochs 500 --target ER --num-classes 2 --batch-size 256 "
+        "--workers 2 --supervised --log-wandb --experiment Supervised "
+        "--subexperiment 1.2 --initial-checkpoint /x/model_best.pth.tar "
+        "--no-grad --lr-base 0.001 --sched cosine --warmup-epochs 20",
+        # old balanced-dataset variant (train_instruct.txt:34)
+        "balanced": "--model vit_small_patch16_224_dino --dataset TCGA "
+        "--epochs 30 --batch-size 10 --target ER --workers 2 "
+        "--num-classes 2 --balanced_dataset --log-wandb "
+        "--experiment Supervised --subexperiment 1.0",
+    }
+    for name, cmd in commands.items():
+        a = parse_args(cmd.split())
+        assert a.target == "ER" and a.num_classes == 2, name
+        assert a.experiment and a.subexperiment, name
+    a = parse_args(commands["baseline"].split())
+    assert a.supervised and a.lr_base == 0.001 and a.opt == "adam"
+    a = parse_args(commands["finetune_no_grad"].split())
+    assert a.no_grad and a.initial_checkpoint.endswith("model_best.pth.tar")
+    assert a.sched == "cosine" and a.warmup_epochs == 20
+    a = parse_args(commands["balanced"].split())
+    assert a.balanced_dataset and a.batch_size == 10
+
+
+def test_subexperiment_nests_output_dir(tmp_path):
+    """--subexperiment nests a sub-folder under the run dir, reference
+    get_outdir(output, exp_name, subexp_name) semantics (train.py:857-865)."""
+    from tpuwsi.utils.ledger import ExperimentLedger
+
+    led = ExperimentLedger(str(tmp_path))
+    exp = led.create("ER", test_fold=1, name="Supervised", subname="1.2")
+    loc = exp["Location"]
+    assert os.path.isdir(loc)
+    assert os.path.basename(loc) == "1.2"
+    assert "Supervised" in os.path.basename(os.path.dirname(loc))
+    # without subname: flat layout unchanged
+    exp2 = led.create("ER", test_fold=1, name="Supervised")
+    assert os.path.basename(exp2["Location"]).startswith("Exp_")

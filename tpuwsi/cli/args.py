@@ -80,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-j", "--workers", default=4, type=int)
     parser.add_argument("--output", default="", type=str)
     parser.add_argument("--experiment", default="", type=str)
+    parser.add_argument("--subexperiment", default="", type=str,
+                        help="sub-folder under the experiment run dir "
+                             "(train.py:346,857-865 get_outdir nesting)")
     parser.add_argument("--eval-metric", default="auc", type=str)
     parser.add_argument("-vb", "--validation-batch-size", default=None,
                         type=int, help="eval batch size (defaults to -b)")

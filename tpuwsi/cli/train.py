@@ -139,6 +139,7 @@ def main(argv=None, default_overrides=None):
         args.target,
         test_fold=args.test_fold,
         name=args.experiment or None,
+        subname=args.subexperiment or None,
         DataSet=args.dataset,
         Model=args.model,
         Transformations=args.transform_type,

@@ -78,16 +78,22 @@ class ExperimentLedger:
         return state
 
     # -- API (run_data parity) ----------------------------------------------------
-    def create(self, receptor: str, test_fold=1, name=None, **fields) -> Dict:
+    def create(self, receptor: str, test_fold=1, name=None, subname=None,
+               **fields) -> Dict:
         """``name`` (--experiment) overrides the run-folder stem, timm's
         exp_name semantics (timm_train.py output dir naming); the Receptor
-        ledger column still records the target."""
+        ledger column still records the target. ``subname``
+        (--subexperiment) nests a sub-folder under the run dir, the
+        reference's get_outdir(output, exp_name, subexp_name) layout
+        (train.py:857-865)."""
         state = self._state()
         experiment = max(state) + 1 if state else 1
         stem = name or receptor
         location = os.path.join(
             self.runs_dir, f"Exp_{experiment}-{stem}-TestFold_{test_fold}"
         )
+        if subname:
+            location = os.path.join(location, subname)
         record = dict(LEDGER_FIELDS_DEFAULTS)
         record.update(
             {
