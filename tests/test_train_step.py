@@ -172,3 +172,87 @@ def test_scheduled_step_transparent_on_cpu_and_caches_by_signature():
     assert int(s) == 2
     assert float(r1) == 12.0 and float(r2) == 24.0
     assert np.isfinite(float(r2))
+
+
+def test_layer_decay_scales_updates():
+    """timm --layer-decay: a constant gradient must produce updates whose
+    magnitude decays by exactly layer_decay per block going toward the
+    input, with the head unscaled — checked for both the unrolled and the
+    scanned (stacked blocks_scan) param trees."""
+    import dataclasses as _dc
+
+    from tpuwsi.models.vit import VisionTransformer, vit_tiny
+    from tpuwsi.train.optim import scale_updates_by_layer_decay
+
+    for scan in (False, True):
+        cfg = _dc.replace(
+            vit_tiny(num_classes=2, img_size=32, use_pallas_attention=False,
+                     dtype=jnp.float32),
+            depth=2, embed_dim=64, num_heads=2, scan_blocks=scan,
+        )
+        model = VisionTransformer(cfg)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        tx = scale_updates_by_layer_decay(params, 0.5)
+        st = tx.init(params)
+        ones = jax.tree_util.tree_map(jnp.ones_like, params)
+        scaled, _ = tx.update(ones, st)
+
+        def leaf(tree, *path):
+            node = tree["params"]
+            for k in path:
+                node = node[k]
+            return jax.tree_util.tree_leaves(node)[0]
+
+        # depth=2 → L+1 = 3: head scale 1, block1 0.5, block0 0.25,
+        # patch_embed 0.125
+        head = np.asarray(leaf(scaled, "head"))
+        assert np.allclose(head, 1.0)
+        pe = np.asarray(leaf(scaled, "patch_embed"))
+        assert np.allclose(pe, 0.5 ** 3)
+        if scan:
+            stacked = np.asarray(leaf(scaled, "blocks_scan"))
+            # leading axis = depth: block0 then block1
+            assert np.allclose(stacked[0], 0.25) and np.allclose(
+                stacked[1], 0.5
+            )
+        else:
+            assert np.allclose(np.asarray(leaf(scaled, "blocks_0")), 0.25)
+            assert np.allclose(np.asarray(leaf(scaled, "blocks_1")), 0.5)
+
+
+def test_layer_decay_through_make_optimizer():
+    model = _tiny_model()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    ocfg = OptimConfig(opt="sgd", lr=0.1, weight_decay=0.0, momentum=0.0,
+                       layer_decay=0.5, sched="constant", warmup_epochs=0)
+    tx, _ = make_optimizer(ocfg, params, global_batch_size=8)
+    st = tx.init(params)
+    ones = jax.tree_util.tree_map(jnp.ones_like, params)
+    upd, _ = tx.update(ones, st, params)
+    head = jax.tree_util.tree_leaves(upd["params"]["head"])[0]
+    blk0 = jax.tree_util.tree_leaves(upd["params"]["blocks_0"])[0]
+    # sgd: update = -lr·g, layer scale multiplies on top
+    assert np.allclose(np.asarray(head), -0.1)
+    assert np.allclose(np.asarray(blk0), -0.1 * 0.25)
+
+
+def test_opt_eps_betas_and_step_sched_flags():
+    from tpuwsi.cli.args import parse_args
+
+    a = parse_args(["--opt-eps", "1e-6", "--opt-betas", "0.9", "0.95",
+                    "--sched", "step", "--decay-epochs", "2.5",
+                    "--decay-rate", "0.5", "--layer-decay", "0.75"])
+    assert a.opt_eps == 1e-6 and a.opt_betas == [0.9, 0.95]
+    assert a.decay_epochs == 2.5 and a.decay_rate == 0.5
+    assert a.layer_decay == 0.75
+    # the step schedule uses decay_epochs/decay_rate (timm --decay-epochs)
+    from tpuwsi.train.optim import make_schedule
+
+    ocfg = OptimConfig(opt="sgd", sched="step", decay_epochs=2.5,
+                       decay_rate=0.5, steps_per_epoch=10, warmup_epochs=0,
+                       epochs=10)
+    sched = make_schedule(ocfg, peak_lr=1.0)
+    assert float(sched(0)) == 1.0
+    assert float(sched(24)) == 1.0  # still before the first 25-step boundary
+    assert float(sched(25)) == 0.5
+    assert float(sched(50)) == 0.25

@@ -49,13 +49,26 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-b", "--batch-size", default=256, type=int)
     parser.add_argument("--epochs", default=300, type=int)
     parser.add_argument("--opt", default="sgd", type=str)
+    parser.add_argument("--opt-eps", default=None, type=float,
+                        help="optimizer epsilon (timm --opt-eps; None keeps "
+                             "the optimizer default)")
+    parser.add_argument("--opt-betas", default=None, type=float, nargs="+",
+                        help="optimizer betas (timm --opt-betas)")
     parser.add_argument("--lr", default=None, type=float)
+    parser.add_argument("--layer-decay", default=None, type=float,
+                        help="layer-wise LR decay factor for fine-tuning "
+                             "(timm --layer-decay)")
     parser.add_argument("--lr-base", default=0.1, type=float)
     parser.add_argument("--lr-base-size", default=512, type=int)
     parser.add_argument("--lr-base-scale", default="", type=str)
     parser.add_argument("--momentum", default=0.9, type=float)
     parser.add_argument("--weight-decay", default=2e-5, type=float)
     parser.add_argument("--sched", default="cosine", type=str)
+    parser.add_argument("--decay-epochs", default=90, type=float,
+                        help="epoch interval for the step scheduler "
+                             "(timm --decay-epochs)")
+    parser.add_argument("--decay-rate", "--dr", default=0.1, type=float,
+                        help="step scheduler decay factor (timm --decay-rate)")
     parser.add_argument("--warmup-epochs", default=5, type=int)
     parser.add_argument("--warmup-lr", default=1e-5, type=float)
     parser.add_argument("--min-lr", default=0.0, type=float)

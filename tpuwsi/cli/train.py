@@ -91,6 +91,19 @@ def _fitting_mesh(global_batch_size: int, model_parallel: int = 1):
     )
 
 
+def _opt_extra_kwargs(args) -> dict:
+    """timm --opt-eps / --opt-betas: override the OptimConfig defaults only
+    when given (timm passes None through to the optimizer default too)."""
+    extra = {}
+    if args.opt_eps is not None:
+        extra["eps"] = args.opt_eps
+    if args.opt_betas is not None:
+        if len(args.opt_betas) != 2:
+            raise SystemExit("--opt-betas takes exactly two values")
+        extra["betas"] = tuple(args.opt_betas)
+    return extra
+
+
 def main(argv=None, default_overrides=None):
     import jax.numpy as jnp
 
@@ -266,6 +279,10 @@ def main(argv=None, default_overrides=None):
         min_lr=args.min_lr,
         cooldown_epochs=args.cooldown_epochs,
         steps_per_epoch=steps_per_epoch,
+        decay_epochs=args.decay_epochs,
+        decay_rate=args.decay_rate,
+        layer_decay=args.layer_decay,
+        **_opt_extra_kwargs(args),
         # timm --start-epoch advances the scheduler to that epoch; resumed
         # runs restore the optax counts from the checkpoint instead.
         schedule_offset_steps=(
@@ -756,6 +773,9 @@ def train_survival(args, output_dir, ledger, exp):
         sched=args.sched, epochs=args.epochs,
         warmup_epochs=args.warmup_epochs, warmup_lr=args.warmup_lr,
         min_lr=args.min_lr, steps_per_epoch=steps_per_epoch,
+        decay_epochs=args.decay_epochs, decay_rate=args.decay_rate,
+        layer_decay=args.layer_decay,
+        **_opt_extra_kwargs(args),
     )
     global_batch = args.batch_size * pcount
     mesh = _fitting_mesh(global_batch, args.model_parallel)
@@ -953,6 +973,8 @@ def train_ssl(args, output_dir):
         steps_per_epoch=steps_per_epoch,
         clip_grad=args.clip_grad or 3.0,
         clip_mode=args.clip_mode,
+        decay_epochs=args.decay_epochs, decay_rate=args.decay_rate,
+        **_opt_extra_kwargs(args),
     )
     tx, _ = make_optimizer(ocfg, params, global_batch)
     state = create_dino_state(params, tx, dcfg)

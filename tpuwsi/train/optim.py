@@ -42,8 +42,12 @@ class OptimConfig:
     warmup_lr: float = 1e-5
     min_lr: float = 0.0
     steps_per_epoch: int = 1000
-    decay_epochs: int = 90
+    decay_epochs: float = 90.0
     decay_rate: float = 0.1
+    # timm --layer-decay: layer-wise LR decay for fine-tuning; scale for a
+    # parameter in layer l of L is layer_decay^(L+1-l) (embeddings l=0,
+    # block i l=i+1, head/final-norm l=L+1 → scale 1.0).
+    layer_decay: Optional[float] = None
     # timm --cooldown-epochs: hold min_lr for the final N epochs (the decay
     # completes by epochs - cooldown_epochs)
     cooldown_epochs: int = 0
@@ -96,7 +100,7 @@ def make_schedule(cfg: OptimConfig, peak_lr: float) -> optax.Schedule:
     if cfg.sched == "step":
         sched = optax.exponential_decay(
             init_value=peak_lr,
-            transition_steps=cfg.decay_epochs * cfg.steps_per_epoch,
+            transition_steps=max(int(cfg.decay_epochs * cfg.steps_per_epoch), 1),
             decay_rate=cfg.decay_rate,
             staircase=True,
         )
@@ -161,6 +165,68 @@ def freeze_non_head(
     )
 
 
+def _vit_depth(params) -> int:
+    """Number of transformer blocks in a ViT param tree — counts unrolled
+    ``blocks_<i>`` collections, or reads the stacked leading axis of a
+    ``blocks_scan`` tree (lax.scan over depth)."""
+    top = params.get("params", params)
+    ids = [
+        int(k.split("_")[-1])
+        for k in top
+        if k.startswith("blocks_") and k.split("_")[-1].isdigit()
+    ]
+    if ids:
+        return max(ids) + 1
+    scan = top.get("blocks_scan")
+    if scan is not None:
+        leaf = jax.tree_util.tree_leaves(scan)[0]
+        return int(leaf.shape[0])
+    raise ValueError("layer_decay: no blocks_<i>/blocks_scan in param tree")
+
+
+def scale_updates_by_layer_decay(
+    params, layer_decay: float
+) -> optax.GradientTransformation:
+    """timm ``--layer-decay`` (param_groups_layer_decay): each layer's
+    update is scaled by ``layer_decay^(L+1-l)`` where l=0 for
+    patch-embed/cls/pos, l=i+1 for block i, l=L+1 (scale 1.0) for the head
+    and final norm. Scaling the FINAL optimizer update is exactly timm's
+    per-group lr multiplier (update = -lr·dir ⇒ s·update = -(s·lr)·dir).
+    Stacked ``blocks_scan`` leaves get a per-depth scale vector broadcast
+    over the leading (depth) axis."""
+    depth = _vit_depth(params)
+    max_id = depth + 1
+
+    def leaf_scale(path, p):
+        keys = [str(getattr(q, "key", q)) for q in path]
+        for k in keys:
+            if k.startswith("blocks_") and k.split("_")[-1].isdigit():
+                lid = int(k.split("_")[-1]) + 1
+                return jnp.asarray(layer_decay ** (max_id - lid), jnp.float32)
+        if "blocks_scan" in keys:
+            ids = 1 + jnp.arange(depth, dtype=jnp.float32)
+            s = layer_decay ** (max_id - ids)
+            return s.reshape((depth,) + (1,) * (jnp.ndim(p) - 1)).astype(
+                jnp.float32
+            )
+        if any(k in ("patch_embed", "cls_token", "pos_embed") for k in keys):
+            return jnp.asarray(layer_decay ** max_id, jnp.float32)
+        return jnp.asarray(1.0, jnp.float32)  # head / final norm
+
+    scales = jax.tree_util.tree_map_with_path(leaf_scale, params)
+
+    def update(updates, state, params=None):
+        del params
+        return (
+            jax.tree_util.tree_map(
+                lambda u, s: (u * s).astype(u.dtype), updates, scales
+            ),
+            state,
+        )
+
+    return optax.GradientTransformation(lambda _: optax.EmptyState(), update)
+
+
 def make_optimizer(
     cfg: OptimConfig, params, global_batch_size: int
 ) -> tuple[optax.GradientTransformation, optax.Schedule]:
@@ -192,6 +258,10 @@ def make_optimizer(
         )
         if cfg.clip_grad is not None:
             tx = optax.chain(_clip_transform(cfg), tx)
+        if cfg.layer_decay is not None:
+            tx = optax.chain(
+                tx, scale_updates_by_layer_decay(params, cfg.layer_decay)
+            )
         return tx, schedule
     if name in ("sgd", "momentum", "nesterov"):
         tx = optax.chain(
@@ -230,4 +300,8 @@ def make_optimizer(
 
     if cfg.clip_grad is not None:
         tx = optax.chain(_clip_transform(cfg), tx)
+    if cfg.layer_decay is not None:
+        tx = optax.chain(
+            tx, scale_updates_by_layer_decay(params, cfg.layer_decay)
+        )
     return tx, schedule
