@@ -170,3 +170,45 @@ def test_droppath_pack_independent_masks():
     # across (batch, pack) draws, both kept and dropped occur at rate 0.5
     kept = (y[:, :, 0, 0] != 0)
     assert kept.any() and (~kept).any()
+
+
+def test_grad_checkpointing_matches_plain():
+    """--grad-checkpointing (nn.remat on blocks) must not change values or
+    gradients — only the backward's memory schedule."""
+    import dataclasses
+
+    import numpy as np
+    import optax
+
+    from tpuwsi.models.registry import create_model
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 32, 32, 3)), jnp.float32
+    )
+    outs, grads = [], []
+    for gc in (False, True):
+        model = create_model(
+            "vit_tiny_patch16_224", num_classes=2, img_size=32,
+            use_pallas_attention=False, dtype=jnp.float32,
+            grad_checkpointing=gc,
+        )
+        assert model.config.remat_blocks == gc
+        params = model.init(jax.random.PRNGKey(0), x[:1])
+
+        def loss(p):
+            return jnp.sum(model.apply(p, x) ** 2)
+
+        l, g = jax.value_and_grad(loss)(params)
+        outs.append(float(l))
+        grads.append(g)
+    assert np.isclose(outs[0], outs[1], rtol=1e-5)
+    flat0 = jnp.concatenate(
+        [g.ravel() for g in jax.tree_util.tree_leaves(grads[0])]
+    )
+    flat1 = jnp.concatenate(
+        [g.ravel() for g in jax.tree_util.tree_leaves(grads[1])]
+    )
+    # remat reorders f32 reductions; allow tiny numeric drift
+    np.testing.assert_allclose(
+        np.asarray(flat0), np.asarray(flat1), rtol=5e-4, atol=1e-5
+    )

@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--bce-loss", action="store_true", default=False)
     parser.add_argument("--drop", default=0.0, type=float)
     parser.add_argument("--drop-path", default=None, type=float)
+    parser.add_argument("--grad-checkpointing", action="store_true",
+                        default=False,
+                        help="rematerialize transformer blocks in the "
+                             "backward (timm --grad-checkpointing)")
     parser.add_argument("--model-ema", action="store_true", default=False)
     parser.add_argument("--model-ema-decay", default=0.9998, type=float)
     parser.add_argument("--seed", default=42, type=int)

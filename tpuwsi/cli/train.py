@@ -247,6 +247,7 @@ def main(argv=None, default_overrides=None):
         drop_path_rate=args.drop_path or 0.0,
         img_size=img_size,
         use_pallas_attention=on_tpu,
+        grad_checkpointing=args.grad_checkpointing,
     )
     params = model.init(
         jax.random.PRNGKey(args.seed),
@@ -760,6 +761,7 @@ def train_survival(args, output_dir, ledger, exp):
         args.model, num_classes=num_classes, drop_rate=args.drop,
         drop_path_rate=args.drop_path or 0.0, img_size=img_size,
         use_pallas_attention=on_tpu,
+        grad_checkpointing=args.grad_checkpointing,
     )
     params = model.init(
         jax.random.PRNGKey(args.seed),
@@ -936,6 +938,10 @@ def train_ssl(args, output_dir):
         drop_path_rate=args.drop_path or 0.1,
         use_pallas_attention=jax.default_backend() == "tpu",
         gelu_approx=True,  # from-scratch SSL: no checkpoint parity constraint
+        # --grad-checkpointing under scan keeps the scanned backward at O(1)
+        # layers (BENCH.md "scan_blocks on TPU")
+        remat_blocks=args.grad_checkpointing,
+        scan_blocks=args.grad_checkpointing,
     )
     model = DINOModel(
         backbone=VisionTransformer(cfg),

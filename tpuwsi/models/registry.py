@@ -46,8 +46,15 @@ def create_model(
     img_size: Optional[int] = None,
     dtype=jnp.bfloat16,
     use_pallas_attention: bool = True,
+    grad_checkpointing: bool = False,
 ) -> VisionTransformer:
-    """Build a ViT by timm-style name (or 'resnet50_trunc')."""
+    """Build a ViT by timm-style name (or 'resnet50_trunc').
+
+    ``grad_checkpointing`` is timm's --grad-checkpointing
+    (set_grad_checkpointing, train.py:146,540): rematerialize each block in
+    the backward instead of keeping its residuals — here via flax
+    ``nn.remat`` on the block (works for both unrolled and scanned stacks).
+    """
     if name in ("resnet50_trunc", "resnet50_trunc_baseline"):
         return ResNetTruncBaseline()
     cfg = parse_model_name(name)
@@ -61,5 +68,6 @@ def create_model(
         img_size=img_size or cfg.img_size,
         dtype=dtype,
         use_pallas_attention=use_pallas_attention,
+        remat_blocks=grad_checkpointing,
     )
     return VisionTransformer(cfg)
