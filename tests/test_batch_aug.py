@@ -272,3 +272,71 @@ def test_cooldown_applies_to_step_schedule():
     assert abs(float(sched(65)) - 0.03) < 1e-9
     assert abs(float(sched(99)) - 0.03) < 1e-9
     assert float(sched(55)) > 0.1
+
+
+def test_mixup_elem_mode_per_sample_lambdas():
+    """elem mode: each sample draws its own lambda — with alpha-only mixup
+    and smoothing 0 the per-sample target weight on the own label should
+    vary across the batch (batch mode would make them all equal)."""
+    fn = make_mixup_cutmix(num_classes=8, mixup_alpha=0.4, cutmix_alpha=0.0,
+                           smoothing=0.0, mode="elem")
+    b = 8
+    imgs = jnp.asarray(np.random.rand(b, 16, 16, 3), jnp.float32)
+    labels = jnp.arange(b) % 8
+    out, targets = jax.jit(fn)(jax.random.PRNGKey(0), imgs, labels)
+    assert out.shape == imgs.shape
+    np.testing.assert_allclose(np.asarray(targets).sum(-1), 1.0, atol=1e-5)
+    own = np.asarray(targets)[np.arange(b), np.asarray(labels)]
+    assert np.unique(np.round(own, 6)).size > 2  # per-sample lambdas differ
+
+
+def test_mixup_pair_mode_mutual():
+    """pair mode: sample i and its partner B-1-i share one lambda — the mix
+    is mutual (timm _mix_pair), so own-label weights are symmetric."""
+    fn = make_mixup_cutmix(num_classes=8, mixup_alpha=0.4, cutmix_alpha=0.0,
+                           smoothing=0.0, mode="pair", prob=1.0)
+    b = 6
+    imgs = jnp.asarray(np.random.rand(b, 16, 16, 3), jnp.float32)
+    labels = jnp.arange(b)
+    _, targets = jax.jit(fn)(jax.random.PRNGKey(1), imgs, labels)
+    t = np.asarray(targets)
+    own = t[np.arange(b), np.arange(b)]
+    np.testing.assert_allclose(own, own[::-1], atol=1e-6)
+    # cross weight of i on partner's label = 1 - lam, also symmetric
+    cross = t[np.arange(b), b - 1 - np.arange(b)]
+    np.testing.assert_allclose(cross, cross[::-1], atol=1e-6)
+
+
+def test_cutmix_minmax_bounds_box_area():
+    """--cutmix-minmax: the pasted box area fraction must lie inside
+    [min^2, max^2] (per-dim ratios each within [min, max])."""
+    mn, mx = 0.3, 0.6
+    fn = make_mixup_cutmix(num_classes=2, mixup_alpha=0.0, cutmix_alpha=0.0,
+                           smoothing=0.0, cutmix_minmax=(mn, mx),
+                           mode="elem", prob=1.0)
+    b = 16
+    imgs = jnp.concatenate(
+        [jnp.zeros((b // 2, 64, 64, 3)), jnp.ones((b // 2, 64, 64, 3))]
+    ).astype(jnp.float32)
+    labels = jnp.asarray([0] * (b // 2) + [1] * (b // 2))
+    for seed in range(3):
+        _, targets = jax.jit(fn)(jax.random.PRNGKey(seed), imgs, labels)
+        lam = np.asarray(targets)[np.arange(b), np.asarray(labels)]
+        area = 1.0 - lam
+        # int truncation can undershoot slightly; bound with a pixel slack
+        assert (area <= mx * mx + 0.05).all(), area
+        assert (area >= mn * mn - 0.05).all(), area
+
+
+def test_bce_target_thresh():
+    from tpuwsi.train.losses import binary_cross_entropy
+
+    logits = jnp.asarray([[3.0, -3.0], [-3.0, 3.0]])
+    labels = jnp.asarray([0, 1])
+    # smoothing 0.4 → targets {0.8, 0.2}; thresh 0.5 re-binarizes to {1, 0}
+    smoothed = binary_cross_entropy(logits, labels, smoothing=0.4)
+    rebinned = binary_cross_entropy(logits, labels, smoothing=0.4,
+                                    target_thresh=0.5)
+    plain = binary_cross_entropy(logits, labels, smoothing=0.0)
+    np.testing.assert_allclose(float(rebinned), float(plain), rtol=1e-6)
+    assert abs(float(smoothed) - float(plain)) > 1e-3

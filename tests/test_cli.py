@@ -596,3 +596,43 @@ def test_subexperiment_nests_output_dir(tmp_path):
     # without subname: flat layout unchanged
     exp2 = led.create("ER", test_fold=1, name="Supervised")
     assert os.path.basename(exp2["Location"]).startswith("Exp_")
+
+
+def test_cli_noaug_inputsize_mixup_off(patch_folder, tmp_path):
+    """--no-aug / --input-size / --mixup-off-epoch / elem-mode mixup with
+    --cutmix-minmax end-to-end: epoch 0 trains with mixup, epoch 1 switches
+    to the no-mix step (timm_train.py:838-844)."""
+    from tpuwsi.cli.train import main
+
+    out = str(tmp_path / "runs")
+    state = main([
+        "--data-dir", patch_folder,
+        "--model", "vit_tiny_patch16_224",
+        "--input-size", "3", "32", "32",
+        "-b", "8",
+        "--epochs", "2",
+        "--max-steps-per-epoch", "1",
+        "--warmup-epochs", "0",
+        "--transform_type", "flip",
+        "--output", out,
+        "--eval_rate", "100",
+        "--val-split", "0",
+        "--no-aug",
+        "--mixup", "0.8",
+        "--mixup-mode", "elem",
+        "--cutmix-minmax", "0.3", "0.6",
+        "--mixup-off-epoch", "1",
+    ])
+    assert int(state.step) == 2
+
+
+def test_input_size_geometry_resolution():
+    from tpuwsi.cli.args import parse_args
+    from tpuwsi.cli.train import _resolve_input_geometry
+
+    a = parse_args(["--input-size", "1", "48", "48"])
+    img, chans = _resolve_input_geometry(a)
+    assert img == 48 and chans == 1 and a.img_size == 48
+    # --in-chans wins over --input-size's channel dim
+    a = parse_args(["--input-size", "1", "48", "48", "--in-chans", "3"])
+    assert _resolve_input_geometry(a) == (48, 3)

@@ -403,3 +403,44 @@ def test_slide_per_block_rejects_non_carmel(synthetic_cohort):
             train_type="REG", n_tiles=4, data_root=str(synthetic_cohort),
             slide_per_block=True,
         )
+
+
+def test_folder_class_map_train_split_channels(tmp_path):
+    """timm --class-map / --train-split / --in-chans on the folder loader."""
+    import numpy as np
+    from PIL import Image
+
+    from tpuwsi.io.folder import ImageFolderDataset, load_folder_datasets
+
+    root = tmp_path / "ds"
+    for cls in ("aa", "bb"):
+        d = root / "training" / cls
+        d.mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray(
+                np.full((8, 8, 3), 100, np.uint8)
+            ).save(d / f"{i}.png")
+    cmap = tmp_path / "classes.txt"
+    cmap.write_text("zz\nbb\naa\n")  # aa→2, bb→1, zz→0 (line order)
+
+    train_ds, val_ds = load_folder_datasets(
+        str(root), train_split="training", class_map=str(cmap)
+    )
+    assert val_ds is None
+    assert train_ds.class_to_idx == {"aa": 2, "bb": 1}
+    assert train_ds.num_classes == 3  # index space from the map
+    labels = sorted(lbl for _, lbl in train_ds.samples)
+    assert labels == [1, 1, 2, 2]
+
+    # grayscale loading (--in-chans 1)
+    ds1 = ImageFolderDataset(str(root / "training"), channels=1)
+    assert ds1.load(0).shape == (8, 8, 1)
+
+    # unknown class dir → loud error
+    import pytest as _pytest
+
+    bad = tmp_path / "bad.txt"
+    bad.write_text("aa\n")
+    with _pytest.raises(KeyError, match="bb"):
+        load_folder_datasets(str(root), train_split="training",
+                             class_map=str(bad))

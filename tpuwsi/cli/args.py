@@ -82,6 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "defaults to 0 or the resumed epoch")
     parser.add_argument("--smoothing", default=0.1, type=float)
     parser.add_argument("--bce-loss", action="store_true", default=False)
+    parser.add_argument("--bce-target-thresh", default=None, type=float,
+                        help="re-binarize soft BCE targets above this "
+                             "threshold (timm --bce-target-thresh)")
     parser.add_argument("--drop", default=0.0, type=float)
     parser.add_argument("--drop-path", default=None, type=float)
     parser.add_argument("--grad-checkpointing", action="store_true",
@@ -117,9 +120,24 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--initial-checkpoint", default="", type=str)
     parser.add_argument("--num-classes", type=int, default=None)
     parser.add_argument("--img-size", type=int, default=None)
+    parser.add_argument("--input-size", default=None, nargs=3, type=int,
+                        metavar="N N N",
+                        help="input dims c h w (timm --input-size); the "
+                             "spatial size overrides --img-size")
+    parser.add_argument("--in-chans", type=int, default=None,
+                        help="input channels (timm --in-chans; default 3, "
+                             "or --input-size's first dim)")
+    parser.add_argument("--no-aug", action="store_true", default=False,
+                        help="disable train-time augmentation — train "
+                             "batches get the eval transform (timm --no-aug)")
     parser.add_argument("--log-wandb", action="store_true", default=False)
     parser.add_argument("--data-dir", default="", type=str,
                         help="image-folder mode (timm_train.py path)")
+    parser.add_argument("--train-split", default="train", type=str,
+                        help="train subtree name in folder mode (timm)")
+    parser.add_argument("--class-map", default="", type=str,
+                        help="class-name→index file, one class per line "
+                             "(timm --class-map)")
     # GipMed flags (train.py:359-393)
     parser.add_argument("--no-grad", action="store_true", default=False)
     parser.add_argument("--num-output", type=int, default=None)
@@ -189,6 +207,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="cutmix alpha; enabled if > 0")
     parser.add_argument("--mixup-prob", default=1.0, type=float)
     parser.add_argument("--mixup-switch-prob", default=0.5, type=float)
+    parser.add_argument("--mixup-mode", default="batch", type=str,
+                        choices=["batch", "pair", "elem"],
+                        help="how mixup/cutmix params apply (timm)")
+    parser.add_argument("--cutmix-minmax", default=None, type=float,
+                        nargs="+",
+                        help="cutmix min/max box ratio — overrides the "
+                             "cutmix alpha (timm --cutmix-minmax)")
+    parser.add_argument("--mixup-off-epoch", default=0, type=int,
+                        help="disable mixup/cutmix after this epoch (timm)")
     # parallelism (SURVEY §5.8): data axis sized automatically; model axis
     # opt-in (the reference is DP-only; TP is the TPU-native extension)
     parser.add_argument("--model-parallel", default=1, type=int,

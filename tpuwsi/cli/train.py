@@ -91,6 +91,22 @@ def _fitting_mesh(global_batch_size: int, model_parallel: int = 1):
     )
 
 
+def _resolve_input_geometry(args):
+    """timm --input-size (c h w) / --in-chans / --img-size precedence:
+    --input-size wins on both axes; --in-chans default 3. Mutates args so
+    every downstream ``args.img_size`` reader agrees."""
+    if args.input_size is not None:
+        c, h, w = args.input_size
+        if h != w:
+            raise SystemExit("--input-size: only square inputs supported")
+        args.img_size = h
+        if args.in_chans is None:
+            args.in_chans = c
+    if args.in_chans is None:
+        args.in_chans = 3
+    return args.img_size, args.in_chans
+
+
 def _opt_extra_kwargs(args) -> dict:
     """timm --opt-eps / --opt-betas: override the OptimConfig defaults only
     when given (timm passes None through to the optimizer default too)."""
@@ -145,6 +161,7 @@ def main(argv=None, default_overrides=None):
     from tpuwsi.core.distributed import initialize_multihost
 
     pindex, pcount = initialize_multihost()
+    _resolve_input_geometry(args)
     start_log(args, to_file=bool(args.output), output_dir=args.output or None)
 
     ledger = ExperimentLedger(args.output or "runs")
@@ -179,7 +196,10 @@ def main(argv=None, default_overrides=None):
         # 80/20 random split — folder mode validates every epoch like the
         # reference trainer (timm_train.py:951-1025).
         train_ds, val_ds = load_folder_datasets(
-            args.data_dir, image_size=args.img_size
+            args.data_dir, image_size=args.img_size,
+            train_split=args.train_split,
+            class_map=args.class_map or None,
+            channels=args.in_chans,
         )
         if val_ds is None and args.val_split > 0 and len(train_ds) >= 10:
             train_ds, val_ds = train_ds.split(
@@ -240,6 +260,9 @@ def main(argv=None, default_overrides=None):
     # ---------------- model + optimizer ----------------
     on_tpu = jax.default_backend() == "tpu"
     img_size = args.img_size or args.tile_size
+    if args.in_chans != 3 and not folder_mode:
+        raise SystemExit("--in-chans != 3 only applies to folder mode "
+                         "(WSI tiles are RGB)")
     model = create_model(
         args.model,
         num_classes=num_classes,
@@ -251,7 +274,7 @@ def main(argv=None, default_overrides=None):
     )
     params = model.init(
         jax.random.PRNGKey(args.seed),
-        jnp.zeros((1, img_size, img_size, 3), jnp.float32),
+        jnp.zeros((1, img_size, img_size, args.in_chans), jnp.float32),
     )
     # global batch = per-host batch × process count (train.py:569-581 LR
     # scaling uses the same product); the mesh spans all global devices.
@@ -321,11 +344,26 @@ def main(argv=None, default_overrides=None):
     if args.focal:
         loss_fn = focal_loss
     elif args.bce_loss:
-        loss_fn = lambda l, y: binary_cross_entropy(l, y, args.smoothing)
+        loss_fn = lambda l, y: binary_cross_entropy(
+            l, y, args.smoothing, target_thresh=args.bce_target_thresh
+        )
     else:
         loss_fn = lambda l, y: cross_entropy(l, y, args.smoothing)
 
-    if folder_mode and args.transform_type == "timm":
+    if args.no_aug:
+        # timm --no-aug (transforms_noaug_train): train batches get the
+        # plain resize+normalize eval transform, no stochastic augs.
+        if folder_mode and args.transform_type == "timm":
+            from tpuwsi.preprocess.timm_aug import make_timm_eval
+
+            aug = make_timm_eval(img_size, crop_pct=1.0, mean=args.mean,
+                                 std=args.std)
+        else:
+            aug = make_recipe(
+                args.transform_type, train=False, tile_size=img_size,
+                norm_type="Amir" if args.dataset.startswith("TMA") else "Ron",
+            )
+    elif folder_mode and args.transform_type == "timm":
         # real timm create_transform stack (timm_train.py:614-663): RRC +
         # flips + ColorJitter (suppressed under auto-augment, like timm) +
         # mean/std normalization, all on device
@@ -346,7 +384,7 @@ def main(argv=None, default_overrides=None):
     # timm folder-mode batch augs (timm_train.py:238-271, 585-612):
     # RandAugment on raw uint8 → recipe (aug+norm) → RandomErasing;
     # Mixup/CutMix runs inside the step on the normalized batch.
-    if args.aa or args.reprob > 0:
+    if (args.aa or args.reprob > 0) and not args.no_aug:
         from tpuwsi.preprocess.batch_aug import (
             make_rand_augment,
             make_random_erasing,
@@ -380,6 +418,8 @@ def main(argv=None, default_overrides=None):
             prob=args.mixup_prob,
             switch_prob=args.mixup_switch_prob,
             smoothing=args.smoothing,
+            mode=args.mixup_mode,
+            cutmix_minmax=args.cutmix_minmax,
         )
     step_fn = make_train_step(
         model.apply, tx, augment_fn=aug, loss_fn=loss_fn,
@@ -393,6 +433,20 @@ def main(argv=None, default_overrides=None):
         compile_step(step_fn, mesh, state, donate=False,
                      keep_state_sharding=tp)
     )
+    jit_step_nomix = jit_step
+    if mix_fn is not None and args.mixup_off_epoch:
+        # timm --mixup-off-epoch: mixup/cutmix disabled from this epoch on —
+        # a second compiled step without the mix stage, swapped at the epoch
+        # boundary (timm_train.py:838-844 mixup_fn.mixup_enabled = False).
+        nomix_fn = make_train_step(
+            model.apply, tx, augment_fn=aug, loss_fn=loss_fn,
+            ema_decay=args.model_ema_decay if args.model_ema else None,
+            mix_fn=None,
+        )
+        jit_step_nomix = scheduled_step(
+            compile_step(nomix_fn, mesh, state, donate=False,
+                         keep_state_sharding=tp)
+        )
 
     if folder_mode and args.transform_type == "timm":
         from tpuwsi.preprocess.timm_aug import make_timm_eval
@@ -496,7 +550,12 @@ def main(argv=None, default_overrides=None):
                 sb = shard_batch(
                     mesh, {"images": batch["images"], "labels": batch["labels"]}
                 )
-                state, metrics = jit_step(state, sb, rng)
+                step_for_epoch = (
+                    jit_step_nomix
+                    if args.mixup_off_epoch and epoch >= args.mixup_off_epoch
+                    else jit_step
+                )
+                state, metrics = step_for_epoch(state, sb, rng)
                 if args.dispatch_ahead and i % args.dispatch_ahead == 0:
                     float(metrics["loss"])  # bound device run-ahead
                 if args.log_interval and i % args.log_interval == 0:

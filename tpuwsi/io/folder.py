@@ -18,39 +18,73 @@ IMG_EXTS = (".png", ".jpg", ".jpeg", ".tif", ".tiff", ".bmp", ".webp")
 VAL_DIR_NAMES = ("val", "validation", "valid")
 
 
-def load_folder_datasets(root: str, image_size: Optional[int] = None):
+def load_class_map(path: str) -> Dict[str, int]:
+    """timm --class-map: text file with one class name per line; the index
+    is the line number (timm.data.load_class_map)."""
+    with open(path) as f:
+        names = [line.strip() for line in f if line.strip()]
+    return {name: i for i, name in enumerate(names)}
+
+
+def load_folder_datasets(
+    root: str,
+    image_size: Optional[int] = None,
+    train_split: str = "train",
+    class_map: Optional[str] = None,
+    channels: int = 3,
+):
     """(train_ds, val_ds) for a folder tree.
 
-    timm convention (timm_train.py:563-583): if the root has a ``train/``
-    subtree and a ``val``/``validation`` subtree, use them; otherwise the
-    whole root is the train set and the caller decides how to split.
+    timm convention (timm_train.py:563-583): if the root has a
+    ``<train_split>/`` subtree (timm --train-split, default 'train') and a
+    ``val``/``validation`` subtree, use them; otherwise the whole root is
+    the train set and the caller decides how to split. ``class_map`` is a
+    timm --class-map file fixing the class_name→index assignment.
     """
+    cmap = load_class_map(class_map) if class_map else None
     subdirs = {
         d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
     }
-    if "train" in subdirs:
+    if train_split in subdirs:
         val_name = next((v for v in VAL_DIR_NAMES if v in subdirs), None)
         train_ds = ImageFolderDataset(
-            os.path.join(root, "train"), image_size=image_size
+            os.path.join(root, train_split), image_size=image_size,
+            class_map=cmap, channels=channels,
         )
         val_ds = (
-            ImageFolderDataset(os.path.join(root, val_name), image_size=image_size)
+            ImageFolderDataset(os.path.join(root, val_name),
+                               image_size=image_size, class_map=cmap,
+                               channels=channels)
             if val_name
             else None
         )
         return train_ds, val_ds
-    return ImageFolderDataset(root, image_size=image_size), None
+    return ImageFolderDataset(root, image_size=image_size, class_map=cmap,
+                              channels=channels), None
 
 
 class ImageFolderDataset:
-    def __init__(self, root: str, image_size: Optional[int] = None):
+    def __init__(self, root: str, image_size: Optional[int] = None,
+                 class_map: Optional[Dict[str, int]] = None,
+                 channels: int = 3):
+        if channels not in (1, 3):
+            raise ValueError("channels must be 1 or 3")
+        self.channels = channels
         self.root = root
         classes = sorted(
             d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
         )
         if not classes:
             raise IOError(f"no class subdirectories under {root}")
-        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        if class_map is not None:
+            missing = [c for c in classes if c not in class_map]
+            if missing:
+                raise KeyError(
+                    f"class dirs {missing} not in the --class-map file"
+                )
+            self.class_to_idx = {c: class_map[c] for c in classes}
+        else:
+            self.class_to_idx = {c: i for i, c in enumerate(classes)}
         self.samples: List[Tuple[str, int]] = []
         for c in classes:
             cdir = os.path.join(root, c)
@@ -61,7 +95,9 @@ class ImageFolderDataset:
 
     @property
     def num_classes(self) -> int:
-        return len(self.class_to_idx)
+        # with a --class-map the index space may be wider than the class
+        # dirs actually present under this split
+        return max(self.class_to_idx.values()) + 1
 
     def subset(self, indices) -> "ImageFolderDataset":
         """Shallow view over a sample subset (same class map)."""
@@ -84,10 +120,15 @@ class ImageFolderDataset:
 
     def load(self, idx: int) -> np.ndarray:
         path, _ = self.samples[idx]
-        img = Image.open(path).convert("RGB")
+        img = Image.open(path).convert(
+            "L" if self.channels == 1 else "RGB"
+        )
         if self.image_size is not None and img.size != (self.image_size,) * 2:
             img = img.resize((self.image_size, self.image_size))
-        return np.asarray(img, dtype=np.uint8)
+        arr = np.asarray(img, dtype=np.uint8)
+        if self.channels == 1:
+            arr = arr[..., None]
+        return arr
 
     def batches(
         self,

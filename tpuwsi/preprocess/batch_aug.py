@@ -52,6 +52,22 @@ def _cutmix_box(key, h, w, lam):
     return y0, y1, x0, x1, lam_corr
 
 
+def _cutmix_box_minmax(key, h, w, minmax):
+    """timm rand_bbox_minmax: per-dim cut ratios sampled uniform(*minmax),
+    box placed fully inside the image; lambda follows from the box area."""
+    kh, kw, ky, kx = jax.random.split(key, 4)
+    rh = jax.random.uniform(kh, (), minval=minmax[0], maxval=minmax[1])
+    rw = jax.random.uniform(kw, (), minval=minmax[0], maxval=minmax[1])
+    cut_h = (h * rh).astype(jnp.int32)
+    cut_w = (w * rw).astype(jnp.int32)
+    y0 = jax.random.randint(ky, (), 0, jnp.maximum(h - cut_h, 1))
+    x0 = jax.random.randint(kx, (), 0, jnp.maximum(w - cut_w, 1))
+    y1 = y0 + cut_h
+    x1 = x0 + cut_w
+    lam_corr = 1.0 - ((y1 - y0) * (x1 - x0)) / float(h * w)
+    return y0, y1, x0, x1, lam_corr
+
+
 def make_mixup_cutmix(
     num_classes: int,
     mixup_alpha: float = 0.8,
@@ -59,54 +75,102 @@ def make_mixup_cutmix(
     prob: float = 1.0,
     switch_prob: float = 0.5,
     smoothing: float = 0.1,
+    mode: str = "batch",
+    cutmix_minmax=None,
 ) -> Callable:
     """fn(key, images, labels) -> (mixed_images, soft_targets).
 
-    'batch' mode (timm default): one lambda for the whole batch, partner =
-    the flipped batch. Either mixup or cutmix is active per batch; when both
-    alphas are > 0 the choice is Bernoulli(switch_prob) (timm_train.py:266).
-    """
+    timm.data.Mixup semantics. ``mode``:
+      - 'batch' (timm default): one lambda/box/choice for the whole batch;
+      - 'elem': independent lambda/box/active/choice per sample;
+      - 'pair': per-sample params but sample i and its partner B-1-i share
+        them (timm's mutual pair mix).
+    Partner = the flipped batch in every mode. Either mixup or cutmix is
+    active per draw; when both alphas are > 0 the choice is
+    Bernoulli(switch_prob) (timm_train.py:266). ``cutmix_minmax`` overrides
+    the Beta cutmix lambda with timm's rand_bbox_minmax box sampling."""
+    if mode not in ("batch", "pair", "elem"):
+        raise ValueError(f"unknown mixup mode {mode!r}")
     use_mix = mixup_alpha > 0.0
-    use_cut = cutmix_alpha > 0.0
+    use_cut = cutmix_alpha > 0.0 or cutmix_minmax is not None
     if not (use_mix or use_cut):
         raise ValueError("enable mixup and/or cutmix (alpha > 0)")
 
+    def _symmetrize(v, b):
+        # pair mode: element i shares its params with partner b-1-i — keep
+        # the first half and mirror it (odd middle element keeps its own).
+        half = v[: (b + 1) // 2]
+        tail = half[: b // 2][::-1]
+        return jnp.concatenate([half, tail])
+
     def fn(key, images, labels):
         b, h, w, _ = images.shape
-        k_on, k_switch, k_lam, k_box = jax.random.split(key, 4)
-        active = jax.random.bernoulli(k_on, prob)
+        n = 1 if mode == "batch" else b
+        k_on, k_switch, k_lam_m, k_lam_c, k_box = jax.random.split(key, 5)
+        active = jax.random.bernoulli(k_on, prob, (n,))
         if use_mix and use_cut:
-            pick_cut = jax.random.bernoulli(k_switch, switch_prob)
+            pick_cut = jax.random.bernoulli(k_switch, switch_prob, (n,))
         else:
-            pick_cut = jnp.asarray(use_cut)
-
+            pick_cut = jnp.full((n,), use_cut)
         lam_mix = (
-            jax.random.beta(k_lam, mixup_alpha, mixup_alpha)
-            if use_mix else jnp.float32(1.0)
+            jax.random.beta(k_lam_m, mixup_alpha, mixup_alpha, (n,))
+            if use_mix else jnp.ones((n,), jnp.float32)
         )
-        lam_cut = (
-            jax.random.beta(k_lam, cutmix_alpha, cutmix_alpha)
-            if use_cut else jnp.float32(1.0)
-        )
+        if cutmix_minmax is not None:
+            boxes = jax.vmap(
+                lambda k: _cutmix_box_minmax(k, h, w, cutmix_minmax)
+            )(jax.random.split(k_box, n))
+        else:
+            lam_cut_raw = (
+                jax.random.beta(k_lam_c, cutmix_alpha, cutmix_alpha, (n,))
+                if use_cut else jnp.ones((n,), jnp.float32)
+            )
+            boxes = jax.vmap(lambda k, l: _cutmix_box(k, h, w, l))(
+                jax.random.split(k_box, n), lam_cut_raw
+            )
+        y0, y1, x0, x1, lam_cut = boxes
+
+        if mode == "pair":
+            active, pick_cut, lam_mix = (
+                _symmetrize(active, b),
+                _symmetrize(pick_cut, b),
+                _symmetrize(lam_mix, b),
+            )
+            y0, y1, x0, x1, lam_cut = (
+                _symmetrize(v, b) for v in (y0, y1, x0, x1, lam_cut)
+            )
+            n_eff = b
+        else:
+            n_eff = n
+
+        def bcast(v):  # (n_eff,) -> (B,1,1,1)
+            v = jnp.broadcast_to(v, (b,)) if n_eff == 1 else v
+            return v.reshape(b, 1, 1, 1)
 
         flipped = images[::-1]
-        # mixup branch
-        mixed_mix = images * lam_mix + flipped * (1.0 - lam_mix)
-        # cutmix branch
-        y0, y1, x0, x1, lam_cut_corr = _cutmix_box(k_box, h, w, lam_cut)
-        rows = jnp.arange(h)[:, None]
-        cols = jnp.arange(w)[None, :]
-        in_box = (rows >= y0) & (rows < y1) & (cols >= x0) & (cols < x1)
-        mixed_cut = jnp.where(in_box[None, :, :, None], flipped, images)
+        lam_mix_b = bcast(lam_mix.astype(images.dtype))
+        mixed_mix = images * lam_mix_b + flipped * (1.0 - lam_mix_b)
+        rows = jnp.arange(h)[None, :, None]
+        cols = jnp.arange(w)[None, None, :]
+        in_box = (
+            (rows >= bcast(y0)[..., 0])
+            & (rows < bcast(y1)[..., 0])
+            & (cols >= bcast(x0)[..., 0])
+            & (cols < bcast(x1)[..., 0])
+        )
+        mixed_cut = jnp.where(in_box[..., None], flipped, images)
 
-        mixed = jnp.where(pick_cut, mixed_cut, mixed_mix)
-        lam = jnp.where(pick_cut, lam_cut_corr, lam_mix)
-        out_images = jnp.where(active, mixed, images)
+        pick_cut_b = bcast(pick_cut)
+        mixed = jnp.where(pick_cut_b, mixed_cut, mixed_mix)
+        lam = jnp.where(pick_cut, lam_cut, lam_mix)
+        active_b = bcast(active)
+        out_images = jnp.where(active_b, mixed, images)
         lam = jnp.where(active, lam, 1.0)
+        lam = jnp.broadcast_to(lam, (b,)) if n_eff == 1 else lam
 
         y = _one_hot_smoothed(labels, num_classes, smoothing)
         y_f = y[::-1]
-        targets = y * lam + y_f * (1.0 - lam)
+        targets = y * lam[:, None] + y_f * (1.0 - lam[:, None])
         return out_images.astype(images.dtype), targets
 
     return fn

@@ -29,12 +29,19 @@ def soft_target_cross_entropy(logits, target_probs):
     return optax.softmax_cross_entropy(logits, target_probs).mean()
 
 
-def binary_cross_entropy(logits, labels, smoothing: float = 0.0):
-    """timm BCE-loss path: per-class sigmoid BCE on one-hot targets."""
+def binary_cross_entropy(logits, labels, smoothing: float = 0.0,
+                         target_thresh=None):
+    """timm BCE-loss path: per-class sigmoid BCE on one-hot targets.
+
+    ``target_thresh`` is timm's --bce-target-thresh (BinaryCrossEntropy
+    target_threshold): after smoothing/mixing, soft targets are re-binarized
+    by the threshold."""
     num_classes = logits.shape[-1]
     one_hot = jax.nn.one_hot(labels, num_classes)
     if smoothing > 0.0:
         one_hot = one_hot * (1.0 - smoothing) + smoothing / num_classes
+    if target_thresh is not None:
+        one_hot = (one_hot > target_thresh).astype(logits.dtype)
     return optax.sigmoid_binary_cross_entropy(logits, one_hot).mean()
 
 
