@@ -340,3 +340,67 @@ def test_bce_target_thresh():
     plain = binary_cross_entropy(logits, labels, smoothing=0.0)
     np.testing.assert_allclose(float(rebinned), float(plain), rtol=1e-6)
     assert abs(float(smoothed) - float(plain)) > 1e-3
+
+
+def test_bicubic_matrix_partition_of_unity():
+    from tpuwsi.preprocess.augment import interp_matrix_cubic
+
+    coords = jnp.linspace(0.0, 30.0, 17)
+    m = interp_matrix_cubic(coords, 31)
+    np.testing.assert_allclose(np.asarray(m).sum(-1), 1.0, atol=1e-5)
+
+
+def test_bicubic_matches_pil():
+    """Our matrix bicubic (Keys a=-0.5) must match PIL BICUBIC on an
+    UPSCALE (no antialias support-scaling there), away from the border
+    (edge handling: replicate vs PIL's filter renormalization). torch's
+    interpolate uses a=-0.75, a different kernel — PIL is the timm/
+    torchvision parity target."""
+    from PIL import Image
+
+    from tpuwsi.preprocess.augment import resample
+
+    rng = np.random.default_rng(0)
+    img = rng.random((32, 32)).astype(np.float32)
+    out = 48
+    n = np.arange(out)
+    ys = jnp.asarray((n + 0.5) * 32 / out - 0.5)
+    ours = np.asarray(
+        resample(jnp.asarray(img)[..., None], ys, ys, method="bicubic")
+    )[..., 0]
+    theirs = np.asarray(
+        Image.fromarray(img, mode="F").resize((out, out), Image.BICUBIC)
+    )
+    np.testing.assert_allclose(ours[4:-4, 4:-4], theirs[4:-4, 4:-4],
+                               atol=2e-5)
+
+
+def test_random_interpolation_mixes_kernels():
+    """interpolation='random' picks bicubic for ~half the images — with a
+    fixed crop the two kernels give different pixels, so across many keys
+    both outcomes must appear."""
+    from tpuwsi.preprocess.multicrop import random_resized_crop
+
+    img = jnp.asarray(
+        np.random.default_rng(1).random((40, 40, 3)), jnp.float32
+    )
+
+    def crop(key, interp_key):
+        return random_resized_crop(
+            key, img, 24, (0.9, 0.9), (1.0, 1.0),
+            method="bilinear", interp_key=interp_key,
+        )
+
+    base_key = jax.random.PRNGKey(0)
+    lin = random_resized_crop(base_key, img, 24, (0.9, 0.9), (1.0, 1.0))
+    cub = random_resized_crop(base_key, img, 24, (0.9, 0.9), (1.0, 1.0),
+                              method="bicubic")
+    assert not np.allclose(np.asarray(lin), np.asarray(cub))
+    seen = set()
+    for s in range(8):
+        got = crop(base_key, jax.random.PRNGKey(s))
+        if np.allclose(np.asarray(got), np.asarray(lin)):
+            seen.add("bilinear")
+        elif np.allclose(np.asarray(got), np.asarray(cub)):
+            seen.add("bicubic")
+    assert seen == {"bilinear", "bicubic"}

@@ -130,6 +130,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--no-aug", action="store_true", default=False,
                         help="disable train-time augmentation — train "
                              "batches get the eval transform (timm --no-aug)")
+    parser.add_argument("--interpolation", default="", type=str,
+                        help="resize interpolation: bilinear | bicubic "
+                             "(timm --interpolation; empty = the model "
+                             "data-config default, bicubic for ViT)")
+    parser.add_argument("--train-interpolation", default="random", type=str,
+                        help="train-time interpolation: random | bilinear | "
+                             "bicubic (timm --train-interpolation)")
     parser.add_argument("--log-wandb", action="store_true", default=False)
     parser.add_argument("--data-dir", default="", type=str,
                         help="image-folder mode (timm_train.py path)")

@@ -357,7 +357,9 @@ def main(argv=None, default_overrides=None):
             from tpuwsi.preprocess.timm_aug import make_timm_eval
 
             aug = make_timm_eval(img_size, crop_pct=1.0, mean=args.mean,
-                                 std=args.std)
+                                 std=args.std,
+                                 interpolation=args.interpolation
+                                 or "bicubic")
         else:
             aug = make_recipe(
                 args.transform_type, train=False, tile_size=img_size,
@@ -369,11 +371,16 @@ def main(argv=None, default_overrides=None):
         # mean/std normalization, all on device
         from tpuwsi.preprocess.timm_aug import make_timm_train_aug
 
+        # timm interpolation resolution (timm_train.py:778-780): the train
+        # interpolation falls back to the model data-config (bicubic for
+        # ViT) when unset or under --no-aug
         aug = make_timm_train_aug(
             img_size, scale=args.scale, ratio=args.ratio,
             hflip=args.hflip, vflip=args.vflip,
             color_jitter=None if args.aa else args.color_jitter,
             mean=args.mean, std=args.std,
+            interpolation=(args.train_interpolation
+                           or args.interpolation or "bicubic"),
         )
     else:
         aug = make_recipe(
@@ -453,6 +460,7 @@ def main(argv=None, default_overrides=None):
 
         eval_norm = make_timm_eval(
             img_size, crop_pct=args.crop_pct, mean=args.mean, std=args.std,
+            interpolation=args.interpolation or "bicubic",
         )
     else:
         eval_norm = make_recipe(

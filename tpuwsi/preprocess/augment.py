@@ -227,15 +227,56 @@ def interp_matrix(coords, in_size: int):
     return m
 
 
-def resample_bilinear(img, ys, xs):
+def _cubic_w(t, a=-0.5):
+    """Cubic-convolution kernel (Keys, a=-0.5 — PIL/torch BICUBIC)."""
+    at = jnp.abs(t)
+    w1 = ((a + 2) * at - (a + 3)) * at * at + 1.0
+    w2 = a * (((at - 5) * at + 8) * at - 4)
+    return jnp.where(at <= 1, w1, jnp.where(at < 2, w2, 0.0))
+
+
+def interp_matrix_cubic(coords, in_size: int):
+    """Bicubic-interpolation matrix (out, in), same contract as
+    ``interp_matrix``: 4-tap cubic weights per output position, edge taps
+    clamp-accumulated (replicate padding). Pure interpolation — no
+    antialias prefilter, matching torch ``interpolate(antialias=False)``;
+    the bilinear path has the same property."""
+    out = coords.shape[0]
+    base = jnp.floor(coords)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (out, in_size), 1)
+    m = jnp.zeros((out, in_size), jnp.float32)
+    for k in (-1, 0, 1, 2):
+        idx = jnp.clip(base + k, 0, in_size - 1).astype(jnp.int32)[:, None]
+        w = _cubic_w(coords - (base + k))[:, None]
+        m = m + (cols == idx) * w
+    return m
+
+
+def resample(img, ys, xs, method: str = "bilinear", cubic_pick=None):
     """Sample img (H, W, C) at row positions ys (Ho,) and col positions
-    xs (Wo,) via MXU matmuls → (Ho, Wo, C)."""
+    xs (Wo,) via MXU matmuls → (Ho, Wo, C).
+
+    ``method``: 'bilinear' | 'bicubic' (static). ``cubic_pick``: optional
+    traced bool selecting bicubic over bilinear per call — timm's 'random'
+    train interpolation as a per-image draw (the matrices are tiny; the
+    two MXU matmuls are shared)."""
     h, w, _ = img.shape
     # bf16 inputs ride the MXU natively (f32 accumulation via
     # preferred_element_type); everything else computes in f32 as before.
     dt = jnp.bfloat16 if img.dtype == jnp.bfloat16 else jnp.float32
-    my = interp_matrix(ys, h).astype(dt)
-    mx = interp_matrix(xs, w).astype(dt)
+    if cubic_pick is not None:
+        my = jnp.where(cubic_pick, interp_matrix_cubic(ys, h),
+                       interp_matrix(ys, h))
+        mx = jnp.where(cubic_pick, interp_matrix_cubic(xs, w),
+                       interp_matrix(xs, w))
+    elif method == "bicubic":
+        my, mx = interp_matrix_cubic(ys, h), interp_matrix_cubic(xs, w)
+    elif method == "bilinear":
+        my, mx = interp_matrix(ys, h), interp_matrix(xs, w)
+    else:
+        raise ValueError(f"unknown interpolation {method!r}")
+    my = my.astype(dt)
+    mx = mx.astype(dt)
     tmp = jnp.einsum(
         "oh,hwc->owc", my, img.astype(dt),
         preferred_element_type=jnp.float32,
@@ -243,6 +284,12 @@ def resample_bilinear(img, ys, xs):
     return jnp.einsum(
         "pw,owc->opc", mx, tmp, preferred_element_type=jnp.float32
     ).astype(img.dtype)
+
+
+def resample_bilinear(img, ys, xs):
+    """Sample img (H, W, C) at row positions ys (Ho,) and col positions
+    xs (Wo,) via MXU matmuls → (Ho, Wo, C)."""
+    return resample(img, ys, xs, method="bilinear")
 
 
 def random_zoom(key, img, scale_range=(1.0, 1.2)):

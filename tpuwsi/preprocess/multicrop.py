@@ -41,13 +41,17 @@ class MultiCropConfig:
 
 
 def random_resized_crop(key, img, out_size, scale_range, ratio_range=(3 / 4, 4 / 3),
-                        hflip_key=None):
+                        hflip_key=None, method="bilinear", interp_key=None):
     """torchvision RandomResizedCrop semantics with static shapes.
 
     ``hflip_key``: when given, a p=0.5 horizontal flip is folded into the
     sample COORDINATES (reversing the 224-long xs vector) instead of
     reversing the resampled image — bit-identical to flip-after-resize and
-    saves a full-image reverse + select pass per view."""
+    saves a full-image reverse + select pass per view.
+
+    ``method``: 'bilinear' | 'bicubic'. ``interp_key``: when given, pick
+    bicubic vs bilinear per image with p=0.5 (timm's 'random' train
+    interpolation)."""
     h, w, c = img.shape
     karea, kratio, ky, kx = jax.random.split(key, 4)
     area = h * w * jax.random.uniform(
@@ -72,7 +76,11 @@ def random_resized_crop(key, img, out_size, scale_range, ratio_range=(3 / 4, 4 /
     xs = left + (jnp.arange(out_size) + 0.5) * cw / out_size - 0.5
     if hflip_key is not None:
         xs = jnp.where(jax.random.bernoulli(hflip_key, 0.5), xs[::-1], xs)
-    return A.resample_bilinear(img, ys, xs)
+    pick = (
+        jax.random.bernoulli(interp_key, 0.5)
+        if interp_key is not None else None
+    )
+    return A.resample(img, ys, xs, method=method, cubic_pick=pick)
 
 
 def random_grayscale(key, img, p=0.2):

@@ -44,8 +44,12 @@ def make_timm_train_aug(
     mean: Optional[Sequence[float]] = None,
     std: Optional[Sequence[float]] = None,
     norm_type: str = "Imagenet",
+    interpolation: str = "bilinear",
 ):
-    """fn(key, images): uint8 (B, H, W, 3) -> normalized f32 (B, s, s, 3)."""
+    """fn(key, images): uint8 (B, H, W, 3) -> normalized f32 (B, s, s, 3).
+
+    ``interpolation``: 'bilinear' | 'bicubic' | 'random' (timm
+    --train-interpolation: per-image bicubic-vs-bilinear draw)."""
     jit_params = (
         A.jitter_params(
             brightness=color_jitter, contrast=color_jitter,
@@ -55,10 +59,19 @@ def make_timm_train_aug(
         else None
     )
     mean_a, std_a = _stats(mean, std, norm_type)
+    if interpolation not in ("bilinear", "bicubic", "random"):
+        raise ValueError(f"unknown interpolation {interpolation!r}")
 
     def per_image(key, img):
-        kc, kh, kv, kj = jax.random.split(key, 4)
-        v = random_resized_crop(kc, img, img_size, tuple(scale), tuple(ratio))
+        kc, kh, kv, kj, ki = jax.random.split(key, 5)
+        v = random_resized_crop(
+            kc, img, img_size, tuple(scale), tuple(ratio),
+            method="bilinear" if interpolation == "random" else interpolation,
+            interp_key=ki if interpolation == "random" else None,
+        )
+        if interpolation != "bilinear":
+            # bicubic overshoots; PIL/torchvision clamp uint8-backed images
+            v = jnp.clip(v, 0.0, 1.0)
         if hflip > 0:
             v = A.random_hflip(kh, v, p=hflip)
         if vflip > 0:
@@ -82,9 +95,11 @@ def make_timm_eval(
     mean: Optional[Sequence[float]] = None,
     std: Optional[Sequence[float]] = None,
     norm_type: str = "Imagenet",
+    interpolation: str = "bilinear",
 ):
     """fn(key, images) (key ignored): resize to img_size/crop_pct, center
-    crop to img_size, normalize."""
+    crop to img_size, normalize. ``interpolation``: 'bilinear'|'bicubic'
+    (timm --interpolation / the model data-config)."""
     mean_a, std_a = _stats(mean, std, norm_type)
     resize_to = max(int(round(img_size / crop_pct)), img_size)
 
@@ -94,6 +109,11 @@ def make_timm_eval(
         # resample when the source size actually differs
         if img.shape[0] == resize_to and img.shape[1] == resize_to:
             v = img
+        elif interpolation == "bicubic":
+            n = jnp.arange(resize_to)
+            ys = (n + 0.5) * img.shape[0] / resize_to - 0.5
+            xs = (n + 0.5) * img.shape[1] / resize_to - 0.5
+            v = jnp.clip(A.resample(img, ys, xs, method="bicubic"), 0.0, 1.0)
         else:
             v = A.resize_bilinear(img, resize_to)
         top = (resize_to - img_size) // 2
