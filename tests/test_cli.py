@@ -636,3 +636,51 @@ def test_input_size_geometry_resolution():
     # --in-chans wins over --input-size's channel dim
     a = parse_args(["--input-size", "1", "48", "48", "--in-chans", "3"])
     assert _resolve_input_geometry(a) == (48, 3)
+
+
+def test_no_resume_opt(patch_folder, tmp_path):
+    """--no-resume-opt resumes weights + step but starts a fresh optimizer
+    (timm train.py:604-613)."""
+    from tpuwsi.cli.train import main
+
+    base = [
+        "--data-dir", patch_folder,
+        "--model", "vit_tiny_patch16_224",
+        "--img-size", "32",
+        "-b", "8",
+        "--opt", "adamw", "--lr", "1e-3",
+        "--epochs", "1",
+        "--max-steps-per-epoch", "2",
+        "--warmup-epochs", "0",
+        "--transform_type", "flip",
+        "--eval_rate", "100",
+        "--val-split", "0",
+    ]
+    out1 = str(tmp_path / "r1")
+    state = main(base + ["--output", out1])
+    assert int(state.step) == 2
+    import glob
+
+    ckpt_dir = glob.glob(os.path.join(out1, "*", "checkpoints"))[0]
+
+    def opt_nonzero(st):
+        leaves = jax.tree_util.tree_leaves(st.opt_state)
+        return any(
+            np.asarray(jnp.abs(l)).max() > 0 for l in leaves if l.ndim > 0
+        )
+
+    import jax
+    import jax.numpy as jnp
+
+    # plain resume: optimizer moments come back non-zero; --no-resume-opt:
+    # fresh (all-zero) moments, same params/step. --epochs 1 is already
+    # complete, so the loop body never runs and we see the post-resume state.
+    s_plain = main(base + ["--output", str(tmp_path / "r2"),
+                           "--resume", ckpt_dir])
+    assert int(s_plain.step) == 2 and opt_nonzero(s_plain)
+    s_fresh = main(base + ["--output", str(tmp_path / "r3"),
+                           "--resume", ckpt_dir, "--no-resume-opt"])
+    assert int(s_fresh.step) == 2 and not opt_nonzero(s_fresh)
+    l1 = jax.tree_util.tree_leaves(s_plain.params)[0]
+    l2 = jax.tree_util.tree_leaves(s_fresh.params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2))

@@ -113,6 +113,9 @@ def build_parser() -> argparse.ArgumentParser:
     # (timm --val-split analogue); 0 disables folder-mode validation.
     parser.add_argument("--val-split", default=0.2, type=float)
     parser.add_argument("--resume", default="", type=str)
+    parser.add_argument("--no-resume-opt", action="store_true", default=False,
+                        help="resume weights/epoch but start a fresh "
+                             "optimizer (timm --no-resume-opt)")
     parser.add_argument("--pretrained", action="store_true", default=False,
                         help="timm hub download — unsupported (no egress); "
                              "use --initial-checkpoint with locally "

@@ -330,7 +330,15 @@ def main(argv=None, default_overrides=None):
     if args.resume:
         restored = CheckpointManager(args.resume).restore(target=state)
         if restored is not None:
-            state = restored
+            if args.no_resume_opt:
+                # timm --no-resume-opt (train.py:604-613 resume_checkpoint
+                # log_info branch): weights + epoch position, FRESH
+                # optimizer/EMA state.
+                state = state.replace(
+                    params=restored.params, step=restored.step
+                )
+            else:
+                state = restored
             logging.info("resumed from %s at step %d", args.resume, int(state.step))
     warm = args.initial_checkpoint or args.transfer_learning
     if warm and not args.resume:
