@@ -627,15 +627,49 @@ def test_cli_noaug_inputsize_mixup_off(patch_folder, tmp_path):
 
 
 def test_input_size_geometry_resolution():
+    import pytest as _pytest
+
     from tpuwsi.cli.args import parse_args
     from tpuwsi.cli.train import _resolve_input_geometry
 
-    a = parse_args(["--input-size", "1", "48", "48"])
+    gray = ["--data-dir", "x", "--transform_type", "timm"]
+    a = parse_args(["--input-size", "1", "48", "48"] + gray)
     img, chans = _resolve_input_geometry(a)
     assert img == 48 and chans == 1 and a.img_size == 48
     # --in-chans wins over --input-size's channel dim
     a = parse_args(["--input-size", "1", "48", "48", "--in-chans", "3"])
     assert _resolve_input_geometry(a) == (48, 3)
+    # non-RGB requests outside folder+timm mode fail BEFORE dispatch
+    with _pytest.raises(SystemExit, match="in-chans"):
+        _resolve_input_geometry(parse_args(["--in-chans", "1"]))
+    with _pytest.raises(SystemExit, match="in-chans"):
+        _resolve_input_geometry(
+            parse_args(["--in-chans", "1", "--ssl", "--data-dir", "x",
+                        "--transform_type", "timm"])
+        )
+
+
+def test_cli_grayscale_in_chans(patch_folder, tmp_path):
+    """--in-chans 1 end-to-end: grayscale loading, channel-adapted
+    normalization, 1-channel patch embed (review finding r3)."""
+    from tpuwsi.cli.train import main
+
+    state = main([
+        "--data-dir", patch_folder,
+        "--model", "vit_tiny_patch16_224",
+        "--input-size", "1", "32", "32",
+        "-b", "8",
+        "--epochs", "1",
+        "--max-steps-per-epoch", "2",
+        "--warmup-epochs", "0",
+        "--transform_type", "timm",
+        "--output", str(tmp_path / "runs"),
+        "--eval_rate", "100",
+        "--val-split", "0.25",
+    ])
+    # 16 imgs - 25% val = 12 train -> one batch of 8 per epoch (drop_last);
+    # the per-epoch folder validation runs on the grayscale val split too
+    assert int(state.step) == 1
 
 
 def test_no_resume_opt(patch_folder, tmp_path):
@@ -684,3 +718,40 @@ def test_no_resume_opt(patch_folder, tmp_path):
     l1 = jax.tree_util.tree_leaves(s_plain.params)[0]
     l2 = jax.tree_util.tree_leaves(s_fresh.params)[0]
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2))
+
+
+def test_no_resume_opt_restores_ema(patch_folder, tmp_path):
+    """--no-resume-opt still restores the EMA weights (timm resumes
+    model_ema separately from the optimizer state)."""
+    import jax
+    import numpy as np
+
+    from tpuwsi.cli.train import main
+
+    base = [
+        "--data-dir", patch_folder,
+        "--model", "vit_tiny_patch16_224",
+        "--img-size", "32",
+        "-b", "8",
+        "--opt", "adamw", "--lr", "5e-2",
+        "--epochs", "1",
+        "--max-steps-per-epoch", "2",
+        "--warmup-epochs", "0",
+        "--transform_type", "flip",
+        "--eval_rate", "100",
+        "--val-split", "0",
+        "--model-ema", "--model-ema-decay", "0.5",
+    ]
+    out1 = str(tmp_path / "r1")
+    s0 = main(base + ["--output", out1])
+    import glob
+
+    ckpt_dir = glob.glob(os.path.join(out1, "*", "checkpoints"))[0]
+    s = main(base + ["--output", str(tmp_path / "r2"),
+                     "--resume", ckpt_dir, "--no-resume-opt"])
+    # EMA came from the checkpoint (lags params), not a fresh copy of params
+    pe = jax.tree_util.tree_leaves(s.ema_params)[0]
+    pp = jax.tree_util.tree_leaves(s.params)[0]
+    assert not np.allclose(np.asarray(pe), np.asarray(pp))
+    e0 = jax.tree_util.tree_leaves(s0.ema_params)[0]
+    np.testing.assert_allclose(np.asarray(pe), np.asarray(e0))

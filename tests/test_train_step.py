@@ -256,3 +256,40 @@ def test_opt_eps_betas_and_step_sched_flags():
     assert float(sched(24)) == 1.0  # still before the first 25-step boundary
     assert float(sched(25)) == 0.5
     assert float(sched(50)) == 0.25
+
+
+def test_soft_loss_fn_bce_under_mixup():
+    """--bce-loss routes MIXED soft targets through sigmoid BCE with
+    --bce-target-thresh re-binarization (timm BinaryCrossEntropy)."""
+    from tpuwsi.train.losses import binary_cross_entropy_soft
+
+    logits = jnp.asarray([[4.0, -4.0], [-4.0, 4.0]])
+    soft = jnp.asarray([[0.7, 0.3], [0.1, 0.9]])
+    # thresh 0.5 → hard {1,0},{0,1}; must equal BCE on those hard targets
+    import optax
+
+    hard = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+    want = float(optax.sigmoid_binary_cross_entropy(logits, hard).mean())
+    got = float(binary_cross_entropy_soft(logits, soft, target_thresh=0.5))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # and make_train_step accepts/uses soft_loss_fn with a mix_fn
+    from tpuwsi.preprocess.batch_aug import make_mixup_cutmix
+
+    model = _tiny_model()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    ocfg = OptimConfig(opt="sgd", lr=0.1)
+    tx, _ = make_optimizer(ocfg, params, global_batch_size=4)
+    state = create_train_state(params, tx)
+    aug = make_recipe("flip", train=True, tile_size=32)
+    mix = make_mixup_cutmix(2, mixup_alpha=0.8, smoothing=0.0)
+    step = make_train_step(
+        model.apply, tx, augment_fn=aug, mix_fn=mix,
+        soft_loss_fn=lambda l, y: binary_cross_entropy_soft(l, y, 0.3),
+    )
+    imgs = jnp.zeros((4, 32, 32, 3), jnp.uint8)
+    labels = jnp.asarray([0, 1, 0, 1])
+    state, metrics = jax.jit(step)(
+        state, {"images": imgs, "labels": labels}, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(metrics["loss"]))

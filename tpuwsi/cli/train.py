@@ -104,7 +104,27 @@ def _resolve_input_geometry(args):
             args.in_chans = c
     if args.in_chans is None:
         args.in_chans = 3
+    if args.in_chans != 3:
+        # checked BEFORE the --ssl / Survival_* dispatch so no path can
+        # silently train RGB under a non-default channel request
+        survival = args.target in ("Survival_Time", "Survival_Binary")
+        if args.ssl or survival or not args.data_dir:
+            raise SystemExit(
+                "--in-chans != 3 only applies to folder-mode supervised "
+                "training (WSI tiles and the DINO multi-crop are RGB)"
+            )
+        if args.transform_type != "timm":
+            raise SystemExit(
+                "--in-chans != 3 needs --transform_type timm (the GipMed "
+                "recipes are RGB: color jitter + RGB normalization banks)"
+            )
     return args.img_size, args.in_chans
+
+
+def _default_interp(model_name: str) -> str:
+    """timm data-config interpolation default: bicubic for the ViT family,
+    bilinear for the CNN zoo (resnet50_trunc)."""
+    return "bicubic" if model_name.startswith("vit") else "bilinear"
 
 
 def _opt_extra_kwargs(args) -> dict:
@@ -260,9 +280,6 @@ def main(argv=None, default_overrides=None):
     # ---------------- model + optimizer ----------------
     on_tpu = jax.default_backend() == "tpu"
     img_size = args.img_size or args.tile_size
-    if args.in_chans != 3 and not folder_mode:
-        raise SystemExit("--in-chans != 3 only applies to folder mode "
-                         "(WSI tiles are RGB)")
     model = create_model(
         args.model,
         num_classes=num_classes,
@@ -331,11 +348,25 @@ def main(argv=None, default_overrides=None):
         restored = CheckpointManager(args.resume).restore(target=state)
         if restored is not None:
             if args.no_resume_opt:
-                # timm --no-resume-opt (train.py:604-613 resume_checkpoint
-                # log_info branch): weights + epoch position, FRESH
-                # optimizer/EMA state.
+                # timm --no-resume-opt (train.py:604-613): weights, EMA and
+                # epoch position come back; optimizer moments start fresh —
+                # but the LR schedule stays advanced to the resume step
+                # (timm steps the scheduler to resume_epoch regardless).
+                ocfg_res = dataclasses.replace(
+                    ocfg, schedule_offset_steps=int(restored.step)
+                )
+                tx, schedule = make_optimizer(ocfg_res, params, global_batch)
+                if args.no_grad:
+                    from tpuwsi.train.optim import freeze_non_head
+
+                    tx = freeze_non_head(tx, params)
+                state = create_train_state(
+                    restored.params, tx, ema=args.model_ema
+                )
                 state = state.replace(
-                    params=restored.params, step=restored.step
+                    step=restored.step,
+                    ema_params=(restored.ema_params
+                                if args.model_ema else None),
                 )
             else:
                 state = restored
@@ -367,7 +398,7 @@ def main(argv=None, default_overrides=None):
             aug = make_timm_eval(img_size, crop_pct=1.0, mean=args.mean,
                                  std=args.std,
                                  interpolation=args.interpolation
-                                 or "bicubic")
+                                 or _default_interp(args.model))
         else:
             aug = make_recipe(
                 args.transform_type, train=False, tile_size=img_size,
@@ -388,7 +419,8 @@ def main(argv=None, default_overrides=None):
             color_jitter=None if args.aa else args.color_jitter,
             mean=args.mean, std=args.std,
             interpolation=(args.train_interpolation
-                           or args.interpolation or "bicubic"),
+                           or args.interpolation
+                           or _default_interp(args.model)),
         )
     else:
         aug = make_recipe(
@@ -423,7 +455,8 @@ def main(argv=None, default_overrides=None):
             return images
 
     mix_fn = None
-    if args.mixup > 0 or args.cutmix > 0:
+    # cutmix_minmax alone enables cutmix too (timm mixup_active includes it)
+    if args.mixup > 0 or args.cutmix > 0 or args.cutmix_minmax:
         from tpuwsi.preprocess.batch_aug import make_mixup_cutmix
 
         mix_fn = make_mixup_cutmix(
@@ -436,10 +469,20 @@ def main(argv=None, default_overrides=None):
             mode=args.mixup_mode,
             cutmix_minmax=args.cutmix_minmax,
         )
+    soft_loss_fn = None
+    if args.bce_loss:
+        # timm BinaryCrossEntropy applies to MIXED targets too (and the
+        # --bce-target-thresh re-binarization is mainly about those)
+        from tpuwsi.train.losses import binary_cross_entropy_soft
+
+        soft_loss_fn = lambda l, y: binary_cross_entropy_soft(
+            l, y, target_thresh=args.bce_target_thresh
+        )
     step_fn = make_train_step(
         model.apply, tx, augment_fn=aug, loss_fn=loss_fn,
         ema_decay=args.model_ema_decay if args.model_ema else None,
         mix_fn=mix_fn,
+        soft_loss_fn=soft_loss_fn,
     )
     # latency-hiding scheduler: +2.4% measured on the full step (BENCH.md)
     from tpuwsi.core.compile import scheduled_step
@@ -468,7 +511,7 @@ def main(argv=None, default_overrides=None):
 
         eval_norm = make_timm_eval(
             img_size, crop_pct=args.crop_pct, mean=args.mean, std=args.std,
-            interpolation=args.interpolation or "bicubic",
+            interpolation=args.interpolation or _default_interp(args.model),
         )
     else:
         eval_norm = make_recipe(
@@ -1013,10 +1056,10 @@ def train_ssl(args, output_dir):
         drop_path_rate=args.drop_path or 0.1,
         use_pallas_attention=jax.default_backend() == "tpu",
         gelu_approx=True,  # from-scratch SSL: no checkpoint parity constraint
-        # --grad-checkpointing under scan keeps the scanned backward at O(1)
-        # layers (BENCH.md "scan_blocks on TPU")
+        # NOTE: scan_blocks is deliberately NOT tied to this flag — it would
+        # change the checkpoint param-tree layout (blocks_i vs stacked
+        # blocks_scan) and break resume across a memory-only toggle.
         remat_blocks=args.grad_checkpointing,
-        scan_blocks=args.grad_checkpointing,
     )
     model = DINOModel(
         backbone=VisionTransformer(cfg),

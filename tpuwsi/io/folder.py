@@ -83,8 +83,12 @@ class ImageFolderDataset:
                     f"class dirs {missing} not in the --class-map file"
                 )
             self.class_to_idx = {c: class_map[c] for c in classes}
+            # index space = the full map, not just the dirs present in THIS
+            # split (a class can be absent from train/ but present in val/)
+            self._num_classes = max(class_map.values()) + 1
         else:
             self.class_to_idx = {c: i for i, c in enumerate(classes)}
+            self._num_classes = len(classes)
         self.samples: List[Tuple[str, int]] = []
         for c in classes:
             cdir = os.path.join(root, c)
@@ -95,9 +99,7 @@ class ImageFolderDataset:
 
     @property
     def num_classes(self) -> int:
-        # with a --class-map the index space may be wider than the class
-        # dirs actually present under this split
-        return max(self.class_to_idx.values()) + 1
+        return self._num_classes
 
     def subset(self, indices) -> "ImageFolderDataset":
         """Shallow view over a sample subset (same class map)."""

@@ -91,6 +91,8 @@ def make_mixup_cutmix(
     the Beta cutmix lambda with timm's rand_bbox_minmax box sampling."""
     if mode not in ("batch", "pair", "elem"):
         raise ValueError(f"unknown mixup mode {mode!r}")
+    if cutmix_minmax is not None and len(cutmix_minmax) != 2:
+        raise ValueError("cutmix_minmax takes exactly two values (min, max)")
     use_mix = mixup_alpha > 0.0
     use_cut = cutmix_alpha > 0.0 or cutmix_minmax is not None
     if not (use_mix or use_cut):

@@ -34,6 +34,13 @@ def _stats(mean, std, norm_type):
     return jnp.asarray(mean, jnp.float32), jnp.asarray(std, jnp.float32)
 
 
+def _fit_channels(stat, c: int):
+    """Adapt a per-channel stat vector to the image channel count — 1-chan
+    (--in-chans 1) folders normalize by the channel-mean of the RGB bank,
+    timm's grayscale convention."""
+    return stat if stat.shape[0] == c else jnp.full((c,), stat.mean())
+
+
 def make_timm_train_aug(
     img_size: int,
     scale: Sequence[float] = (0.08, 1.0),
@@ -76,7 +83,8 @@ def make_timm_train_aug(
             v = A.random_hflip(kh, v, p=hflip)
         if vflip > 0:
             v = A.random_vflip(kv, v, p=vflip)
-        if jit_params is not None:
+        if jit_params is not None and v.shape[-1] == 3:
+            # saturation jitter needs RGB; grayscale folders skip ColorJitter
             v = A.color_jitter(kj, v, *jit_params)
         return v
 
@@ -84,7 +92,8 @@ def make_timm_train_aug(
         images = _to_float(images)
         keys = jax.random.split(key, images.shape[0])
         out = jax.vmap(per_image)(keys, images)
-        return (out - mean_a) / std_a
+        c = out.shape[-1]
+        return (out - _fit_channels(mean_a, c)) / _fit_channels(std_a, c)
 
     return batch_fn
 
@@ -125,6 +134,7 @@ def make_timm_eval(
         del key
         images = _to_float(images)
         out = jax.vmap(per_image)(images)
-        return (out - mean_a) / std_a
+        c = out.shape[-1]
+        return (out - _fit_channels(mean_a, c)) / _fit_channels(std_a, c)
 
     return batch_fn

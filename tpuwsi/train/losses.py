@@ -45,6 +45,14 @@ def binary_cross_entropy(logits, labels, smoothing: float = 0.0,
     return optax.sigmoid_binary_cross_entropy(logits, one_hot).mean()
 
 
+def binary_cross_entropy_soft(logits, soft_targets, target_thresh=None):
+    """Sigmoid BCE on mixed/soft targets — timm BinaryCrossEntropy under
+    Mixup/CutMix, where --bce-target-thresh re-binarizes the mixed target."""
+    if target_thresh is not None:
+        soft_targets = (soft_targets > target_thresh).astype(logits.dtype)
+    return optax.sigmoid_binary_cross_entropy(logits, soft_targets).mean()
+
+
 def focal_loss(logits, labels, gamma: float = 2.0, alpha=None):
     """FocalLoss parity (utils.py:668-679): CE scaled by (1 - p_t)^γ."""
     log_probs = jax.nn.log_softmax(logits)

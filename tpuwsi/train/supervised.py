@@ -36,6 +36,7 @@ def make_train_step(
     ema_decay: Optional[float] = None,
     compute_auc: bool = True,
     mix_fn: Optional[Callable] = None,
+    soft_loss_fn: Optional[Callable] = None,
 ):
     """Build the jit-able train step.
 
@@ -44,11 +45,14 @@ def make_train_step(
     batch is already preprocessed).
     mix_fn(key, images, labels) → (mixed_images, soft_targets): the timm
     Mixup/CutMix hook (timm_train.py:585-612) — applied post-augmentation;
-    the loss switches to soft-target CE while acc/AUC metrics stay against
-    the hard labels.
+    the loss switches to ``soft_loss_fn`` (default soft-target CE; the CLI
+    passes sigmoid BCE under --bce-loss, timm BinaryCrossEntropy) while
+    acc/AUC metrics stay against the hard labels.
     """
-    if mix_fn is not None:
+    if mix_fn is not None and soft_loss_fn is None:
         from tpuwsi.train.losses import soft_target_cross_entropy
+
+        soft_loss_fn = soft_target_cross_entropy
 
     def step(state: TrainState, batch, rng):
         images, labels = batch["images"], batch["labels"]
@@ -65,7 +69,7 @@ def make_train_step(
                 params, images, deterministic=False, rngs={"dropout": drop_key, "droppath": drop_key}
             )
             if soft_targets is not None:
-                return soft_target_cross_entropy(logits, soft_targets), logits
+                return soft_loss_fn(logits, soft_targets), logits
             return loss_fn(logits, labels), logits
 
         (loss, logits), grads = jax.value_and_grad(compute_loss, has_aux=True)(
