@@ -755,3 +755,46 @@ def test_no_resume_opt_restores_ema(patch_folder, tmp_path):
     assert not np.allclose(np.asarray(pe), np.asarray(pp))
     e0 = jax.tree_util.tree_leaves(s0.ema_params)[0]
     np.testing.assert_allclose(np.asarray(pe), np.asarray(e0))
+
+
+def test_model_ema_eval_uses_ema_weights(patch_folder, tmp_path):
+    """With --model-ema the per-epoch validation scores the EMA copy
+    (train.py:947-956 eval_metrics = ema_eval_metrics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuwsi.cli.train import main
+
+    state = main([
+        "--data-dir", patch_folder,
+        "--model", "vit_tiny_patch16_224",
+        "--img-size", "32",
+        "-b", "8",
+        "--lr", "5e-2", "--opt", "adamw",
+        "--epochs", "1",
+        "--max-steps-per-epoch", "1",
+        "--warmup-epochs", "0",
+        "--transform_type", "flip",
+        "--output", str(tmp_path / "runs"),
+        "--eval_rate", "100",
+        "--val-split", "0.25",
+        "--model-ema", "--model-ema-decay", "0.5",
+    ])
+    # smoke: EMA state exists and lags params (decay 0.5 after 1 big step)
+    pe = jax.tree_util.tree_leaves(state.ema_params)[0]
+    pp = jax.tree_util.tree_leaves(state.params)[0]
+    assert not np.allclose(np.asarray(pe), np.asarray(pp))
+    # and the eval step built by the CLI reads the EMA branch
+    from tpuwsi.train import make_eval_step
+
+    logged = {}
+
+    def fake_apply(params, images, deterministic=True):
+        logged["leaf"] = jax.tree_util.tree_leaves(params)[0]
+        return jnp.zeros((images.shape[0], 2))
+
+    es = make_eval_step(fake_apply, use_ema=True)
+    es(state, {"images": jnp.zeros((2, 32, 32, 3), jnp.uint8)})
+    np.testing.assert_allclose(
+        np.asarray(logged["leaf"]), np.asarray(pe)
+    )

@@ -522,6 +522,9 @@ def main(argv=None, default_overrides=None):
         make_eval_step(
             model.apply,
             preprocess_fn=lambda im: eval_norm(jax.random.PRNGKey(0), im),
+            # timm ranks checkpoints/summary on the EMA copy's metrics when
+            # EMA is on (train.py:947-956: eval_metrics = ema_eval_metrics)
+            use_ema=args.model_ema,
         )
     )
 
