@@ -92,7 +92,11 @@ def wsi_cohort(tmp_path):
     write_xlsx(str(root / "slides_data_TCGA.xlsx"), pd.DataFrame({
         "file": files, "id": ["TCGA"] * 4,
         "patient barcode": [f"P{i}" for i in range(4)],
-        "ER status": targets, "test fold idx": folds,
+        "ER status": targets,
+        # second receptor column for multi-target ('+') runs; one slide has
+        # missing data to exercise the -1 label mask
+        "Her2 status": ["Negative", "Positive", "Missing Data", "Positive"],
+        "test fold idx": folds,
         "Manipulated Objective Power": [10] * 4, "DX": [True] * 4,
     }))
     write_xlsx(str(root / "Grids_10" / "Grid_data.xlsx"), pd.DataFrame(
@@ -798,3 +802,38 @@ def test_model_ema_eval_uses_ema_weights(patch_folder, tmp_path):
     np.testing.assert_allclose(
         np.asarray(logged["leaf"]), np.asarray(pe)
     )
+
+
+def test_cli_multi_target_end_to_end(wsi_cohort, tmp_path):
+    """-tar ER+Her2 (datasets.py:55-61): T independent 2-class heads, masked
+    per-head CE, per-target slide AUCs in the eval metrics."""
+    from tpuwsi.cli.train import main
+
+    out = str(tmp_path / "runs")
+    state = main([
+        "--dataset", "TCGA",
+        "--data-root", wsi_cohort,
+        "--model", "vit_tiny_patch16_224",
+        "-tar", "ER+Her2",
+        "--tile-size", "32",
+        "-b", "4",
+        "--epochs", "1",
+        "--max-steps-per-epoch", "2",
+        "--warmup-epochs", "0",
+        "--opt", "adamw",
+        "--lr", "1e-3",
+        "--transform_type", "flip",
+        "--output", out,
+        "--eval_rate", "1",
+        "--n_patches_test", "4",
+        "-tpi", "4",
+        "-tf", "1",
+    ])
+    assert int(state.step) == 2
+    run_dir = [os.path.join(out, e) for e in os.listdir(out)
+               if e.startswith("Exp_")][0]
+    import csv
+
+    rows = list(csv.DictReader(open(os.path.join(run_dir, "summary.csv"))))
+    assert "eval_auc_ER" in rows[0] and "eval_auc_Her2" in rows[0]
+    assert "eval_auc" in rows[0]

@@ -274,7 +274,11 @@ def main(argv=None, default_overrides=None):
             loan=args.loan,
             print_timing=args.time,
         )
-        num_classes = args.num_output or args.num_classes or 2
+        # multi-target '+'-joined kinds (datasets.py:55-61): T independent
+        # 2-class heads; the reference relies on user-set --num-classes +
+        # its manual timm CE patch (train_instruct.txt:3-8)
+        n_targets = len(args.target.split("+")) if "+" in args.target else 1
+        num_classes = args.num_output or args.num_classes or 2 * n_targets
         steps_per_epoch = max(len(sampler) // (args.batch_size * pcount), 1)
 
     # ---------------- model + optimizer ----------------
@@ -380,7 +384,18 @@ def main(argv=None, default_overrides=None):
             state = state.replace(params=donor.params)
             logging.info("warm-started params from %s", warm)
 
-    if args.focal:
+    multi_target = "+" in args.target and not folder_mode
+    if multi_target:
+        if args.focal or args.bce_loss:
+            raise SystemExit(
+                "multi-target ('+') training uses the masked per-head CE "
+                "(train_instruct.txt:3-8 patched-gather semantics); drop "
+                "--focal/--bce-loss"
+            )
+        from tpuwsi.train.losses import multi_target_cross_entropy
+
+        loss_fn = lambda l, y: multi_target_cross_entropy(l, y, args.smoothing)
+    elif args.focal:
         loss_fn = focal_loss
     elif args.bce_loss:
         loss_fn = lambda l, y: binary_cross_entropy(
@@ -754,6 +769,33 @@ def evaluate_slides(args, state, eval_step):
     walker = SlideWalker(
         table, tiles_per_iter=args.tiles_per_iter, num_tiles=args.n_patches_test
     )
+    names = args.target.split("+")
+    if len(names) > 1:
+        # multi-target: one aggregator per 2-class head; per-target slide/
+        # patch AUCs plus their mean as the ranking metric
+        aggs = [SlideAggregator() for _ in names]
+        for chunk in walker.walk():
+            logits, _ = eval_step(state, {"images": jnp.asarray(chunk.images)})
+            logits = np.asarray(logits, dtype=np.float32)
+            for t, a in enumerate(aggs):
+                lt = logits[:, 2 * t : 2 * t + 2]
+                e = np.exp(lt - lt.max(axis=-1, keepdims=True))
+                pt = e / e.sum(axis=-1, keepdims=True)
+                a.add_chunk(
+                    dataclasses.replace(chunk, label=np.asarray(chunk.label).ravel()[t]),
+                    pt,
+                )
+        if not aggs[0].results:
+            return {}, None
+        metrics = {}
+        for name, a in zip(names, aggs):
+            metrics[f"auc_{name}"] = a.slide_auc()
+            metrics[f"patch_auc_{name}"] = a.patch_auc()
+        metrics["auc"] = float(np.mean([metrics[f"auc_{n}"] for n in names]))
+        metrics["patch_auc"] = float(
+            np.mean([metrics[f"patch_auc_{n}"] for n in names])
+        )
+        return metrics, aggs[0]
     agg = SlideAggregator()
     for chunk in walker.walk():
         _, probs = eval_step(state, {"images": jnp.asarray(chunk.images)})

@@ -86,13 +86,24 @@ def make_train_step(
             opt_state=new_opt_state,
             ema_params=new_ema,
         )
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        if labels.ndim == 2:
+            # multi-target ('+'-joined, datasets.py:55-61): step metrics
+            # report the FIRST target's head; -1 (unknown) labels masked
+            lm = labels[:, 0]
+            lmask = lm >= 0
+            lsafe = jnp.maximum(lm, 0)
+            logits_m = logits[:, :2]
+        else:
+            lm = lsafe = labels
+            lmask = None
+            logits_m = logits
+        probs = jax.nn.softmax(logits_m.astype(jnp.float32), axis=-1)
         metrics = {
             "loss": loss,
-            "acc": accuracy_topk(logits, labels, k=1),
+            "acc": accuracy_topk(logits_m, lsafe, k=1, mask=lmask),
         }
-        if compute_auc and logits.shape[-1] >= 2:
-            metrics["auc"] = auc_score(probs[:, 1], labels)
+        if compute_auc and logits_m.shape[-1] >= 2:
+            metrics["auc"] = auc_score(probs[:, 1], lsafe, mask=lmask)
         return new_state, metrics
 
     return step
