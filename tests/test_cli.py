@@ -249,6 +249,9 @@ def test_config_recipes_parse():
     assert a.batch_size == 32
     a = parse_args(["--config", os.path.join(root, "extract-features.yaml")])
     assert a.extract_features
+    a = parse_args(["--config", os.path.join(root, "timm-folder.yaml")])
+    assert a.transform_type == "timm" and a.mixup == 0.8 and a.model_ema
+    assert a.aa == "rand-m9-mstd0.5" and a.train_interpolation == "random"
 
 
 @pytest.fixture
