@@ -348,6 +348,9 @@ def main(argv=None, default_overrides=None):
         max_history=args.checkpoint_hist,
         metric_name=args.eval_metric,
     )
+    # optax count the schedule sees = global step - this offset (non-zero
+    # only for --no-resume-opt, whose rebuilt schedule bakes the offset in)
+    sched_count_offset = 0
     if args.resume:
         restored = CheckpointManager(args.resume).restore(target=state)
         if restored is not None:
@@ -372,6 +375,7 @@ def main(argv=None, default_overrides=None):
                     ema_params=(restored.ema_params
                                 if args.model_ema else None),
                 )
+                sched_count_offset = int(restored.step)
             else:
                 state = restored
             logging.info("resumed from %s at step %d", args.resume, int(state.step))
@@ -556,154 +560,163 @@ def main(argv=None, default_overrides=None):
     start_epoch = args.start_epoch
     if start_epoch is None:
         start_epoch = int(state.step) // max(steps_per_epoch, 1)
-    with mesh:
-        for epoch in range(start_epoch, args.epochs):
-            # The epoch shuffle seed must be IDENTICAL on every host so the
-            # process-strided slices of the index stream stay disjoint
-            # (DistributedSampler semantics); per-host variation comes from
-            # the disjoint slide draws themselves. host_seed_offset exists
-            # for host-local streams that must NOT collide (e.g. worker
-            # augmentation in a host-side pipeline).
-            epoch_rng = np.random.default_rng(args.seed + epoch)
-            if not folder_mode and args.RAM_saver and epoch > 0 and epoch % 100 == 0:
-                # RAM_saver: reshuffle the quarter-subset every 100 epochs
-                # (train.py:385, datasets.py:260-264)
-                table = load_slide_table(
-                    args.dataset, tile_size=args.tile_size,
-                    target_kind=args.target, test_fold=args.test_fold,
-                    train=True, train_type="REG",
-                    n_tiles=args.n_patches_train,
-                    desired_magnification=args.mag, dx=args.dx,
-                    er_eq_pr=args.er_eq_pr, ram_saver=True,
-                    data_root=args.data_root, rng=epoch_rng,
-                )
-                sampler = WSITileSampler(
-                    table, n_tiles=args.n_patches_train, bag_size=1,
-                    num_threads=args.workers,
-                    balanced_sampling=args.balanced_sampling,
-                )
-            if folder_mode:
-                batches = train_ds.batches(
-                    args.batch_size, rng=epoch_rng,
-                    process_index=pindex, process_count=pcount,
-                )
-            else:
-                batches = sampler.batches(
-                    epoch_rng, args.batch_size,
-                    process_index=pindex, process_count=pcount,
-                )
-            batches = Prefetcher(batches, depth=3)
-            t0 = time.time()
-            metrics = {}
-            for i, batch in enumerate(batches):
-                if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:
-                    break
-                if args.images and i == 0:
-                    # -im parity (train.py:378, datasets.py:504-508): dump the
-                    # un-augmented input tiles for manual QA (our batches are
-                    # raw uint8 — augmentation runs on device afterwards).
-                    save_batch_images(
-                        batch["images"], batch.get("labels"),
-                        os.path.join(output_dir, "images"),
-                        f"epoch{epoch}_batch0.png",
+    try:
+        with mesh:
+            for epoch in range(start_epoch, args.epochs):
+                # The epoch shuffle seed must be IDENTICAL on every host so the
+                # process-strided slices of the index stream stay disjoint
+                # (DistributedSampler semantics); per-host variation comes from
+                # the disjoint slide draws themselves. host_seed_offset exists
+                # for host-local streams that must NOT collide (e.g. worker
+                # augmentation in a host-side pipeline).
+                epoch_rng = np.random.default_rng(args.seed + epoch)
+                if not folder_mode and args.RAM_saver and epoch > 0 and epoch % 100 == 0:
+                    # RAM_saver: reshuffle the quarter-subset every 100 epochs
+                    # (train.py:385, datasets.py:260-264)
+                    table = load_slide_table(
+                        args.dataset, tile_size=args.tile_size,
+                        target_kind=args.target, test_fold=args.test_fold,
+                        train=True, train_type="REG",
+                        n_tiles=args.n_patches_train,
+                        desired_magnification=args.mag, dx=args.dx,
+                        er_eq_pr=args.er_eq_pr, ram_saver=True,
+                        data_root=args.data_root, rng=epoch_rng,
                     )
-                if args.save_images and i == 0:
-                    # --save-images parity (train.py:1114-1120): the
-                    # POST-augmentation batch, min-max scaled to uint8 like
-                    # torchvision save_image's normalize branch.
-                    augd = np.asarray(
-                        aug(jax.random.fold_in(rng, epoch),
-                            jnp.asarray(batch["images"]))
+                    sampler = WSITileSampler(
+                        table, n_tiles=args.n_patches_train, bag_size=1,
+                        num_threads=args.workers,
+                        balanced_sampling=args.balanced_sampling,
                     )
-                    lo, hi = float(augd.min()), float(augd.max())
-                    save_batch_images(
-                        ((augd - lo) / max(hi - lo, 1e-6) * 255).astype(
-                            np.uint8
-                        ),
-                        batch.get("labels"),
-                        os.path.join(output_dir, "images"),
-                        f"epoch{epoch}_aug0.png",
+                if folder_mode:
+                    batches = train_ds.batches(
+                        args.batch_size, rng=epoch_rng,
+                        process_index=pindex, process_count=pcount,
                     )
-                sb = shard_batch(
-                    mesh, {"images": batch["images"], "labels": batch["labels"]}
-                )
-                step_for_epoch = (
-                    jit_step_nomix
-                    if args.mixup_off_epoch and epoch >= args.mixup_off_epoch
-                    else jit_step
-                )
-                state, metrics = step_for_epoch(state, sb, rng)
-                if args.dispatch_ahead and i % args.dispatch_ahead == 0:
-                    float(metrics["loss"])  # bound device run-ahead
-                if args.log_interval and i % args.log_interval == 0:
-                    m = {k: float(v) for k, v in metrics.items()}
-                    rate = (i + 1) * args.batch_size / (time.time() - t0)
-                    logging.info(
-                        "epoch %d step %d loss %.4f auc %.3f (%.1f tiles/s)",
-                        epoch, i, m.get("loss", 0), m.get("auc", 0.5), rate,
+                else:
+                    batches = sampler.batches(
+                        epoch_rng, args.batch_size,
+                        process_index=pindex, process_count=pcount,
                     )
-                    tracker.log({**m, "rate": rate}, step=int(state.step))
-                if (
-                    args.recovery_interval
-                    and i % max(args.recovery_interval, 1) == 0
-                    and i > 0
-                ):
-                    ckpt.save(int(state.step), state, {"recovery": 1.0})
-            train_metrics = {k: float(v) for k, v in metrics.items()}
-            if args.time and not folder_mode:
-                # -time parity (datasets.py:512-526): per-stage pipeline times
-                td = sampler.stage_timer.time_dict()
-                logging.info("epoch %d time dict: %s", epoch, td)
-                tracker.log(
-                    {"extract_tile_sec": td["Average time to extract a tile"]},
-                    step=int(state.step),
+                batches = Prefetcher(batches, depth=3)
+                t0 = time.time()
+                metrics = {}
+                for i, batch in enumerate(batches):
+                    if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:
+                        break
+                    if args.images and i == 0:
+                        # -im parity (train.py:378, datasets.py:504-508): dump the
+                        # un-augmented input tiles for manual QA (our batches are
+                        # raw uint8 — augmentation runs on device afterwards).
+                        save_batch_images(
+                            batch["images"], batch.get("labels"),
+                            os.path.join(output_dir, "images"),
+                            f"epoch{epoch}_batch0.png",
+                        )
+                    if args.save_images and i == 0:
+                        # --save-images parity (train.py:1114-1120): the
+                        # POST-augmentation batch, min-max scaled to uint8 like
+                        # torchvision save_image's normalize branch.
+                        augd = np.asarray(
+                            aug(jax.random.fold_in(rng, epoch),
+                                jnp.asarray(batch["images"]))
+                        )
+                        lo, hi = float(augd.min()), float(augd.max())
+                        save_batch_images(
+                            ((augd - lo) / max(hi - lo, 1e-6) * 255).astype(
+                                np.uint8
+                            ),
+                            batch.get("labels"),
+                            os.path.join(output_dir, "images"),
+                            f"epoch{epoch}_aug0.png",
+                        )
+                    sb = shard_batch(
+                        mesh, {"images": batch["images"], "labels": batch["labels"]}
+                    )
+                    step_for_epoch = (
+                        jit_step_nomix
+                        if args.mixup_off_epoch and epoch >= args.mixup_off_epoch
+                        else jit_step
+                    )
+                    state, metrics = step_for_epoch(state, sb, rng)
+                    if args.dispatch_ahead and i % args.dispatch_ahead == 0:
+                        float(metrics["loss"])  # bound device run-ahead
+                    if args.log_interval and i % args.log_interval == 0:
+                        m = {k: float(v) for k, v in metrics.items()}
+                        rate = (i + 1) * args.batch_size / (time.time() - t0)
+                        logging.info(
+                            "epoch %d step %d loss %.4f auc %.3f (%.1f tiles/s)",
+                            epoch, i, m.get("loss", 0), m.get("auc", 0.5), rate,
+                        )
+                        tracker.log({**m, "rate": rate}, step=int(state.step))
+                    if (
+                        args.recovery_interval
+                        and i % max(args.recovery_interval, 1) == 0
+                        and i > 0
+                    ):
+                        ckpt.save(int(state.step), state, {"recovery": 1.0})
+                train_metrics = {k: float(v) for k, v in metrics.items()}
+                # timm update_summary logs the epoch's lr column (train.py:963)
+                train_metrics["lr"] = float(
+                    schedule(int(state.step) - sched_count_offset)
                 )
+                if args.time and not folder_mode:
+                    # -time parity (datasets.py:512-526): per-stage pipeline times
+                    td = sampler.stage_timer.time_dict()
+                    logging.info("epoch %d time dict: %s", epoch, td)
+                    tracker.log(
+                        {"extract_tile_sec": td["Average time to extract a tile"]},
+                        step=int(state.step),
+                    )
 
-            eval_metrics = {}
-            if (
-                (epoch % args.eval_rate == 0 or epoch == args.epochs - 1)
-                and folder_mode
-                and val_ds is not None
-                and len(val_ds) > 0
-            ):
-                # folder-mode per-epoch validation: top-1/top-5/loss (+ AUC
-                # for binary) — timm_train.py:951-1025 validate() parity.
-                eval_metrics = evaluate_folder(
-                    val_ds, state, eval_step,
-                    args.validation_batch_size or args.batch_size,
-                )
-                logging.info("epoch %d folder eval: %s", epoch, eval_metrics)
-                tracker.log(
-                    {f"eval_{k}": v for k, v in eval_metrics.items()},
-                    step=int(state.step),
-                )
-            if (epoch % args.eval_rate == 0 or epoch == args.epochs - 1) and not folder_mode:
-                eval_metrics, agg = evaluate_slides(args, state, eval_step)
-                logging.info("epoch %d eval: %s", epoch, eval_metrics)
-                if agg is not None and agg.results:
-                    # per-interval ROC/PR curve logging (train.py:1122-1127)
-                    tracker.log_roc_pr(
-                        [r.slide_score for r in agg.results],
-                        [r.label for r in agg.results],
-                        prefix="eval_slide_", step=int(state.step),
+                eval_metrics = {}
+                if (
+                    (epoch % args.eval_rate == 0 or epoch == args.epochs - 1)
+                    and folder_mode
+                    and val_ds is not None
+                    and len(val_ds) > 0
+                ):
+                    # folder-mode per-epoch validation: top-1/top-5/loss (+ AUC
+                    # for binary) — timm_train.py:951-1025 validate() parity.
+                    eval_metrics = evaluate_folder(
+                        val_ds, state, eval_step,
+                        args.validation_batch_size or args.batch_size,
                     )
-                    if args.bootstrap:
-                        bmean, bstd = agg.bootstrap_slide_auc()
-                        eval_metrics["auc_bootstrap_mean"] = bmean
-                        eval_metrics["auc_bootstrap_std"] = bstd
-                tracker.log(
-                    {f"eval_{k}": v for k, v in eval_metrics.items()},
-                    step=int(state.step),
-                )
-            ckpt.save(int(state.step), state,
-                      eval_metrics or {args.eval_metric: 0.0})
-            update_summary(epoch, train_metrics, eval_metrics, summary_path)
-            ledger.update(exp["Experiment"], **{"Last Epoch": epoch})
-            if eval_metrics.get("auc") is not None:
-                ledger.update(
-                    exp["Experiment"],
-                    **{"TestSet Mean AUC": eval_metrics["auc"]},
-                )
+                    logging.info("epoch %d folder eval: %s", epoch, eval_metrics)
+                    tracker.log(
+                        {f"eval_{k}": v for k, v in eval_metrics.items()},
+                        step=int(state.step),
+                    )
+                if (epoch % args.eval_rate == 0 or epoch == args.epochs - 1) and not folder_mode:
+                    eval_metrics, agg = evaluate_slides(args, state, eval_step)
+                    logging.info("epoch %d eval: %s", epoch, eval_metrics)
+                    if agg is not None and agg.results:
+                        # per-interval ROC/PR curve logging (train.py:1122-1127)
+                        tracker.log_roc_pr(
+                            [r.slide_score for r in agg.results],
+                            [r.label for r in agg.results],
+                            prefix="eval_slide_", step=int(state.step),
+                        )
+                        if args.bootstrap:
+                            bmean, bstd = agg.bootstrap_slide_auc()
+                            eval_metrics["auc_bootstrap_mean"] = bmean
+                            eval_metrics["auc_bootstrap_std"] = bstd
+                    tracker.log(
+                        {f"eval_{k}": v for k, v in eval_metrics.items()},
+                        step=int(state.step),
+                    )
+                ckpt.save(int(state.step), state,
+                          eval_metrics or {args.eval_metric: 0.0})
+                update_summary(epoch, train_metrics, eval_metrics, summary_path)
+                ledger.update(exp["Experiment"], **{"Last Epoch": epoch})
+                if eval_metrics.get("auc") is not None:
+                    ledger.update(
+                        exp["Experiment"],
+                        **{"TestSet Mean AUC": eval_metrics["auc"]},
+                    )
+    except KeyboardInterrupt:
+        # graceful finish on Ctrl-C (train.py:979-980): fall through to
+        # checkpoint finalization + tracker close with the last state
+        logging.info("KeyboardInterrupt — finishing gracefully")
     ckpt.wait()
     tracker.finish()
     return state
