@@ -61,6 +61,14 @@ class ViTConfig:
     # toggle from attention so the two kernel families can be A/B'd
     # independently on the full step (scripts/exp_kernels3.py).
     use_fused_mlp: bool = True
+    # Hybrid backward families (XLA forward kept for its 85-95%-MFU forward
+    # mega-fusions; only the VJP routes through a Pallas dual-output kernel
+    # — targets the 56-79%-MFU backward dgrad+wgrad+dbias multi-output
+    # fusions, BENCH.md round-3 closing accounting). Independent toggles so
+    # each family can be A/B'd on the full step. Only meaningful when the
+    # corresponding full-Pallas family is off.
+    mlp_pallas_bwd: bool = False
+    dense_pallas_bwd: bool = False
     # Run the Pallas kernels in interpreter mode (forces the kernel path on
     # non-TPU backends — used to validate the custom_partitioning sharded
     # lowering on the CPU test mesh; never enable on real hardware).
@@ -152,6 +160,9 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.bfloat16
     use_pallas: bool = True
     pallas_interpret: bool = False
+    # XLA forward + Pallas dual-output backward for the qkv/proj layers
+    # (ops/dense.py) — same param tree as the nn.Dense path.
+    dense_pallas_bwd: bool = False
     # >0: the sequence axis is pack·block_len tokens of independent packed
     # sub-sequences (backbone-level packing) — attention is block-diagonal.
     block_len: int = 0
@@ -160,14 +171,23 @@ class Attention(nn.Module):
     def __call__(self, x, deterministic: bool, return_attn: bool = False):
         b, n, d = x.shape
         head_dim = d // self.num_heads
-        qkv = nn.Dense(
-            3 * d,
-            use_bias=self.qkv_bias,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=trunc_normal_init(),
-            name="qkv",
-        )(x)
+        if self.dense_pallas_bwd:
+            from tpuwsi.ops.dense import hybrid_dense
+
+            wq, bq = _DenseParams(d, 3 * d, self.qkv_bias, name="qkv")()
+            qkv = hybrid_dense(
+                x.astype(self.dtype), wq, bq,
+                interpret=self.pallas_interpret or None,
+            )
+        else:
+            qkv = nn.Dense(
+                3 * d,
+                use_bias=self.qkv_bias,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=trunc_normal_init(),
+                name="qkv",
+            )(x)
 
         if return_attn:
             # Explicit attention map for saliency (reference DINO
@@ -215,13 +235,20 @@ class Attention(nn.Module):
                 # reference recipes never enable attn_drop — timm default 0).
                 out = nn.Dropout(self.attn_drop)(out, deterministic=False)
 
-        out = nn.Dense(
-            d,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=trunc_normal_init(),
-            name="proj",
-        )(out)
+        if self.dense_pallas_bwd:
+            wp, bp = _DenseParams(d, d, name="proj")()
+            out = hybrid_dense(
+                out.astype(self.dtype), wp, bp,
+                interpret=self.pallas_interpret or None,
+            )
+        else:
+            out = nn.Dense(
+                d,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=trunc_normal_init(),
+                name="proj",
+            )(out)
         if self.proj_drop > 0.0:
             out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out, attn
@@ -305,6 +332,7 @@ class Mlp(nn.Module):
     dtype: Dtype = jnp.bfloat16
     gelu_approx: bool = False
     use_pallas: bool = False
+    mlp_pallas_bwd: bool = False
     pallas_interpret: bool = False
 
     @nn.compact
@@ -321,6 +349,15 @@ class Mlp(nn.Module):
             from tpuwsi.ops.mlp import fused_mlp
 
             return fused_mlp(
+                x, w1, b1, w2, b2, approx=self.gelu_approx,
+                interpret=self.pallas_interpret or None,
+            )
+        # Hybrid: XLA forward (keeps the forward mega-fusions), Pallas
+        # fused backward (targets the 56-79%-MFU backward MOFs).
+        if self.mlp_pallas_bwd and (self.drop == 0.0 or deterministic):
+            from tpuwsi.ops.mlp import hybrid_mlp
+
+            return hybrid_mlp(
                 x, w1, b1, w2, b2, approx=self.gelu_approx,
                 interpret=self.pallas_interpret or None,
             )
@@ -345,6 +382,8 @@ class Block(nn.Module):
     ln_dtype: Dtype = jnp.float32
     use_pallas: bool = True
     use_fused_mlp: bool = True
+    mlp_pallas_bwd: bool = False
+    dense_pallas_bwd: bool = False
     pallas_interpret: bool = False
     gelu_approx: bool = False
     # Backbone-level sequence packing (see VisionTransformer): pack
@@ -374,6 +413,7 @@ class Block(nn.Module):
             proj_drop=self.drop,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            dense_pallas_bwd=self.dense_pallas_bwd,
             pallas_interpret=self.pallas_interpret,
             block_len=self.block_len,
             name="attn",
@@ -408,6 +448,7 @@ class Block(nn.Module):
             dtype=self.dtype,
             gelu_approx=self.gelu_approx,
             use_pallas=self.use_pallas and self.use_fused_mlp,
+            mlp_pallas_bwd=self.mlp_pallas_bwd,
             pallas_interpret=self.pallas_interpret,
             name="mlp",
         )(y.astype(self.dtype), deterministic)
@@ -432,6 +473,8 @@ class _ScanBlockBody(nn.Module):
     pallas_interpret: bool
     gelu_approx: bool
     deterministic: bool
+    mlp_pallas_bwd: bool = False
+    dense_pallas_bwd: bool = False
     pack: int = 1
     block_len: int = 0
 
@@ -467,6 +510,7 @@ class _ScanBlockBody(nn.Module):
             proj_drop=self.drop,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            dense_pallas_bwd=self.dense_pallas_bwd,
             pallas_interpret=self.pallas_interpret,
             block_len=self.block_len,
             name="attn",
@@ -496,6 +540,7 @@ class _ScanBlockBody(nn.Module):
             dtype=self.dtype,
             gelu_approx=self.gelu_approx,
             use_pallas=self.use_pallas and self.use_fused_mlp,
+            mlp_pallas_bwd=self.mlp_pallas_bwd,
             pallas_interpret=self.pallas_interpret,
             name="mlp",
         )(y.astype(self.dtype), det)
@@ -633,6 +678,8 @@ class VisionTransformer(nn.Module):
                 ln_dtype=cfg.ln_dtype,
                 use_pallas=cfg.use_pallas_attention,
                 use_fused_mlp=cfg.use_fused_mlp,
+                mlp_pallas_bwd=cfg.mlp_pallas_bwd,
+                dense_pallas_bwd=cfg.dense_pallas_bwd,
                 pallas_interpret=cfg.pallas_interpret,
                 gelu_approx=cfg.gelu_approx,
                 deterministic=deterministic,
@@ -658,6 +705,8 @@ class VisionTransformer(nn.Module):
                 ln_dtype=cfg.ln_dtype,
                 use_pallas=cfg.use_pallas_attention,
                 use_fused_mlp=cfg.use_fused_mlp,
+                mlp_pallas_bwd=cfg.mlp_pallas_bwd,
+                dense_pallas_bwd=cfg.dense_pallas_bwd,
                 pallas_interpret=cfg.pallas_interpret,
                 gelu_approx=cfg.gelu_approx,
                 pack=seq_pack,

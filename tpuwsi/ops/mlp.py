@@ -380,6 +380,89 @@ def fused_mlp(
 
 
 # ---------------------------------------------------------------------------
+# Hybrid MLP: XLA forward, Pallas backward.
+#
+# Round-3 per-fusion MFU accounting (BENCH.md): XLA's FORWARD mega-fusions
+# (fc1+gelu+fc2+residual+LN-stats) run at 85-95% MFU — better than the
+# fused_mlp forward kernel in-step — but its BACKWARD dgrad+wgrad+dbias
+# multi-output fusions sit at 56-79%, an emitter property (splitting them
+# measured worse: the shared dy re-read costs more HBM than the recovered
+# MXU). This op takes the best half of each: the forward is plain traced
+# XLA math (custom_vjp does not introduce a call boundary, so the GEMMs
+# keep fusing into the forward mega-chains AND the u/h intermediates are
+# no longer saved as autodiff residuals), while the VJP routes through the
+# existing _mlp_backward_p kernel (remats h per row tile, accumulates
+# dW1/db1/dW2/db2 in VMEM f32 across the sequential row grid).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _hybrid_mlp(x, w1, b1, w2, b2, approx, interpret):
+    # Rank-preserving XLA forward — rank-3 dots lower through the conv
+    # emitter, which is what lets fc1+gelu+fc2 fuse into one mega-fusion
+    # (BENCH.md round-3 "rank-2 flattening" negative result).
+    u = x @ w1 + b1
+    h = jax.nn.gelu(u, approximate=approx)
+    return h @ w2 + b2
+
+
+def _hybrid_mlp_fwd(x, w1, b1, w2, b2, approx, interpret):
+    return _hybrid_mlp(x, w1, b1, w2, b2, approx, interpret), (x, w1, b1, w2)
+
+
+def _hybrid_mlp_bwd(approx, interpret, res, dy):
+    x, w1, b1, w2 = res
+    d = x.shape[-1]
+    dx, dw1, db1, dw2, db2 = _mlp_backward_p(
+        x.reshape(-1, d), dy.astype(x.dtype).reshape(-1, w2.shape[-1]),
+        w1, b1, w2, approx, interpret,
+    )
+    return (
+        dx.reshape(x.shape),
+        dw1.astype(w1.dtype),
+        db1.astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2.astype(w2.dtype),
+    )
+
+
+_hybrid_mlp.defvjp(_hybrid_mlp_fwd, _hybrid_mlp_bwd)
+
+
+def hybrid_mlp(
+    x: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    *,
+    approx: bool = False,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """gelu(x @ w1 + b1) @ w2 + b2 with an XLA forward (keeps the forward
+    mega-fusions, saves the u/h residuals) and the fused Pallas backward
+    (one dy read per row tile → dx + all four weight/bias grads).
+
+    Same dispatch gates as fused_mlp: TPU + tanh-approx GELU (Mosaic has no
+    erf lowering in this image) + the f32 dW accumulators must fit VMEM;
+    plain XLA everywhere else.
+    """
+    dt = x.dtype
+    use_pallas = (
+        jax.default_backend() == "tpu" and approx
+        and _bwd_vmem_ok(w1.shape[0], w1.shape[1])
+    ) or interpret
+    if not use_pallas:
+        u = (x @ w1.astype(dt)) + b1.astype(dt)
+        h = jax.nn.gelu(u, approximate=approx)
+        return (h @ w2.astype(dt)) + b2.astype(dt)
+    return _hybrid_mlp(
+        x, w1.astype(dt), b1.astype(dt), w2.astype(dt), b2.astype(dt),
+        bool(approx), bool(interpret),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Fused pre-norm MLP block: y = x + gelu(LN(x) @ W1 + b1) @ W2 + b2
 #
 # Beyond fused_mlp this also folds the LayerNorm and the residual add into
