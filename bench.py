@@ -94,9 +94,10 @@ def main():
     # training loop runs its input-fed equivalent via host offload +
     # dispatch-ahead; the resident-data bench measures the compute path.
     # K sweep (scripts/exp_flags3.py, b96): K=8 109.0 ms, K=32 102.9,
-    # K=64 102.0 — K=32 is the knee; beyond it per-call latency doubles
-    # for <1% more throughput.
-    K = 32
+    # K=64 102.0; re-measured under the final flags (round-3 session 3):
+    # K=64 7,543 vs K=32 7,489 views/s (+0.7%) with b112 7,195 / b128 7,338
+    # both losing to b96 — K=64 @ b96 adopted. Override: bench.py [batch] [K].
+    K = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 
     def multi(state, batch, rng):
         def body(carry, i):

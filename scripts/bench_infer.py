@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Serving-path benchmark: slide-inference / feature-extraction throughput.
+
+The training bench (bench.py) measures the SSL step; this measures the
+OTHER production path — the reference's ``validate()`` / ``--extract_features``
+loop (train.py:1146-1345): raw uint8 WSI tiles → on-device eval normalize →
+ViT-S/16 forward → softmax probs (or 384-dim features).
+
+Usage: python scripts/bench_infer.py [batch] [mode]
+  mode: 'probs' (default, slide-eval path, num_classes=2)
+        'features' (head=Identity extraction path, 384-dim)
+
+Prints one JSON line with tiles/sec/chip (data-resident, forced fetch per
+batch — the honest serialized number; production walkers overlap host reads
+via the bounded prefetcher, bench_overlap.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    mode = sys.argv[2] if len(sys.argv) > 2 else "probs"
+    tile = 256  # raw WSI tile size (train.py:414 default)
+
+    from tpuwsi.preprocess.recipes import make_recipe
+    from tpuwsi.train.state import TrainState
+    from tpuwsi.train.supervised import make_eval_step
+
+    on_tpu = jax.default_backend() == "tpu"
+    num_classes = 0 if mode == "features" else 2
+    from tpuwsi.models.vit import VisionTransformer, vit_small
+
+    model = VisionTransformer(
+        vit_small(
+            num_classes=num_classes,
+            img_size=224,
+            use_pallas_attention=on_tpu,
+            use_fused_mlp=False,
+            ln_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+            gelu_approx=True,
+        )
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, opt_state=(),
+        ema_params=None,
+    )
+    # Reference eval: 256² tile → eval transform (resize/center-handling per
+    # recipe) + normalize, then the 224² model input.
+    norm = make_recipe("none", train=False, tile_size=224)
+    step = jax.jit(
+        make_eval_step(
+            model.apply,
+            preprocess_fn=lambda im: norm(jax.random.PRNGKey(0), im),
+        )
+    )
+
+    imgs = np.random.randint(0, 255, (batch, 224, 224, 3), dtype=np.uint8)
+    b = {"images": jnp.asarray(imgs)}
+    logits, probs = step(state, b)
+    np.asarray(probs)  # compile + force fetch (axon: block_until_ready lies)
+
+    n_calls = 20
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        logits, probs = step(state, b)
+        np.asarray(probs)
+    dt = time.perf_counter() - t0
+
+    # dispatch-ahead pipelined mode (infer/pipeline.py — what the serving
+    # loops actually run): fetch lags 4 dispatches, hiding the per-call
+    # dispatch+fetch latency behind device compute.
+    from tpuwsi.infer.pipeline import pipelined_fetch
+
+    def _dispatches():
+        for i in range(n_calls):
+            yield i, step(state, b)[1]
+
+    t0 = time.perf_counter()
+    for _ in pipelined_fetch(_dispatches(), depth=4):
+        pass
+    dt_pipe = time.perf_counter() - t0
+
+    tiles_per_sec = batch * n_calls / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"inference_tiles_per_sec_per_chip_vit_s16_{mode}",
+                "value": round(batch * n_calls / dt_pipe, 1),
+                "unit": "224^2 tiles/sec/chip (eval normalize + forward)",
+                "batch_size": batch,
+                "ms_per_batch_serialized": round(1e3 * dt / n_calls, 2),
+                "ms_per_batch_pipelined": round(1e3 * dt_pipe / n_calls, 2),
+                "serialized_tiles_per_sec": round(tiles_per_sec, 1),
+                "out_dim": int(logits.shape[-1]),
+                "raw_tile": tile,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,8 @@ import numpy as np
 
 import jax
 
+from tpuwsi.infer.pipeline import pipelined_fetch
+
 
 def _setup_jax():
     cache = os.environ.get("TPUWSI_COMPILE_CACHE", "/tmp/tpuwsi_jax_cache")
@@ -680,6 +682,7 @@ def main(argv=None, default_overrides=None):
                     eval_metrics = evaluate_folder(
                         val_ds, state, eval_step,
                         args.validation_batch_size or args.batch_size,
+                        dispatch_ahead=args.dispatch_ahead,
                     )
                     logging.info("epoch %d folder eval: %s", epoch, eval_metrics)
                     tracker.log(
@@ -722,7 +725,8 @@ def main(argv=None, default_overrides=None):
     return state
 
 
-def evaluate_folder(val_ds, state, eval_step, batch_size: int):
+def evaluate_folder(val_ds, state, eval_step, batch_size: int,
+                    dispatch_ahead: int = 2):
     """Folder-mode validation (timm_train.py:951-1025): top-1/top-5 accuracy
     and mean CE loss over the val set; binary AUC when there are 2 classes."""
     import jax.numpy as jnp
@@ -732,11 +736,19 @@ def evaluate_folder(val_ds, state, eval_step, batch_size: int):
     n_correct1 = n_correct5 = n_total = 0
     loss_sum = 0.0
     all_scores, all_labels = [], []
-    for batch in val_ds.batches(batch_size, shuffle=False, drop_last=False):
-        logits, probs = eval_step(state, {"images": jnp.asarray(batch["images"])})
+
+    def _dispatch():
+        for batch in val_ds.batches(batch_size, shuffle=False, drop_last=False):
+            logits, probs = eval_step(
+                state, {"images": jnp.asarray(batch["images"])}
+            )
+            yield batch["labels"], (logits, probs)
+
+    for labels, (logits, probs) in pipelined_fetch(
+        _dispatch(), depth=dispatch_ahead
+    ):
         logits = np.asarray(logits, dtype=np.float32)
         probs = np.asarray(probs)
-        labels = batch["labels"]
         k = min(5, logits.shape[-1])
         topk = np.argsort(-logits, axis=-1)[:, :k]
         n_correct1 += int((topk[:, 0] == labels).sum())
@@ -787,8 +799,17 @@ def evaluate_slides(args, state, eval_step):
         # multi-target: one aggregator per 2-class head; per-target slide/
         # patch AUCs plus their mean as the ranking metric
         aggs = [SlideAggregator() for _ in names]
-        for chunk in walker.walk():
-            logits, _ = eval_step(state, {"images": jnp.asarray(chunk.images)})
+
+        def _dispatch_mt():
+            for chunk in walker.walk():
+                logits, _ = eval_step(
+                    state, {"images": jnp.asarray(chunk.images)}
+                )
+                yield chunk, logits
+
+        for chunk, logits in pipelined_fetch(
+            _dispatch_mt(), depth=args.dispatch_ahead
+        ):
             logits = np.asarray(logits, dtype=np.float32)
             for t, a in enumerate(aggs):
                 lt = logits[:, 2 * t : 2 * t + 2]
@@ -810,9 +831,16 @@ def evaluate_slides(args, state, eval_step):
         )
         return metrics, aggs[0]
     agg = SlideAggregator()
-    for chunk in walker.walk():
-        _, probs = eval_step(state, {"images": jnp.asarray(chunk.images)})
-        agg.add_chunk(chunk, np.asarray(probs))
+
+    def _dispatch():
+        for chunk in walker.walk():
+            _, probs = eval_step(state, {"images": jnp.asarray(chunk.images)})
+            yield chunk, probs
+
+    # dispatch-ahead pipelining (infer/pipeline.py): device computes chunk i
+    # while the host decodes chunk i+1 and fetches chunk i-depth
+    for chunk, probs in pipelined_fetch(_dispatch(), depth=args.dispatch_ahead):
+        agg.add_chunk(chunk, probs)
     if not agg.results:
         return {}, None
     return {"auc": agg.slide_auc(), "patch_auc": agg.patch_auc()}, agg
@@ -859,11 +887,19 @@ def extract_features(args, model, state, eval_step, output_dir):
         table, tiles_per_iter=args.tiles_per_iter, num_tiles=args.num_tiles
     )
     agg = SlideAggregator(extract_features=True)
-    for chunk in walker.walk():
-        images = jnp.asarray(chunk.images)
-        _, probs = eval_step(state, {"images": images})
-        feats = feat_step(_strip_head(state.params), images)
-        agg.add_chunk(chunk, np.asarray(probs), np.asarray(feats))
+    feat_params = _strip_head(state.params)
+
+    def _dispatch_feats():
+        for chunk in walker.walk():
+            images = jnp.asarray(chunk.images)
+            _, probs = eval_step(state, {"images": images})
+            feats = feat_step(feat_params, images)
+            yield chunk, (probs, feats)
+
+    for chunk, (probs, feats) in pipelined_fetch(
+        _dispatch_feats(), depth=args.dispatch_ahead
+    ):
+        agg.add_chunk(chunk, probs, feats)
     feat_dir = os.path.join(output_dir, "features")
     agg.save_features_pt(feat_dir)
     agg.save_inference_data(os.path.join(feat_dir, "inference.data"))
@@ -1048,9 +1084,15 @@ def train_survival(args, output_dir, ledger, exp):
             eval_metrics = {}
             if epoch % args.eval_rate == 0 or epoch == args.epochs - 1:
                 agg = SurvivalAggregator()
-                for chunk in walker.walk():
-                    risks = risk_fn(state.params, jnp.asarray(chunk.images))
-                    agg.add_chunk(chunk, np.asarray(risks))
+
+                def _dispatch_surv(params):
+                    for chunk in walker.walk():
+                        yield chunk, risk_fn(params, jnp.asarray(chunk.images))
+
+                for chunk, risks in pipelined_fetch(
+                    _dispatch_surv(state.params), depth=args.dispatch_ahead
+                ):
+                    agg.add_chunk(chunk, risks)
                 if agg.results:
                     eval_metrics = {"c_index": agg.slide_c_index()}
                     try:

@@ -121,11 +121,18 @@ def infer_survival_slides(
     walker: SurvivalSlideWalker,
     risk_fn,
     aggregator: Optional[SurvivalAggregator] = None,
+    dispatch_ahead: int = 2,
 ) -> SurvivalAggregator:
     """Drive a full survival inference pass: ``risk_fn(images) -> (N,) risk``
     is the jitted model (Cox risk head or binary-logit margin)."""
+    from tpuwsi.infer.pipeline import pipelined_fetch
+
     agg = aggregator or SurvivalAggregator()
-    for chunk in walker.walk():
-        risks = np.asarray(risk_fn(chunk.images))
-        agg.add_chunk(chunk, risks)
+
+    def _dispatch():
+        for chunk in walker.walk():
+            yield chunk, risk_fn(chunk.images)
+
+    for chunk, risks in pipelined_fetch(_dispatch(), depth=dispatch_ahead):
+        agg.add_chunk(chunk, np.asarray(risks))
     return agg
