@@ -1,0 +1,129 @@
+"""--steps-per-dispatch: the scanned multi-step driver must be bit-equivalent
+to N single-step dispatches (same rng folding via state.step), unit-level and
+through the CLI."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from tpuwsi.models.vit import ViTConfig, VisionTransformer
+from tpuwsi.preprocess.recipes import make_recipe
+from tpuwsi.train import OptimConfig, make_optimizer
+from tpuwsi.train.state import create_train_state
+from tpuwsi.train.supervised import make_multi_step, make_train_step
+
+
+def _tiny_state_and_step():
+    model = VisionTransformer(
+        ViTConfig(img_size=32, patch_size=16, embed_dim=32, depth=2,
+                  num_heads=2, num_classes=2, dtype=jnp.float32,
+                  use_pallas_attention=False)
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
+    )
+    tx, _ = make_optimizer(
+        OptimConfig(opt="adamw", lr=1e-3, warmup_epochs=0), params,
+        global_batch_size=4,
+    )
+    state = create_train_state(params, tx)
+    aug = make_recipe("flip", train=True, tile_size=32)
+    step = make_train_step(model.apply, tx, augment_fn=aug, ema_decay=0.9)
+    return state, step
+
+
+def test_multi_step_matches_single_steps():
+    state, step = _tiny_state_and_step()
+    rng = jax.random.PRNGKey(7)
+    rngnp = np.random.default_rng(1)
+    batches = [
+        {
+            "images": rngnp.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8),
+            "labels": rngnp.integers(0, 2, (4,), dtype=np.int64),
+        }
+        for _ in range(4)
+    ]
+
+    s1 = state
+    jstep = jax.jit(step)
+    for b in batches:
+        s1, m1 = jstep(s1, {k: jnp.asarray(v) for k, v in b.items()}, rng)
+
+    multi = jax.jit(make_multi_step(step))
+    stacked = {
+        k: jnp.asarray(np.stack([b[k] for b in batches]))
+        for k in ("images", "labels")
+    }
+    s4, m4 = multi(state, stacked, rng)
+
+    assert int(s1.step) == int(s4.step) == 4
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s4.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # EMA tree advanced identically too
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.ema_params),
+        jax.tree_util.tree_leaves(s4.ema_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # last-step metrics correspond to the 4th step
+    np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]), atol=1e-6)
+
+
+def test_interval_hit_matches_per_step_semantics():
+    from tpuwsi.cli.train import _chunked_enumerate, _interval_hit
+
+    # spd=1 degenerates to i % n == 0
+    for n in (1, 2, 5):
+        for i in range(12):
+            assert _interval_hit(i, i, n) == (i % n == 0)
+    # chunked: fires iff any k in [i, j] is a multiple
+    for n in (2, 3, 5):
+        for spd in (2, 3, 4):
+            chunks = list(_chunked_enumerate(range(13), spd))
+            fired = [
+                (i, i + len(c) - 1)
+                for i, c in chunks
+                if _interval_hit(i, i + len(c) - 1, n)
+            ]
+            expect = [
+                (i, i + len(c) - 1)
+                for i, c in chunks
+                if any(k % n == 0 for k in range(i, i + len(c)))
+            ]
+            assert fired == expect
+
+
+def test_cli_steps_per_dispatch(tmp_path):
+    from tpuwsi.cli.train import main
+
+    rng = np.random.default_rng(0)
+    for cls, base in (("neg", 40), ("pos", 200)):
+        os.makedirs(tmp_path / "train" / cls)
+        for i in range(8):
+            arr = np.clip(
+                rng.normal(base, 20, (32, 32, 3)), 0, 255
+            ).astype(np.uint8)
+            Image.fromarray(arr).save(tmp_path / "train" / cls / f"{i}.png")
+
+    out = str(tmp_path / "runs")
+    state = main([
+        "--data-dir", str(tmp_path / "train"),
+        "--model", "vit_tiny_patch16_224",
+        "--img-size", "32",
+        "-b", "4",
+        "--epochs", "1",
+        "--warmup-epochs", "0",
+        "--transform_type", "flip",
+        "--output", out,
+        "--eval_rate", "100",
+        "--val-split", "0",
+        "--steps-per-dispatch", "2",
+    ])
+    # 16 images / batch 4 = 4 steps (2 scanned dispatches)
+    assert int(state.step) == 4

@@ -238,6 +238,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="bound device run-ahead: sync every N steps "
                              "(unbounded queues hold N optimizer states in "
                              "HBM and thrash; measured 5x slowdown)")
+    parser.add_argument("--steps-per-dispatch", default=1, type=int,
+                        help="scan N optimizer steps in ONE device dispatch "
+                             "(the bench.py K-step driver, productionized): "
+                             "amortizes per-call dispatch latency; "
+                             "log/recovery granularity becomes N steps")
     return parser
 
 

@@ -527,6 +527,24 @@ def main(argv=None, default_overrides=None):
                          keep_state_sharding=tp)
         )
 
+    # --steps-per-dispatch: the bench's K-step lax.scan driver,
+    # productionized — one dispatch runs N optimizer steps over a stacked
+    # (N, B, ...) super-batch (train/supervised.make_multi_step)
+    jit_multi = jit_multi_nomix = None
+    if args.steps_per_dispatch > 1:
+        from tpuwsi.train.supervised import make_multi_step
+
+        jit_multi = scheduled_step(
+            compile_step(make_multi_step(step_fn), mesh, state, donate=False,
+                         keep_state_sharding=tp)
+        )
+        jit_multi_nomix = jit_multi
+        if mix_fn is not None and args.mixup_off_epoch:
+            jit_multi_nomix = scheduled_step(
+                compile_step(make_multi_step(nomix_fn), mesh, state,
+                             donate=False, keep_state_sharding=tp)
+            )
+
     if folder_mode and args.transform_type == "timm":
         from tpuwsi.preprocess.timm_aug import make_timm_eval
 
@@ -602,7 +620,11 @@ def main(argv=None, default_overrides=None):
                 batches = Prefetcher(batches, depth=3)
                 t0 = time.time()
                 metrics = {}
-                for i, batch in enumerate(batches):
+                spd = max(args.steps_per_dispatch, 1)
+                for i, chunk in _chunked_enumerate(batches, spd):
+                    # i = first step index of this dispatch; j = last
+                    j = i + len(chunk) - 1
+                    batch = chunk[0]
                     if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:
                         break
                     if args.images and i == 0:
@@ -631,29 +653,48 @@ def main(argv=None, default_overrides=None):
                             os.path.join(output_dir, "images"),
                             f"epoch{epoch}_aug0.png",
                         )
-                    sb = shard_batch(
-                        mesh, {"images": batch["images"], "labels": batch["labels"]}
+                    nomix = (
+                        args.mixup_off_epoch and epoch >= args.mixup_off_epoch
                     )
-                    step_for_epoch = (
-                        jit_step_nomix
-                        if args.mixup_off_epoch and epoch >= args.mixup_off_epoch
-                        else jit_step
-                    )
-                    state, metrics = step_for_epoch(state, sb, rng)
-                    if args.dispatch_ahead and i % args.dispatch_ahead == 0:
+                    if len(chunk) < spd or spd == 1:
+                        # single-step path; also the ragged epoch tail
+                        # (len < spd) — per-step jits instead of compiling a
+                        # second scan length
+                        for b in chunk:
+                            sb = shard_batch(
+                                mesh,
+                                {"images": b["images"], "labels": b["labels"]},
+                            )
+                            state, metrics = (
+                                jit_step_nomix if nomix else jit_step
+                            )(state, sb, rng)
+                    else:
+                        # stacked (steps, batch, ...) super-batch: one scanned
+                        # dispatch runs spd optimizer steps
+                        stacked = {
+                            k: np.stack([b[k] for b in chunk])
+                            for k in ("images", "labels")
+                        }
+                        sb = shard_batch(mesh, stacked, batch_axis=1)
+                        state, metrics = (
+                            jit_multi_nomix if nomix else jit_multi
+                        )(state, sb, rng)
+                    if args.dispatch_ahead and _interval_hit(
+                        i, j, args.dispatch_ahead
+                    ):
                         float(metrics["loss"])  # bound device run-ahead
-                    if args.log_interval and i % args.log_interval == 0:
+                    if args.log_interval and _interval_hit(
+                        i, j, args.log_interval
+                    ):
                         m = {k: float(v) for k, v in metrics.items()}
-                        rate = (i + 1) * args.batch_size / (time.time() - t0)
+                        rate = (j + 1) * args.batch_size / (time.time() - t0)
                         logging.info(
                             "epoch %d step %d loss %.4f auc %.3f (%.1f tiles/s)",
-                            epoch, i, m.get("loss", 0), m.get("auc", 0.5), rate,
+                            epoch, j, m.get("loss", 0), m.get("auc", 0.5), rate,
                         )
                         tracker.log({**m, "rate": rate}, step=int(state.step))
-                    if (
-                        args.recovery_interval
-                        and i % max(args.recovery_interval, 1) == 0
-                        and i > 0
+                    if args.recovery_interval and _interval_hit(
+                        max(i, 1), j, max(args.recovery_interval, 1)
                     ):
                         ckpt.save(int(state.step), state, {"recovery": 1.0})
                 train_metrics = {k: float(v) for k, v in metrics.items()}
@@ -723,6 +764,29 @@ def main(argv=None, default_overrides=None):
     ckpt.wait()
     tracker.finish()
     return state
+
+
+def _chunked_enumerate(iterable, n: int):
+    """Yield (first_step_index, [up to n batches]) — the host-side grouping
+    for --steps-per-dispatch super-batches."""
+    buf, start = [], 0
+    for b in iterable:
+        buf.append(b)
+        if len(buf) == n:
+            yield start, buf
+            start += n
+            buf = []
+    if buf:
+        yield start, buf
+
+
+def _interval_hit(i: int, j: int, n: int) -> bool:
+    """True iff some step index k in [i, j] has k % n == 0 — the chunked
+    generalization of the per-step ``i % n == 0`` triggers (identical when
+    i == j)."""
+    if n <= 0:
+        return False
+    return True if i <= 0 else (j // n) > ((i - 1) // n)
 
 
 def evaluate_folder(val_ds, state, eval_step, batch_size: int,
@@ -1211,9 +1275,14 @@ def train_ssl(args, output_dir):
     )
     from tpuwsi.core.compile import scheduled_step
 
-    step = scheduled_step(
-        jax.jit(make_dino_train_step(model.apply, tx, dcfg, multicrop_fn=mc))
-    )
+    raw_step = make_dino_train_step(model.apply, tx, dcfg, multicrop_fn=mc)
+    step = scheduled_step(jax.jit(raw_step))
+    multi_step = None
+    if args.steps_per_dispatch > 1:
+        # the bench.py K-step scan driver as the production SSL loop
+        from tpuwsi.train.supervised import make_multi_step
+
+        multi_step = scheduled_step(jax.jit(make_multi_step(raw_step)))
     ckpt = CheckpointManager(
         os.path.join(output_dir, "checkpoints"), metric_name="loss", mode="min"
     )
@@ -1233,17 +1302,29 @@ def train_ssl(args, output_dir):
                                      process_count=pcount)
             )
             metrics = {}
-            for i, batch in enumerate(Prefetcher(batches, depth=3)):
+            spd = max(args.steps_per_dispatch, 1)
+            for i, chunk in _chunked_enumerate(Prefetcher(batches, depth=3), spd):
+                j = i + len(chunk) - 1
                 if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:
                     break
-                sb = shard_batch(mesh, {"images": batch["images"]})
-                state, metrics = step(state, sb, rng)
-                if args.dispatch_ahead and i % args.dispatch_ahead == 0:
+                if len(chunk) < spd or spd == 1:
+                    for b in chunk:
+                        sb = shard_batch(mesh, {"images": b["images"]})
+                        state, metrics = step(state, sb, rng)
+                else:
+                    stacked = {
+                        "images": np.stack([b["images"] for b in chunk])
+                    }
+                    sb = shard_batch(mesh, stacked, batch_axis=1)
+                    state, metrics = multi_step(state, sb, rng)
+                if args.dispatch_ahead and _interval_hit(
+                    i, j, args.dispatch_ahead
+                ):
                     float(metrics["loss"])  # bound device run-ahead
-                if args.log_interval and i % args.log_interval == 0:
+                if args.log_interval and _interval_hit(i, j, args.log_interval):
                     logging.info(
                         "ssl epoch %d step %d loss %.4f momentum %.5f",
-                        epoch, i, float(metrics["loss"]),
+                        epoch, j, float(metrics["loss"]),
                         float(metrics["ema_momentum"]),
                     )
             ckpt.save(int(state.step), state,

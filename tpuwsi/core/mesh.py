@@ -83,7 +83,7 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
+def shard_batch(mesh: Mesh, batch, batch_axis: int = 0):
     """Place a pytree of host arrays onto the mesh, batch-dim sharded.
 
     Single-process: a plain sharded device_put. Multi-host (mesh spans more
@@ -91,14 +91,23 @@ def shard_batch(mesh: Mesh, batch):
     batch (io/wsi.py batches(process_index=...)), so the global array is
     assembled with ``jax.make_array_from_process_local_data`` — the
     TPU-native replacement for DistributedSampler + DDP input scatter
-    (reference train.py:732, sbatch-ssl.sh:55 torchrun)."""
+    (reference train.py:732, sbatch-ssl.sh:55 torchrun).
+
+    ``batch_axis``: which axis is the per-example batch dim — 1 for the
+    stacked (steps, batch, ...) super-batches of the scanned multi-step
+    driver (--steps-per-dispatch), 0 otherwise."""
     multiproc = any(
         d.process_index != jax.process_index() for d in mesh.devices.flat
     )
 
     def put(x):
         x = np.asarray(x)
-        sharding = data_sharding(mesh, x.ndim)
+        if batch_axis == 0:
+            sharding = data_sharding(mesh, x.ndim)
+        else:
+            spec = [None] * x.ndim
+            spec[batch_axis] = DATA_AXIS
+            sharding = NamedSharding(mesh, P(*spec))
         if multiproc:
             return jax.make_array_from_process_local_data(sharding, x)
         return jax.device_put(x, sharding)

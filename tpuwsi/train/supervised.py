@@ -128,6 +128,28 @@ def make_eval_step(
     return step
 
 
+def make_multi_step(step_fn):
+    """Scan ``step_fn(state, batch, rng)`` over a stacked super-batch.
+
+    The bench's K-step on-device driver (bench.py), productionized for the
+    CLI loops (--steps-per-dispatch): the batch pytree carries a leading
+    steps axis — ``lax.scan`` runs one jitted dispatch per N optimizer
+    steps, amortizing per-call dispatch latency (measured ~7 ms/step on the
+    tunneled v5e; sub-ms but nonzero on TPU VMs). Per-step RNG decorrelation
+    comes from the step's own ``fold_in(rng, state.step)``. Returns the LAST
+    step's metrics (same sampling semantics as reading metrics every
+    ``--log-interval`` steps)."""
+
+    def multi(state, batches, rng):
+        def body(st, b):
+            return step_fn(st, b, rng)
+
+        state, ms = jax.lax.scan(body, state, batches)
+        return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+    return multi
+
+
 def compile_step(step_fn, mesh, state: TrainState, donate: bool = True,
                  keep_state_sharding: bool = False):
     """jit a (state, batch, rng) step with DP shardings over the mesh.
