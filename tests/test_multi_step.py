@@ -99,6 +99,33 @@ def test_interval_hit_matches_per_step_semantics():
             assert fired == expect
 
 
+from tests.test_cli import survival_cli_cohort  # noqa: F401  (fixture)
+
+
+def test_cli_survival_steps_per_dispatch(survival_cli_cohort, tmp_path):
+    """The survival loop stacks all four batch keys for the scanned driver."""
+    from tpuwsi.cli.train import main
+
+    out = str(tmp_path / "runs")
+    state = main([
+        "--dataset", "ABCTB_TIF",
+        "--data-root", survival_cli_cohort,
+        "--model", "vit_tiny_patch16_224",
+        "--tile-size", "32",
+        "-b", "4",
+        "--epochs", "1",
+        "--max-steps-per-epoch", "4",
+        "--warmup-epochs", "0",
+        "--transform_type", "flip",
+        "--output", out,
+        "--eval_rate", "100",
+        "-tf", "1",
+        "-tar", "Survival_Time",
+        "--steps-per-dispatch", "2",
+    ])
+    assert int(state.step) >= 4
+
+
 def test_cli_steps_per_dispatch(tmp_path):
     from tpuwsi.cli.train import main
 

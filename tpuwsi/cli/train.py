@@ -1085,6 +1085,11 @@ def train_survival(args, output_dir, ledger, exp):
     from tpuwsi.core.compile import scheduled_step
 
     jit_step = scheduled_step(jax.jit(step_fn))
+    jit_multi = None
+    if args.steps_per_dispatch > 1:
+        from tpuwsi.train.supervised import make_multi_step
+
+        jit_multi = scheduled_step(jax.jit(make_multi_step(step_fn)))
 
     eval_norm = make_recipe(
         args.transform_type, train=False, tile_size=img_size, norm_type="Ron"
@@ -1121,26 +1126,33 @@ def train_survival(args, output_dir, ledger, exp):
                 process_index=pindex, process_count=pcount,
             )
             metrics = {}
-            for i, batch in enumerate(Prefetcher(batches, depth=3)):
+            spd = max(args.steps_per_dispatch, 1)
+            keys = ("images", "binary_targets", "time_targets", "censored")
+            for i, chunk in _chunked_enumerate(
+                Prefetcher(batches, depth=3), spd
+            ):
+                j = i + len(chunk) - 1
                 if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:
                     break
-                sb = shard_batch(
-                    mesh,
-                    {
-                        "images": batch["images"],
-                        "binary_targets": batch["binary_targets"],
-                        "time_targets": batch["time_targets"],
-                        "censored": batch["censored"],
-                    },
-                )
-                state, metrics = jit_step(state, sb, rng)
-                if args.dispatch_ahead and i % args.dispatch_ahead == 0:
+                if len(chunk) < spd or spd == 1:
+                    for b in chunk:
+                        sb = shard_batch(mesh, {k: b[k] for k in keys})
+                        state, metrics = jit_step(state, sb, rng)
+                else:
+                    stacked = {
+                        k: np.stack([b[k] for b in chunk]) for k in keys
+                    }
+                    sb = shard_batch(mesh, stacked, batch_axis=1)
+                    state, metrics = jit_multi(state, sb, rng)
+                if args.dispatch_ahead and _interval_hit(
+                    i, j, args.dispatch_ahead
+                ):
                     float(metrics["loss"])
-                if args.log_interval and i % args.log_interval == 0:
+                if args.log_interval and _interval_hit(i, j, args.log_interval):
                     m = {k: float(v) for k, v in metrics.items()}
                     logging.info(
                         "survival(%s) epoch %d step %d loss %.4f %s %.3f",
-                        mode, epoch, i, m.get("loss", 0.0), metric_name,
+                        mode, epoch, j, m.get("loss", 0.0), metric_name,
                         m.get(metric_name, 0.5),
                     )
             train_metrics = {k: float(v) for k, v in metrics.items()}
