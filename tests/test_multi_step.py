@@ -75,6 +75,50 @@ def test_multi_step_matches_single_steps():
     np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]), atol=1e-6)
 
 
+def test_multi_step_dp_mesh_matches_single_device():
+    """The stacked (steps, batch, ...) super-batch sharded on axis 1 over a
+    dp=4 mesh must produce the same state as the sequential single-device
+    loop (GSPMD gradient all-reduce under lax.scan)."""
+    from tpuwsi.core.mesh import MeshConfig, create_mesh, shard_batch
+    from tpuwsi.train.supervised import compile_step
+
+    state, step = _tiny_state_and_step()
+    rng = jax.random.PRNGKey(3)
+    rngnp = np.random.default_rng(2)
+    batches = [
+        {
+            "images": rngnp.integers(0, 255, (8, 32, 32, 3), dtype=np.uint8),
+            "labels": rngnp.integers(0, 2, (8,), dtype=np.int64),
+        }
+        for _ in range(3)
+    ]
+
+    s_ref = state
+    jstep = jax.jit(step)
+    for b in batches:
+        s_ref, _ = jstep(s_ref, {k: jnp.asarray(v) for k, v in b.items()}, rng)
+
+    mesh = create_mesh(MeshConfig(data=4), devices=jax.devices()[:4])
+    jit_multi = compile_step(
+        make_multi_step(step), mesh, state, donate=False
+    )
+    stacked = {
+        k: np.stack([b[k] for b in batches]) for k in ("images", "labels")
+    }
+    with mesh:
+        sb = shard_batch(mesh, stacked, batch_axis=1)
+        s_mesh, _ = jit_multi(state, sb, rng)
+
+    assert int(s_mesh.step) == int(s_ref.step) == 3
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_ref.params),
+        jax.tree_util.tree_leaves(s_mesh.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5
+        )
+
+
 def test_interval_hit_matches_per_step_semantics():
     from tpuwsi.cli.train import _chunked_enumerate, _interval_hit
 
