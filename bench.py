@@ -138,6 +138,12 @@ def main():
     # that all flow through the student — "augmented tiles" per the BASELINE
     # north star are the multi-crop outputs.
     views_per_sec = tiles_per_sec * 8
+    # The 10k north star is a TPU v4 number (275 TF/s bf16, 1228 GB/s); the
+    # chip behind this tunnel measures 201 TF/s on the pure ViT GEMM chain
+    # and ~1.06 TB/s elementwise (v5e-class). Region-scaled projection
+    # (GEMM+attention by 275/201, elementwise by HBM ratio — full derivation
+    # in BENCH.md "Hardware normalization"): measured step × 0.76.
+    v4_projected = views_per_sec / 0.76
     print(
         json.dumps(
             {
@@ -147,6 +153,9 @@ def main():
                 "vs_baseline": round(views_per_sec / NORTH_STAR, 4),
                 "source_tiles_per_sec": round(tiles_per_sec, 2),
                 "batch_size": batch_size,
+                "v4_projected_views_per_sec": round(v4_projected, 0),
+                "v4_projection_note": "region-scaled to the v4 spec the "
+                "north star assumes (this chip: 201/275 TF/s) — BENCH.md",
             }
         )
     )
