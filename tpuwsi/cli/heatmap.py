@@ -1,0 +1,169 @@
+"""Full-slide heatmap inference CLI.
+
+Parity surface: ``Batched_Full_Slide_Inference_Dataset``
+(datasets.py:2135-2351) — the reference ships the dataset but no driver; this
+entry walks every tile of each listed slide (tissue + sampled background),
+scores them with a trained classifier, and writes the per-slide class-1
+probability heatmap on the equivalent grid (datasets.py:2077-2083):
+
+  python -m tpuwsi.cli.heatmap --slides-file Infer_Slides.txt \\
+      --slide-mag 40 --checkpoint runs/Exp_1/checkpoints --output heatmaps/
+
+Outputs per slide: ``<name>.heatmap.npy`` (float32, NaN = not scored) and a
+grayscale ``<name>.heatmap.png`` render, plus a summary line with the
+mean-softmax slide score (train.py:1288 aggregation).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("tpuwsi full-slide heatmap inference")
+    p.add_argument("--slides-file", default=None,
+                   help="Infer_Slides.txt: one slide filename per line "
+                        "(datasets.py:2143-2150); paths relative to its dir")
+    p.add_argument("--slide", action="append", default=[],
+                   help="slide path (repeatable; alternative to --slides-file)")
+    p.add_argument("--slide-mag", default=10.0, type=float,
+                   help="slide objective magnification (the slides_data "
+                        "'Manipulated Objective Power' column)")
+    p.add_argument("--desired-mag", default=10, type=int)
+    p.add_argument("--tile-size", default=256, type=int)
+    p.add_argument("--img-size", default=None, type=int,
+                   help="model input size (default: tile size)")
+    p.add_argument("--model", default="vit_small_patch16_224")
+    p.add_argument("--num-classes", default=2, type=int)
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoints dir from a training run (omit for a "
+                        "random-init smoke run)")
+    p.add_argument("--grid-dir", default=None,
+                   help="Grids_<mag> dir with tissue-grid pickles; tiles on "
+                        "the grid are flagged tissue")
+    p.add_argument("--background-fraction", default=0.2, type=float,
+                   help="fraction of off-grid background tiles scored "
+                        "(datasets.py:2222-2230)")
+    p.add_argument("-tpi", "--tiles-per-iter", dest="tiles_per_iter",
+                   default=100, type=int)
+    p.add_argument("--dispatch-ahead", default=2, type=int)
+    p.add_argument("--output", default="heatmaps")
+    p.add_argument("--seed", default=0, type=int)
+    return p
+
+
+def _heatmap_png(heat: np.ndarray, path: str):
+    """Grayscale render: score 0→black, 1→white, unscored → black."""
+    from PIL import Image
+
+    img = np.nan_to_num(heat, nan=0.0)
+    Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(path)
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from tpuwsi.infer.full_slide import (
+        FullSlideWalker,
+        assemble_heatmap,
+        read_infer_slides_file,
+    )
+    from tpuwsi.infer.pipeline import pipelined_fetch
+    from tpuwsi.models.registry import create_model
+    from tpuwsi.preprocess import make_recipe
+    from tpuwsi.train.checkpoint import CheckpointManager
+    from tpuwsi.train.state import TrainState
+
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+
+    slides = list(args.slide)
+    if args.slides_file:
+        base = os.path.dirname(os.path.abspath(args.slides_file))
+        slides += [
+            os.path.join(base, s) for s in read_infer_slides_file(args.slides_file)
+        ]
+    if not slides:
+        raise SystemExit("no slides: pass --slides-file or --slide")
+
+    img_size = args.img_size or args.tile_size
+    model = create_model(
+        args.model, num_classes=args.num_classes, img_size=img_size,
+        use_pallas_attention=jax.default_backend() == "tpu",
+    )
+    params = model.init(
+        jax.random.PRNGKey(args.seed),
+        jnp.zeros((1, img_size, img_size, 3), jnp.float32),
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, opt_state=(),
+        ema_params=None,
+    )
+    if args.checkpoint:
+        restored = CheckpointManager(args.checkpoint).restore(target=state)
+        if restored is None:
+            raise SystemExit(f"no checkpoint restorable from {args.checkpoint}")
+        state = restored
+        logging.info("restored %s (step %d)", args.checkpoint, int(state.step))
+    else:
+        logging.warning("no --checkpoint: scoring with RANDOM-INIT weights")
+
+    norm = make_recipe("none", train=False, tile_size=img_size)
+
+    @jax.jit
+    def score(params, images):
+        x = norm(jax.random.PRNGKey(0), images)
+        logits = model.apply(params, x, deterministic=True)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
+
+    os.makedirs(args.output, exist_ok=True)
+    results = {}
+    for slide_path in slides:
+        walker = FullSlideWalker(
+            slide_path,
+            magnification=args.slide_mag,
+            tile_size=args.tile_size,
+            desired_magnification=args.desired_mag,
+            tiles_per_iter=args.tiles_per_iter,
+            grid_dir=args.grid_dir,
+            background_sample_fraction=args.background_fraction,
+            rng=np.random.default_rng(args.seed),
+        )
+
+        def _dispatch():
+            for chunk in walker.walk():
+                yield chunk, score(state.params, jnp.asarray(chunk.images))
+
+        locs, scores, tissue_scores = [], [], []
+        shape = walker.equivalent_grid_shape
+        for chunk, s in pipelined_fetch(_dispatch(), depth=args.dispatch_ahead):
+            s = np.asarray(s)[chunk.mask]
+            locs.append(chunk.equivalent_locations[chunk.mask])
+            scores.append(s)
+            tissue_scores.extend(s[chunk.is_tissue[chunk.mask]].tolist())
+        locs = np.concatenate(locs) if locs else np.zeros((0, 2), int)
+        scores = np.concatenate(scores) if scores else np.zeros((0,))
+        heat = assemble_heatmap(shape, locs, scores)
+        name = os.path.splitext(os.path.basename(slide_path))[0]
+        npy = os.path.join(args.output, f"{name}.heatmap.npy")
+        np.save(npy, heat)
+        _heatmap_png(heat, os.path.join(args.output, f"{name}.heatmap.png"))
+        slide_score = float(np.mean(tissue_scores)) if tissue_scores else float(
+            np.mean(scores)
+        ) if len(scores) else float("nan")
+        results[name] = slide_score
+        logging.info(
+            "%s: %d tiles scored on a %s grid, slide score %.4f → %s",
+            name, len(scores), shape, slide_score, npy,
+        )
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,33 @@ def make_mil_train_step(model: GatedAttentionMIL, tx: optax.GradientTransformati
     return step
 
 
+def evaluate_mil(model, state, dataset, batch_size: int = 16, seed: int = 0):
+    """Slide-level eval over a FeaturesMILDataset: deterministic-order full
+    pass, per-bag class-1 prob → AUC/accuracy (the MIL analogue of the
+    reference's slide-level validate, train.py:1334-1338)."""
+    from tpuwsi.infer.aggregate import roc_auc
+
+    rng = np.random.default_rng(seed)
+    probs, labels = [], []
+    fwd = jax.jit(lambda p, f, m: jax.nn.softmax(model.apply(p, f, m), axis=-1))
+    for batch in dataset.bags(rng, batch_size, shuffle=False):
+        p = np.asarray(
+            fwd(state.params, jnp.asarray(batch["features"]),
+                jnp.asarray(batch["mask"]))
+        )
+        probs.extend(p[:, 1].tolist())
+        labels.extend(np.asarray(batch["labels"]).tolist())
+    out = {
+        "eval_acc": float(
+            np.mean((np.asarray(probs) > 0.5) == np.asarray(labels))
+        ),
+        "eval_n_slides": len(labels),
+    }
+    if len(set(labels)) == 2:
+        out["eval_auc"] = roc_auc(probs, labels)
+    return out
+
+
 def train_mil_head(
     dataset,
     num_classes: int = 2,
@@ -57,7 +84,10 @@ def train_mil_head(
     eval_dataset=None,
     log_fn: Optional[Callable] = None,
 ):
-    """Train a gated-attention MIL head over a FeaturesMILDataset."""
+    """Train a gated-attention MIL head over a FeaturesMILDataset.
+
+    ``eval_dataset``: optional held-out FeaturesMILDataset — evaluated every
+    epoch (slide-level AUC/acc merged into the logged metrics)."""
     rng = np.random.default_rng(seed)
     first = next(dataset.bags(rng, batch_size))
     model = GatedAttentionMIL(hidden_dim=hidden_dim, num_classes=num_classes)
@@ -75,8 +105,13 @@ def train_mil_head(
             state, metrics = step(
                 state, jax.tree_util.tree_map(jnp.asarray, batch)
             )
+        metrics = {k: float(v) for k, v in metrics.items()}
+        if eval_dataset is not None:
+            metrics.update(
+                evaluate_mil(model, state, eval_dataset, batch_size, seed)
+            )
         if log_fn:
-            log_fn(epoch, {k: float(v) for k, v in metrics.items()})
+            log_fn(epoch, metrics)
     return model, state
 
 
