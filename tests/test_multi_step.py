@@ -143,6 +143,55 @@ def test_interval_hit_matches_per_step_semantics():
             assert fired == expect
 
 
+def test_prefetcher_propagates_producer_error():
+    from tpuwsi.io.wsi import Prefetcher
+
+    def gen():
+        yield 1
+        raise RuntimeError("slide read failed")
+
+    pf = Prefetcher(gen(), depth=2)
+    out = [next(pf)]
+    with pytest.raises(RuntimeError, match="slide read failed"):
+        next(pf)
+    assert out == [1]
+
+
+def test_prefetcher_close_unblocks_producer():
+    import threading
+    import time as _time
+
+    from tpuwsi.io.wsi import Prefetcher
+
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    pf = Prefetcher(gen(), depth=2)
+    next(pf)
+    pf.close()
+    # producer thread must exit promptly, not stay parked on a full queue
+    pf._thread.join(timeout=3.0)
+    assert not pf._thread.is_alive()
+    assert len(produced) < 1000
+
+
+def test_chunked_enumerate_closes_source_on_break():
+    from tpuwsi.cli.train import _chunked_enumerate
+    from tpuwsi.io.wsi import Prefetcher
+
+    pf = Prefetcher(iter(range(100)), depth=2)
+    for i, chunk in _chunked_enumerate(pf, 4):
+        if i >= 8:
+            break
+    # the for-loop break closes the generator, whose finally closes pf
+    pf._thread.join(timeout=3.0)
+    assert not pf._thread.is_alive()
+
+
 from tests.test_cli import survival_cli_cohort  # noqa: F401  (fixture)
 
 

@@ -768,16 +768,26 @@ def main(argv=None, default_overrides=None):
 
 def _chunked_enumerate(iterable, n: int):
     """Yield (first_step_index, [up to n batches]) — the host-side grouping
-    for --steps-per-dispatch super-batches."""
-    buf, start = [], 0
-    for b in iterable:
-        buf.append(b)
-        if len(buf) == n:
+    for --steps-per-dispatch super-batches.
+
+    Closes a closeable source (the Prefetcher) on exit — including the
+    consumer breaking early (--max-steps-per-epoch), where an unclosed
+    producer thread would stay parked on the full queue for the rest of the
+    run (one leaked thread per epoch)."""
+    try:
+        buf, start = [], 0
+        for b in iterable:
+            buf.append(b)
+            if len(buf) == n:
+                yield start, buf
+                start += n
+                buf = []
+        if buf:
             yield start, buf
-            start += n
-            buf = []
-    if buf:
-        yield start, buf
+    finally:
+        close = getattr(iterable, "close", None)
+        if close is not None:
+            close()
 
 
 def _interval_hit(i: int, j: int, n: int) -> bool:

@@ -261,30 +261,67 @@ class WSITileSampler:
 
 
 class Prefetcher:
-    """Background-thread batch prefetcher (double/triple buffering)."""
+    """Background-thread batch prefetcher (double/triple buffering).
+
+    Producer exceptions are captured and re-raised in the CONSUMER (a
+    swallowed read error would otherwise silently truncate the epoch), and
+    ``close()`` unblocks + retires the producer when the consumer stops
+    early (``--max-steps-per-epoch`` / eval break) so long runs don't
+    accumulate threads parked on a full queue."""
 
     def __init__(self, iterator, depth: int = 3, transform=None):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._transform = transform
         self._done = object()
         self._iterator = iterator
+        self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
+        self._finished = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
+
+    def _put(self, item) -> bool:
+        """put with stop-responsiveness; False = consumer closed us."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _run(self):
         try:
             for item in self._iterator:
                 if self._transform is not None:
                     item = self._transform(item)
-                self._q.put(item)
+                if not self._put(item):
+                    return
+        except BaseException as e:  # re-raised consumer-side
+            self._err = e
         finally:
-            self._q.put(self._done)
+            self._put(self._done)
+
+    def close(self):
+        """Stop the producer and drain the queue (idempotent)."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=2.0)
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._finished:
+            raise StopIteration
         item = self._q.get()
         if item is self._done:
+            self._finished = True
+            if self._err is not None:
+                raise self._err
             raise StopIteration
         return item
