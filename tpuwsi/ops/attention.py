@@ -167,7 +167,13 @@ def _flash_kernel_stats(
         # lse = 0 instead: masked scores are NEG_INF, so exp(s - 0) = 0 and
         # every gradient contribution from the masked row vanishes.
         lse = m_scratch[:, 0:1] + jnp.log(jnp.maximum(l, 1e-30))
-        lse_ref[0] = jnp.where(l == 0.0, 0.0, lse)[:, 0]
+        # lse rides a (BH, 1, SQpad) array: Mosaic requires the block's last
+        # two dims to divide (8, 128) or equal the array dims — a 2-D
+        # (1, tile_q) block over (BH, SQpad) is ILLEGAL on real TPU for
+        # BH > 1 (caught by scripts/bench_longseq.py; interpret-mode tests
+        # don't check block shapes). The singleton middle dim satisfies the
+        # sublane rule exactly.
+        lse_ref[0, 0] = jnp.where(l == 0.0, 0.0, lse)[:, 0]
 
 
 def _flash_forward(q, k, v, kv_lengths, scale, tile_q, tile_k, interpret,
@@ -205,11 +211,11 @@ def _flash_forward(q, k, v, kv_lengths, scale, tile_q, tile_k, interpret,
     if return_stats:
         out_specs = [
             out_specs,
-            pl.BlockSpec((1, tile_q), lambda bh, qi, ki, lens: (bh, qi)),
+            pl.BlockSpec((1, 1, tile_q), lambda bh, qi, ki, lens: (bh, 0, qi)),
         ]
         out_shape = [
             out_shape,
-            jax.ShapeDtypeStruct((bh, qf.shape[1]), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 1, qf.shape[1]), jnp.float32),
         ]
         kernel = functools.partial(
             _flash_kernel_stats, scale=scale, tile_k=tile_k
@@ -244,7 +250,8 @@ def _flash_forward(q, k, v, kv_lengths, scale, tile_q, tile_k, interpret,
         out, lse = out
         if pad_q:
             out = out[:, :s_q, :]
-        return out.reshape(b, h, s_q, d), lse  # lse stays (BH, SQpad)
+        # keep the external (BH, SQpad) contract
+        return out.reshape(b, h, s_q, d), lse.reshape(bh, -1)
 
     if pad_q:
         out = out[:, :s_q, :]
@@ -277,12 +284,12 @@ def _flash_bwd_dq_kernel(
     kv_len = lengths_ref[bh]
     gk = ki * tile_k + jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
     st = jnp.where(gk < kv_len, st, NEG_INF)
-    pt = jnp.exp(st - lse_ref[...])  # (TK, TQ) f32
+    pt = jnp.exp(st - lse_ref[0])  # (TK, TQ) f32, lse block (1, 1, TQ)
     dpt = jax.lax.dot_general(
         v_ref[0], do_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (TK, TQ)
-    dst = (pt * (dpt - delta_ref[...]) * scale).astype(k.dtype)
+    dst = (pt * (dpt - delta_ref[0]) * scale).astype(k.dtype)
     # dq[i, c] = Σ_j dst[j, i] k[j, c]
     dq_scratch[:] += jax.lax.dot_general(
         dst, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -318,7 +325,7 @@ def _flash_bwd_dkv_kernel(
     kv_len = lengths_ref[bh]
     gk = ki * tile_k + jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
     st = jnp.where(gk < kv_len, st, NEG_INF)
-    pt = jnp.exp(st - lse_ref[...])  # (TK, TQ) f32
+    pt = jnp.exp(st - lse_ref[0])  # (TK, TQ) f32, lse block (1, 1, TQ)
     do = do_ref[0]
     dv_scratch[:] += jax.lax.dot_general(
         pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
@@ -328,7 +335,7 @@ def _flash_bwd_dkv_kernel(
         v_ref[0], do, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dst = (pt * (dpt - delta_ref[...]) * scale).astype(q.dtype)
+    dst = (pt * (dpt - delta_ref[0]) * scale).astype(q.dtype)
     dk_scratch[:] += jax.lax.dot_general(
         dst, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -354,18 +361,21 @@ def _flash_backward(q, k, v, o, do, lse, scale, tile_q, tile_k, interpret):
     pad_q = _cdiv(s_q, tile_q) * tile_q - s_q
     pad_k = _cdiv(s_k, tile_k) * tile_k - s_k
 
+    # lse/delta ride (BH, 1, SQpad) arrays with (1, 1, tile_q) blocks — the
+    # singleton sublane dim is what makes the row-vector block legal on
+    # real TPU (Mosaic last-two-dims rule; see _write_lse).
     delta = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
-    ).reshape(bh, s_q)
+    ).reshape(bh, 1, s_q)
     qf = q.reshape(bh, s_q, d)
     kf = k.reshape(bh, s_k, d)
     vf = v.reshape(bh, s_k, d)
     dof = do.reshape(bh, s_q, d)
-    lsef = lse.reshape(bh, -1)  # already padded to SQpad by the forward
+    lsef = lse.reshape(bh, 1, -1)  # already padded to SQpad by the forward
     if pad_q:
         qf = jnp.pad(qf, ((0, 0), (0, pad_q), (0, 0)))
         dof = jnp.pad(dof, ((0, 0), (0, pad_q), (0, 0)))
-        delta = jnp.pad(delta, ((0, 0), (0, pad_q)))
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, pad_q)))
     if pad_k:
         kf = jnp.pad(kf, ((0, 0), (0, pad_k), (0, 0)))
         vf = jnp.pad(vf, ((0, 0), (0, pad_k), (0, 0)))
@@ -376,7 +386,7 @@ def _flash_backward(q, k, v, o, do, lse, scale, tile_q, tile_k, interpret):
 
     qspec = pl.BlockSpec((1, tile_q, d), lambda bh, qi, ki, lens: (bh, qi, 0))
     kspec = pl.BlockSpec((1, tile_k, d), lambda bh, qi, ki, lens: (bh, ki, 0))
-    rowq = pl.BlockSpec((1, tile_q), lambda bh, qi, ki, lens: (bh, qi))
+    rowq = pl.BlockSpec((1, 1, tile_q), lambda bh, qi, ki, lens: (bh, 0, qi))
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale=scale, tile_k=tile_k),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -395,7 +405,7 @@ def _flash_backward(q, k, v, o, do, lse, scale, tile_q, tile_k, interpret):
 
     qspec2 = pl.BlockSpec((1, tile_q, d), lambda bh, ki, qi, lens: (bh, qi, 0))
     kspec2 = pl.BlockSpec((1, tile_k, d), lambda bh, ki, qi, lens: (bh, ki, 0))
-    rowq2 = pl.BlockSpec((1, tile_q), lambda bh, ki, qi, lens: (bh, qi))
+    rowq2 = pl.BlockSpec((1, 1, tile_q), lambda bh, ki, qi, lens: (bh, 0, qi))
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, scale=scale, tile_k=tile_k),
         grid_spec=pltpu.PrefetchScalarGridSpec(
