@@ -15,7 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("TPUWSI_TPU_TESTS"):
+    # TPUWSI_TPU_TESTS=1 keeps the real backend for the hardware-only
+    # kernel-path checks (test_tpu_kernel_paths.py)
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
 # Build the native tile-ingest library on first run (fresh checkouts have no
