@@ -807,6 +807,20 @@ def test_model_ema_eval_uses_ema_weights(patch_folder, tmp_path):
     )
 
 
+def test_cli_multi_target_rejects_mixup(wsi_cohort, tmp_path):
+    """Mixup one-hots (B,) labels; multi-target (B, T) matrices must be
+    rejected loudly (review finding r3-s3)."""
+    from tpuwsi.cli.train import main
+
+    with pytest.raises(SystemExit, match="single-label"):
+        main([
+            "--dataset", "TCGA", "--data-root", wsi_cohort,
+            "--model", "vit_tiny_patch16_224", "--tile-size", "32",
+            "-b", "4", "--epochs", "1", "--output", str(tmp_path / "r"),
+            "-tar", "ER+Her2", "--mixup", "0.2",
+        ])
+
+
 def test_cli_multi_target_end_to_end(wsi_cohort, tmp_path):
     """-tar ER+Her2 (datasets.py:55-61): T independent 2-class heads, masked
     per-head CE, per-target slide AUCs in the eval metrics."""

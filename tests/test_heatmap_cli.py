@@ -47,3 +47,62 @@ def test_heatmap_cli_requires_slides():
 
     with pytest.raises(SystemExit):
         main(["--output", "/tmp/x"])
+
+
+def test_heatmap_restores_full_training_checkpoint(tmp_path):
+    """Training checkpoints carry the FULL TrainState (opt_state + EMA);
+    the heatmap CLI must restore them without a structure mismatch and
+    prefer the EMA weights (review finding r3-s3)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpuwsi.cli.heatmap import main
+    from tpuwsi.models.registry import create_model
+    from tpuwsi.train.checkpoint import CheckpointManager
+    from tpuwsi.train.state import create_train_state
+
+    model = create_model(
+        "vit_tiny_patch16_224", num_classes=2, img_size=128,
+        use_pallas_attention=False,
+    )
+    params = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 128, 128, 3), jnp.float32)
+    )
+    tx = optax.adamw(1e-3)
+    state = create_train_state(params, tx, ema=True)
+    ckpt_dir = str(tmp_path / "ckpts")
+    mgr = CheckpointManager(ckpt_dir)
+    mgr.save(1, state, {"auc": 0.5})
+    mgr.wait()
+
+    arr = np.full((256, 256, 3), 120, np.uint8)
+    slide = str(tmp_path / "s.tif")
+    Image.fromarray(arr).save(slide)
+    results = main([
+        "--slide", slide, "--slide-mag", "10", "--tile-size", "128",
+        "--model", "vit_tiny_patch16_224",
+        "--checkpoint", ckpt_dir,
+        "--background-fraction", "1.0", "-tpi", "4",
+        "--output", str(tmp_path / "heat"),
+    ])
+    assert np.isfinite(list(results.values())[0])
+
+
+def test_heatmap_img_size_resizes(tmp_path):
+    """--img-size != tile-size must resample the tiles to the model input
+    size (previously the ViT silently ran at tile resolution)."""
+    from tpuwsi.cli.heatmap import main
+
+    arr = np.random.default_rng(0).integers(
+        0, 255, (256, 256, 3), dtype=np.uint8
+    ).astype(np.uint8)
+    slide = str(tmp_path / "s.tif")
+    Image.fromarray(arr).save(slide)
+    results = main([
+        "--slide", slide, "--slide-mag", "10", "--tile-size", "128",
+        "--img-size", "64", "--model", "vit_tiny_patch16_224",
+        "--background-fraction", "1.0", "-tpi", "4",
+        "--output", str(tmp_path / "heat"),
+    ])
+    assert np.isfinite(list(results.values())[0])

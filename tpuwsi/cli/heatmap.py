@@ -101,24 +101,45 @@ def main(argv=None):
         jax.random.PRNGKey(args.seed),
         jnp.zeros((1, img_size, img_size, 3), jnp.float32),
     )
+    if args.checkpoint:
+        # Training checkpoints save the FULL TrainState (params + opt_state
+        # [+ ema]); an eval-only target with opt_state=() would be a
+        # structure mismatch under StandardRestore — restore the raw tree
+        # and take the weights (EMA copy when present, matching the
+        # reference's EMA eval, train.py:947-956).
+        raw = CheckpointManager(args.checkpoint).restore()
+        if raw is None:
+            raise SystemExit(f"no checkpoint restorable from {args.checkpoint}")
+        ema = raw.get("ema_params") if isinstance(raw, dict) else None
+        params = (
+            ema if ema is not None
+            else raw["params"] if isinstance(raw, dict) else raw.params
+        )
+        logging.info(
+            "restored %s (step %s%s)", args.checkpoint,
+            raw.get("step") if isinstance(raw, dict) else raw.step,
+            ", EMA weights" if ema is not None else "",
+        )
+    else:
+        logging.warning("no --checkpoint: scoring with RANDOM-INIT weights")
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=params, opt_state=(),
         ema_params=None,
     )
-    if args.checkpoint:
-        restored = CheckpointManager(args.checkpoint).restore(target=state)
-        if restored is None:
-            raise SystemExit(f"no checkpoint restorable from {args.checkpoint}")
-        state = restored
-        logging.info("restored %s (step %d)", args.checkpoint, int(state.step))
-    else:
-        logging.warning("no --checkpoint: scoring with RANDOM-INIT weights")
 
     norm = make_recipe("none", train=False, tile_size=img_size)
 
     @jax.jit
     def score(params, images):
         x = norm(jax.random.PRNGKey(0), images)
+        if x.shape[1] != img_size:
+            # --img-size: the walker reads tile_size tiles — resample to the
+            # model input size like the training transform does, instead of
+            # silently running the ViT at tile resolution through
+            # interpolate_pos_encoding
+            from tpuwsi.preprocess.augment import resize_bilinear
+
+            x = jax.vmap(lambda im: resize_bilinear(im, img_size))(x)
         logits = model.apply(params, x, deterministic=True)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
 

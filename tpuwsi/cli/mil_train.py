@@ -101,7 +101,6 @@ def export_scores(model, state, dataset, out_path: str):
     import jax.numpy as jnp
 
     from tpuwsi.mil.train import export_slide_scores_xlsx
-    from tpuwsi.models.mil import tile_scores_from_head
 
     kernel = state.params["params"]["classifier"]["kernel"]
     receptor_slice = None
@@ -111,23 +110,37 @@ def export_scores(model, state, dataset, out_path: str):
     fwd = jax.jit(
         lambda p, f, m: model.apply(p, f, m, return_attention=True)
     )
+    kernel_np = np.asarray(kernel)
     names, slide_scores, targets = [], [], []
     tile_scores_list, before_list, after_list = [], [], []
     for i in range(len(dataset)):
         feats, target, _, name = dataset._entry(i)
-        f = jnp.asarray(feats[None])
-        mask = jnp.ones(f.shape[:2], bool)
-        logits, before, after = fwd(state.params, f, mask)
+        n = feats.shape[0]
+        # pad each bag to the next power-of-two bucket: per-slide tile counts
+        # are essentially unique, so jitting on the raw length would compile
+        # once PER SLIDE — bucketing + the validity mask gives a handful of
+        # compiles for a whole cohort
+        bucket = max(16, 1 << (n - 1).bit_length())
+        f = np.zeros((1, bucket, feats.shape[1]), np.float32)
+        f[0, :n] = feats
+        mask = np.zeros((1, bucket), bool)
+        mask[0, :n] = True
+        logits, before, after = fwd(
+            state.params, jnp.asarray(f), jnp.asarray(mask)
+        )
         probs = np.asarray(jax.nn.softmax(logits, axis=-1))[0]
         names.append(name)
         slide_scores.append(float(probs[1]))
         targets.append(int(target))
-        tscores = np.asarray(
-            tile_scores_from_head(jnp.asarray(feats), kernel, receptor_slice)
-        )
+        # (w1-w0)'f readout in plain numpy — no per-length compiles
+        diff = kernel_np[:, 1] - kernel_np[:, 0]
+        if receptor_slice is not None:
+            tscores = feats[:, :receptor_slice] @ diff[:receptor_slice]
+        else:
+            tscores = feats @ diff
         tile_scores_list.append(tscores.tolist())
-        before_list.append(np.asarray(before)[0].tolist())
-        after_list.append(np.asarray(after)[0].tolist())
+        before_list.append(np.asarray(before)[0, :n].tolist())
+        after_list.append(np.asarray(after)[0, :n].tolist())
     export_slide_scores_xlsx(
         out_path, names, slide_scores, targets, tile_scores_list,
         before_list, after_list,

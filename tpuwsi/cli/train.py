@@ -398,6 +398,16 @@ def main(argv=None, default_overrides=None):
                 "(train_instruct.txt:3-8 patched-gather semantics); drop "
                 "--focal/--bce-loss"
             )
+        if args.mixup > 0 or args.cutmix > 0 or args.cutmix_minmax:
+            # Mixup one-hots a (B,) label vector; multi-target labels are a
+            # (B, T) matrix with -1 unknowns — the soft targets would be
+            # shaped (B, T, C) against (B, T*2) logits (and unknowns would
+            # one-hot to garbage instead of masking). timm's Mixup has the
+            # same single-label contract.
+            raise SystemExit(
+                "--mixup/--cutmix need single-label targets; not supported "
+                "with multi-target ('+') training"
+            )
         from tpuwsi.train.losses import multi_target_cross_entropy
 
         loss_fn = lambda l, y: multi_target_cross_entropy(l, y, args.smoothing)

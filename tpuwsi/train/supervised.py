@@ -62,6 +62,11 @@ def make_train_step(
             images = augment_fn(aug_key, images)
         soft_targets = None
         if mix_fn is not None:
+            if labels.ndim != 1:
+                raise ValueError(
+                    "mix_fn needs (B,) labels — multi-target (B, T) label "
+                    "matrices cannot be mixup-one-hotted (see cli guard)"
+                )
             images, soft_targets = mix_fn(mix_key, images, labels)
 
         def compute_loss(params):
