@@ -261,17 +261,21 @@ def test_start_epoch_schedule_offset():
     assert abs(float(shifted(49)) - float(base(99))) < 1e-6
 
 
-def test_cooldown_applies_to_step_schedule():
+def test_cooldown_holds_final_step_lr():
+    """Cooldown must hold the schedule's FINAL value (timm: extra epochs at
+    wherever the schedule landed) — forcing min_lr (previous behavior)
+    silently trained the cooldown at lr=0 under the 0.0 default (review
+    finding r3-s3)."""
     from tpuwsi.train.optim import OptimConfig, make_schedule
 
     cfg = OptimConfig(lr=1.0, sched="step", epochs=10, warmup_epochs=0,
-                      decay_epochs=2, decay_rate=0.5, min_lr=0.03,
+                      decay_epochs=2, decay_rate=0.5, min_lr=0.0,
                       cooldown_epochs=4, steps_per_epoch=10)
     sched = make_schedule(cfg, 1.0)
-    # decay window ends at epoch 6 (step 60); cooldown holds min_lr after
-    assert abs(float(sched(65)) - 0.03) < 1e-9
-    assert abs(float(sched(99)) - 0.03) < 1e-9
-    assert float(sched(55)) > 0.1
+    # decay window ends at epoch 6 (step 60): 0.5^3 = 0.125 held after
+    assert abs(float(sched(65)) - 0.125) < 1e-9
+    assert abs(float(sched(99)) - 0.125) < 1e-9
+    assert float(sched(55)) > 0.125 + 1e-9  # still decaying pre-cooldown
 
 
 def test_mixup_elem_mode_per_sample_lambdas():

@@ -74,7 +74,12 @@ def _load_feature_records(
     """Light per-slide record loader for the paired (is_Tumor) feature set:
     {slide_name: {features, tile_locations, num_tiles}} — the secondary set
     carries no targets of its own (datasets.py:1229-1399: only features and
-    alignment metadata are consumed)."""
+    alignment metadata are consumed).
+
+    NOTE: the name-fixup / carmel filter / NaN-tile-count extraction here
+    must stay in lockstep with FeaturesMILDataset.__init__'s main loop — a
+    boundary-detection change applied to one side only would silently
+    desynchronize the two sets the paired mode aligns by tile location."""
     records: Dict[str, dict] = {}
     for path in files:
         (_labels, _targets, _scores, patch_scores, slide_names, features,
@@ -199,7 +204,12 @@ class FeaturesMILDataset:
                             self.bad_patient_list.append(patient)
                             continue
                         if fixed_tile_num is not None:
+                            # truncate scores/locations WITH the features —
+                            # concatenating untruncated pscores would shift
+                            # every later slide's scores against its features
+                            # (review finding r3-s3)
                             feats = feats[: fixed_tile_num]
+                            pscores = pscores[: fixed_tile_num]
                             tiles_in_slide = min(tiles_in_slide, fixed_tile_num)
                         pdct["num tiles"].append(tiles_in_slide)
                         pdct["features"] = np.concatenate(
@@ -218,6 +228,7 @@ class FeaturesMILDataset:
                     else:
                         if fixed_tile_num is not None:
                             feats = feats[: fixed_tile_num]
+                            pscores = pscores[: fixed_tile_num]
                             tiles_in_slide = min(tiles_in_slide, fixed_tile_num)
                         self.patient_data[patient] = {
                             "num tiles": [tiles_in_slide],
@@ -232,6 +243,8 @@ class FeaturesMILDataset:
                 else:
                     if fixed_tile_num is not None:
                         feats = feats[: fixed_tile_num]
+                        pscores = pscores[: fixed_tile_num]
+                        locs = locs[: fixed_tile_num]
                         tiles_in_slide = min(tiles_in_slide, fixed_tile_num)
                     self.slide_names.append(name)
                     self.labels.append(int(labels[i]))
@@ -242,7 +255,6 @@ class FeaturesMILDataset:
                     self.num_tiles.append(tiles_in_slide)
                     self.tile_locations.append(locs)
 
-        self.tumor_features: List[np.ndarray] = []
         if self.paired_is_tumor:
             tumor = _load_feature_records(tumor_files, carmel_only)
             if is_per_patient:
@@ -275,7 +287,13 @@ class FeaturesMILDataset:
                             f"tile locations for patient {p} are not equal "
                             "between the Receptor and is_Tumor sets"
                         )
-                    pdct["tumor_features"] = np.concatenate(parts, axis=0)
+                    # concatenate ONCE at load (feature dim: [receptor |
+                    # is_Tumor]) — doing it per _entry call re-copied the
+                    # full (N, 1024) bag on every training access
+                    pdct["features"] = np.concatenate(
+                        [pdct["features"], np.concatenate(parts, axis=0)],
+                        axis=1,
+                    )
             else:
                 for i, name in enumerate(self.slide_names):
                     rec = tumor.get(name)
@@ -302,7 +320,9 @@ class FeaturesMILDataset:
                             f"tile locations of {name} are not equal between "
                             "the Receptor and is_Tumor sets"
                         )
-                    self.tumor_features.append(rec["features"][:nt])
+                    self.features[i] = np.concatenate(
+                        [self.features[i], rec["features"][:nt]], axis=1
+                    )
 
         if is_per_patient:
             self._patients = sorted(self.patient_data)
@@ -319,15 +339,12 @@ class FeaturesMILDataset:
         back out with models.mil.tile_scores_from_head(receptor_slice=512))."""
         if self.is_per_patient:
             p = self.patient_data[self._patients[idx]]
-            feats = p["features"]
-            if self.paired_is_tumor:
-                feats = np.concatenate([feats, p["tumor_features"]], axis=1)
-            return feats, p["target"], p["tile scores"], self._patients[idx]
-        feats = self.features[idx]
-        if self.paired_is_tumor:
-            feats = np.concatenate(
-                [feats, self.tumor_features[idx]], axis=1
+            # paired mode pre-concatenates [receptor | is_Tumor] at load
+            return (
+                p["features"], p["target"], p["tile scores"],
+                self._patients[idx],
             )
+        feats = self.features[idx]
         return (
             feats,
             self.targets[idx],

@@ -81,12 +81,17 @@ def make_schedule(cfg: OptimConfig, peak_lr: float) -> optax.Schedule:
         return lambda count: sched(count + off)
 
     def _cooldown(sched):
-        # hold min_lr from decay_total on — timm's cooldown applies to every
-        # scheduler, not just cosine
+        # From decay_total on, HOLD the schedule's final value (timm's
+        # cooldown semantics: extra epochs at wherever the schedule landed).
+        # For cosine that value IS min_lr; for the step schedule it's the
+        # last decayed LR — holding min_lr here (the previous behavior)
+        # silently trained the cooldown epochs at lr=0 with the default
+        # min_lr (review finding r3-s3).
         if not cfg.cooldown_epochs:
             return sched
+        final = sched(decay_total)
         return optax.join_schedules(
-            [sched, optax.constant_schedule(cfg.min_lr)], [decay_total]
+            [sched, optax.constant_schedule(final)], [decay_total]
         )
 
     if cfg.sched == "cosine":
