@@ -247,3 +247,30 @@ def test_cli_steps_per_dispatch(tmp_path):
     ])
     # 16 images / batch 4 = 4 steps (2 scanned dispatches)
     assert int(state.step) == 4
+
+
+def test_cli_max_steps_exact_with_dispatch_chunks(tmp_path):
+    """--max-steps-per-epoch must be EXACT under --steps-per-dispatch (an
+    unclipped chunk used to overshoot by up to spd-1 steps)."""
+    from tpuwsi.cli.train import main
+
+    rng = np.random.default_rng(1)
+    for cls, base in (("neg", 40), ("pos", 200)):
+        os.makedirs(tmp_path / "train" / cls)
+        for i in range(12):
+            arr = np.clip(
+                rng.normal(base, 20, (32, 32, 3)), 0, 255
+            ).astype(np.uint8)
+            Image.fromarray(arr).save(tmp_path / "train" / cls / f"{i}.png")
+
+    state = main([
+        "--data-dir", str(tmp_path / "train"),
+        "--model", "vit_tiny_patch16_224",
+        "--img-size", "32", "-b", "4", "--epochs", "1",
+        "--warmup-epochs", "0", "--transform_type", "flip",
+        "--output", str(tmp_path / "runs"),
+        "--eval_rate", "100", "--val-split", "0",
+        "--steps-per-dispatch", "4",
+        "--max-steps-per-epoch", "3",   # mid-chunk bound
+    ])
+    assert int(state.step) == 3

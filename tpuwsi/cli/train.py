@@ -632,11 +632,15 @@ def main(argv=None, default_overrides=None):
                 metrics = {}
                 spd = max(args.steps_per_dispatch, 1)
                 for i, chunk in _chunked_enumerate(batches, spd):
+                    if args.max_steps_per_epoch:
+                        if i >= args.max_steps_per_epoch:
+                            break
+                        # truncate so the bound is exact: an untruncated
+                        # chunk would overshoot by up to spd-1 steps
+                        chunk = chunk[: args.max_steps_per_epoch - i]
                     # i = first step index of this dispatch; j = last
                     j = i + len(chunk) - 1
                     batch = chunk[0]
-                    if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:
-                        break
                     if args.images and i == 0:
                         # -im parity (train.py:378, datasets.py:504-508): dump the
                         # un-augmented input tiles for manual QA (our batches are
@@ -666,29 +670,12 @@ def main(argv=None, default_overrides=None):
                     nomix = (
                         args.mixup_off_epoch and epoch >= args.mixup_off_epoch
                     )
-                    if len(chunk) < spd or spd == 1:
-                        # single-step path; also the ragged epoch tail
-                        # (len < spd) — per-step jits instead of compiling a
-                        # second scan length
-                        for b in chunk:
-                            sb = shard_batch(
-                                mesh,
-                                {"images": b["images"], "labels": b["labels"]},
-                            )
-                            state, metrics = (
-                                jit_step_nomix if nomix else jit_step
-                            )(state, sb, rng)
-                    else:
-                        # stacked (steps, batch, ...) super-batch: one scanned
-                        # dispatch runs spd optimizer steps
-                        stacked = {
-                            k: np.stack([b[k] for b in chunk])
-                            for k in ("images", "labels")
-                        }
-                        sb = shard_batch(mesh, stacked, batch_axis=1)
-                        state, metrics = (
-                            jit_multi_nomix if nomix else jit_multi
-                        )(state, sb, rng)
+                    state, metrics = _run_chunk(
+                        chunk, spd,
+                        jit_step_nomix if nomix else jit_step,
+                        jit_multi_nomix if nomix else jit_multi,
+                        mesh, ("images", "labels"), state, rng,
+                    )
                     if args.dispatch_ahead and _interval_hit(
                         i, j, args.dispatch_ahead
                     ):
@@ -809,6 +796,25 @@ def _interval_hit(i: int, j: int, n: int) -> bool:
     return True if i <= 0 else (j // n) > ((i - 1) // n)
 
 
+def _run_chunk(chunk, spd, jit_step, jit_multi, mesh, keys, state, rng):
+    """Dispatch one --steps-per-dispatch chunk: the scanned super-batch when
+    the chunk is full, per-step jits for ragged tails (shared by the
+    supervised, SSL, and survival loops — keep the dispatch semantics in ONE
+    place)."""
+    from tpuwsi.core.mesh import shard_batch
+
+    metrics = {}
+    if len(chunk) < spd or spd == 1:
+        for b in chunk:
+            sb = shard_batch(mesh, {k: b[k] for k in keys})
+            state, metrics = jit_step(state, sb, rng)
+    else:
+        stacked = {k: np.stack([b[k] for b in chunk]) for k in keys}
+        sb = shard_batch(mesh, stacked, batch_axis=1)
+        state, metrics = jit_multi(state, sb, rng)
+    return state, metrics
+
+
 def evaluate_folder(val_ds, state, eval_step, batch_size: int,
                     dispatch_ahead: int = 2):
     """Folder-mode validation (timm_train.py:951-1025): top-1/top-5 accuracy
@@ -896,24 +902,32 @@ def evaluate_slides(args, state, eval_step):
         ):
             logits = np.asarray(logits, dtype=np.float32)
             for t, a in enumerate(aggs):
+                lab = int(np.asarray(chunk.label).ravel()[t])
+                if lab < 0:
+                    # unknown target for this head ('Missing Data' → -1,
+                    # utils.py:770): the table keeps a slide if ANY target is
+                    # known — feeding -1 labels into roc_auc inflates the
+                    # rank sums (training masks them; eval must too)
+                    continue
                 lt = logits[:, 2 * t : 2 * t + 2]
                 e = np.exp(lt - lt.max(axis=-1, keepdims=True))
                 pt = e / e.sum(axis=-1, keepdims=True)
-                a.add_chunk(
-                    dataclasses.replace(chunk, label=np.asarray(chunk.label).ravel()[t]),
-                    pt,
-                )
-        if not aggs[0].results:
+                a.add_chunk(dataclasses.replace(chunk, label=lab), pt)
+        if not any(a.results for a in aggs):
             return {}, None
         metrics = {}
+        scored = []
         for name, a in zip(names, aggs):
+            if not a.results:
+                continue  # every slide had -1 for this head
             metrics[f"auc_{name}"] = a.slide_auc()
             metrics[f"patch_auc_{name}"] = a.patch_auc()
-        metrics["auc"] = float(np.mean([metrics[f"auc_{n}"] for n in names]))
+            scored.append(name)
+        metrics["auc"] = float(np.mean([metrics[f"auc_{n}"] for n in scored]))
         metrics["patch_auc"] = float(
-            np.mean([metrics[f"patch_auc_{n}"] for n in names])
+            np.mean([metrics[f"patch_auc_{n}"] for n in scored])
         )
-        return metrics, aggs[0]
+        return metrics, next(a for a in aggs if a.results)
     agg = SlideAggregator()
 
     def _dispatch():
@@ -1151,19 +1165,14 @@ def train_survival(args, output_dir, ledger, exp):
             for i, chunk in _chunked_enumerate(
                 Prefetcher(batches, depth=3), spd
             ):
+                if args.max_steps_per_epoch:
+                    if i >= args.max_steps_per_epoch:
+                        break
+                    chunk = chunk[: args.max_steps_per_epoch - i]
                 j = i + len(chunk) - 1
-                if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:
-                    break
-                if len(chunk) < spd or spd == 1:
-                    for b in chunk:
-                        sb = shard_batch(mesh, {k: b[k] for k in keys})
-                        state, metrics = jit_step(state, sb, rng)
-                else:
-                    stacked = {
-                        k: np.stack([b[k] for b in chunk]) for k in keys
-                    }
-                    sb = shard_batch(mesh, stacked, batch_axis=1)
-                    state, metrics = jit_multi(state, sb, rng)
+                state, metrics = _run_chunk(
+                    chunk, spd, jit_step, jit_multi, mesh, keys, state, rng
+                )
                 if args.dispatch_ahead and _interval_hit(
                     i, j, args.dispatch_ahead
                 ):
@@ -1175,6 +1184,12 @@ def train_survival(args, output_dir, ledger, exp):
                         mode, epoch, j, m.get("loss", 0.0), metric_name,
                         m.get(metric_name, 0.5),
                     )
+                if args.recovery_interval and _interval_hit(
+                    max(i, 1), j, max(args.recovery_interval, 1)
+                ):
+                    # recovery checkpoints (train.py:322-323,1130-1132) —
+                    # previously only the supervised loop saved them
+                    ckpt.save(int(state.step), state, {"recovery": 1.0})
             train_metrics = {k: float(v) for k, v in metrics.items()}
 
             eval_metrics = {}
@@ -1336,19 +1351,14 @@ def train_ssl(args, output_dir):
             metrics = {}
             spd = max(args.steps_per_dispatch, 1)
             for i, chunk in _chunked_enumerate(Prefetcher(batches, depth=3), spd):
+                if args.max_steps_per_epoch:
+                    if i >= args.max_steps_per_epoch:
+                        break
+                    chunk = chunk[: args.max_steps_per_epoch - i]
                 j = i + len(chunk) - 1
-                if args.max_steps_per_epoch and i >= args.max_steps_per_epoch:
-                    break
-                if len(chunk) < spd or spd == 1:
-                    for b in chunk:
-                        sb = shard_batch(mesh, {"images": b["images"]})
-                        state, metrics = step(state, sb, rng)
-                else:
-                    stacked = {
-                        "images": np.stack([b["images"] for b in chunk])
-                    }
-                    sb = shard_batch(mesh, stacked, batch_axis=1)
-                    state, metrics = multi_step(state, sb, rng)
+                state, metrics = _run_chunk(
+                    chunk, spd, step, multi_step, mesh, ("images",), state, rng
+                )
                 if args.dispatch_ahead and _interval_hit(
                     i, j, args.dispatch_ahead
                 ):

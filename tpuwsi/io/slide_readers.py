@@ -128,6 +128,7 @@ def open_slide(path: str, prefer_native: bool = True) -> SlideReader:
     ext = os.path.splitext(path)[1].lower()
     native_state = "is disabled (prefer_native=False)"
     if prefer_native and ext in (".tif", ".tiff", ".svs", ".ndpi", ".mrxs"):
+        native_state = "failed to import (tpuwsi.io.ingest broken?)"
         try:
             from tpuwsi.io.ingest import CTileReader, native_available
 
@@ -139,7 +140,8 @@ def open_slide(path: str, prefer_native: bool = True) -> SlideReader:
             # fall through: the native backend could not parse this
             # particular file (e.g. an NDPI variant with out-of-spec JPEG
             # dims, or a PNG/BMP24 MIRAX variant) — try the openslide / PIL
-            # fallbacks below.
+            # fallbacks below. native_state already names the phase that
+            # failed (import vs parse vs not-built) for the raised errors.
             pass
     if HAVE_OPENSLIDE and ext in (".svs", ".mrxs", ".ndpi", ".tif", ".tiff"):
         return OpenSlideReader(path)
