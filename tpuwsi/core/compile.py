@@ -40,14 +40,17 @@ def scheduled_step(jitted):
         # pytree structure AND input shardings — hash all four, otherwise a
         # same-shape call with a different treedef or sharding would hit an
         # executable that rejects it instead of triggering a recompile.
+        # PyTreeDef / dtype / Sharding objects are hashable — no str()
+        # rendering on the per-step dispatch path (a NamedSharding repr
+        # renders the whole mesh, per leaf per call).
         leaves, treedef = jax.tree_util.tree_flatten(args)
         return (
-            str(treedef),
+            treedef,
             tuple(
                 (
                     getattr(l, "shape", None),
-                    str(getattr(l, "dtype", type(l))),
-                    str(getattr(l, "sharding", None)),
+                    getattr(l, "dtype", type(l)),
+                    getattr(l, "sharding", None),
                 )
                 for l in leaves
             ),
@@ -59,15 +62,22 @@ def scheduled_step(jitted):
         key = _sig(args)
         fn = cache.get(key)
         if fn is None:
-            try:
-                fn = jitted.lower(*args).compile(
-                    compiler_options=dict(_SCHED_OPTS)
-                )
-            except Exception as e:  # pragma: no cover - backend-dependent
-                logging.warning(
-                    "latency-hiding scheduler compile failed (%s); "
-                    "falling back to plain jit", e,
-                )
+            # staged fallback: a libtpu build that rejects the experimental
+            # fusion flags must not also cost us the (older, widely
+            # supported) latency-hiding scheduler
+            for opts in (
+                dict(_SCHED_OPTS),
+                {"xla_tpu_enable_latency_hiding_scheduler": "true"},
+            ):
+                try:
+                    fn = jitted.lower(*args).compile(compiler_options=opts)
+                    break
+                except Exception as e:  # pragma: no cover - backend-dependent
+                    logging.warning(
+                        "compile with options %s failed (%s)", opts, e
+                    )
+            else:
+                logging.warning("falling back to plain jit")
                 fn = jitted
             cache[key] = fn
         return fn(*args)

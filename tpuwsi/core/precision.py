@@ -86,7 +86,12 @@ class DynamicLossScale:
     )
 
     def scale_loss(self, loss):
-        return loss * self.scale.astype(loss.dtype)
+        # scale in f32 and STAY f32: the default 2**16 scale cast to an fp16
+        # loss dtype overflows to inf (fp16 max 65504), and casting the
+        # scaled product back would overflow the same way — the scaled loss
+        # exists only to feed the backward, which is dtype-correct either
+        # way (review finding r3-s3)
+        return loss.astype(jnp.float32) * self.scale
 
     def unscale(self, grads):
         inv = 1.0 / self.scale

@@ -56,7 +56,7 @@ def create_model(
     ``nn.remat`` on the block (works for both unrolled and scanned stacks).
     """
     if name in ("resnet50_trunc", "resnet50_trunc_baseline"):
-        return ResNetTruncBaseline()
+        return ResNetTruncBaseline(dtype=dtype)
     cfg = parse_model_name(name)
     import dataclasses
 
