@@ -350,6 +350,16 @@ def main(argv=None, default_overrides=None):
         max_history=args.checkpoint_hist,
         metric_name=args.eval_metric,
     )
+    # mid-epoch recovery checkpoints live in their own latest-N manager:
+    # under the best-K manager they carry no eval metric, rank worst, and
+    # get garbage-collected first — defeating crash recovery
+    ckpt_rec = (
+        CheckpointManager(
+            os.path.join(output_dir, "checkpoints", "recovery"),
+            max_history=2, rank_by_metric=False,
+        )
+        if args.recovery_interval else None
+    )
     # optax count the schedule sees = global step - this offset (non-zero
     # only for --no-resume-opt, whose rebuilt schedule bakes the offset in)
     sched_count_offset = 0
@@ -690,10 +700,10 @@ def main(argv=None, default_overrides=None):
                             epoch, j, m.get("loss", 0), m.get("auc", 0.5), rate,
                         )
                         tracker.log({**m, "rate": rate}, step=int(state.step))
-                    if args.recovery_interval and _interval_hit(
+                    if ckpt_rec is not None and _interval_hit(
                         max(i, 1), j, max(args.recovery_interval, 1)
                     ):
-                        ckpt.save(int(state.step), state, {"recovery": 1.0})
+                        ckpt_rec.save(int(state.step), state, {"recovery": 1.0})
                 train_metrics = {k: float(v) for k, v in metrics.items()}
                 # timm update_summary logs the epoch's lr column (train.py:963)
                 train_metrics["lr"] = float(
@@ -759,6 +769,8 @@ def main(argv=None, default_overrides=None):
         # checkpoint finalization + tracker close with the last state
         logging.info("KeyboardInterrupt — finishing gracefully")
     ckpt.wait()
+    if ckpt_rec is not None:
+        ckpt_rec.wait()
     tracker.finish()
     return state
 
@@ -1106,6 +1118,13 @@ def train_survival(args, output_dir, ledger, exp):
         os.path.join(output_dir, "checkpoints"),
         max_history=args.checkpoint_hist, metric_name=metric_name,
     )
+    ckpt_rec = (
+        CheckpointManager(
+            os.path.join(output_dir, "checkpoints", "recovery"),
+            max_history=2, rank_by_metric=False,
+        )
+        if args.recovery_interval else None
+    )
     if args.resume:
         restored = CheckpointManager(args.resume).restore(target=state)
         if restored is not None:
@@ -1184,12 +1203,12 @@ def train_survival(args, output_dir, ledger, exp):
                         mode, epoch, j, m.get("loss", 0.0), metric_name,
                         m.get(metric_name, 0.5),
                     )
-                if args.recovery_interval and _interval_hit(
+                if ckpt_rec is not None and _interval_hit(
                     max(i, 1), j, max(args.recovery_interval, 1)
                 ):
                     # recovery checkpoints (train.py:322-323,1130-1132) —
                     # previously only the supervised loop saved them
-                    ckpt.save(int(state.step), state, {"recovery": 1.0})
+                    ckpt_rec.save(int(state.step), state, {"recovery": 1.0})
             train_metrics = {k: float(v) for k, v in metrics.items()}
 
             eval_metrics = {}
@@ -1216,6 +1235,8 @@ def train_survival(args, output_dir, ledger, exp):
             update_summary(epoch, train_metrics, eval_metrics, summary_path)
             ledger.update(exp["Experiment"], **{"Last Epoch": epoch})
     ckpt.wait()
+    if ckpt_rec is not None:
+        ckpt_rec.wait()
     return state
 
 

@@ -39,6 +39,12 @@ class LoanAnnotation:
     threshold: float = 0.1
 
     def label(self, top: int, left: int, tile_size_level_0: int) -> int:
+        # NOTE (reference parity, utils.py:186-189): the reference computes
+        # the window extent from the ADJUSTED tile size while indexing with
+        # level-0 coordinates — when best_slide_level != 0 the window covers
+        # only the top-left (1/ds_level²) of the tile area. get_tiles passes
+        # the adjusted size to reproduce that behavior exactly; pass the
+        # true level-0 extent here to get the geometrically correct label.
         d = max(tile_size_level_0 // self.ds, 1)
         x = left // self.ds - self.bounds[0] // self.ds
         y = top // self.ds - self.bounds[1] // self.ds

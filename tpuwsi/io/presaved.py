@@ -2,8 +2,11 @@
 
 Parity: datasets.py:452-467 — cohorts whose tiles are pre-extracted into
 per-slide directories of ``tile_<i>.data`` files with an ASCII header
-``"<dtype> <w> <h> <c>\\n"`` followed by raw bytes; training draws random
-tiles and random-crops them to the tile size.
+``"<dtype> <d0> <d1> <c>\\n"`` followed by raw bytes, where the FIRST size
+field is the leading (row) axis: the reference names the fields ``w h`` but
+reshapes ``(int(w), int(h), c)`` (datasets.py:463-464), so 'w' is actually
+rows. Reader and writer here follow that byte layout exactly — files
+round-trip against the reference in both directions.
 """
 
 from __future__ import annotations

@@ -25,13 +25,21 @@ class CheckpointManager:
         max_history: int = 10,
         metric_name: str = "auc",
         mode: str = "max",
+        rank_by_metric: bool = True,
     ):
+        """``rank_by_metric=False`` keeps the most RECENT max_history saves
+        (no best-K ranking) — the right semantics for mid-epoch recovery
+        checkpoints, which carry no eval metric and would otherwise rank
+        worst (score 0.0) and be garbage-collected first, defeating crash
+        recovery."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.metric_name = metric_name
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_history,
-            best_fn=lambda m: m.get(metric_name, 0.0),
+            best_fn=(
+                (lambda m: m.get(metric_name, 0.0)) if rank_by_metric else None
+            ),
             best_mode=mode,
             enable_async_checkpointing=True,
         )

@@ -87,8 +87,22 @@ class ExperimentLedger:
         reference's get_outdir(output, exp_name, subexp_name) layout
         (train.py:857-865)."""
         state = self._state()
-        experiment = max(state) + 1 if state else 1
         stem = name or receptor
+        # id allocation via atomic mkdir of a per-id claim marker:
+        # read-max+1 alone would race two concurrently started jobs into the
+        # SAME experiment id (the append-only JSONL removes the update()
+        # race, not this one) — os.makedirs(exist_ok=False) is the atomic
+        # claim; on collision advance to the next id.
+        experiment = max(state) + 1 if state else 1
+        claims = os.path.join(self.runs_dir, ".exp_claims")
+        os.makedirs(claims, exist_ok=True)
+        while True:
+            try:
+                os.makedirs(os.path.join(claims, str(experiment)),
+                            exist_ok=False)
+                break
+            except FileExistsError:
+                experiment += 1
         location = os.path.join(
             self.runs_dir, f"Exp_{experiment}-{stem}-TestFold_{test_fold}"
         )

@@ -94,6 +94,11 @@ def _to_jsonable(v):
         return v.item()
     if hasattr(v, "item") and getattr(v, "size", 2) == 1:
         return v.item()
+    if hasattr(v, "tolist"):
+        # multi-element numpy/jax arrays (e.g. a per-class metric vector)
+        # are not JSON-serializable and would kill the training loop at a
+        # logging call — record them as lists
+        return v.tolist()
     return v
 
 
