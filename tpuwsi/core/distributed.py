@@ -14,22 +14,33 @@ import os
 import jax
 
 
+_initialized = False
+
+
 def initialize_multihost() -> tuple[int, int]:
     """Initialize jax.distributed when running under a multi-host launcher.
 
-    Returns (process_index, process_count). Single-host (or already
-    initialized) is a no-op. Host coordination env vars follow the standard
-    JAX conventions (COORDINATOR_ADDRESS etc. are auto-detected on TPU VMs).
+    Returns (process_index, process_count). Single-host is a no-op.
+
+    ORDER MATTERS: ``jax.distributed.initialize()`` must run BEFORE any
+    other jax call touches the backend — ``jax.process_count()`` itself
+    initializes a single-process backend, after which distributed init
+    raises and every host would silently proceed as process 0 of 1
+    (duplicated data shards, identical seeds). So the env-var check comes
+    first and the jax.* queries only after.
     """
-    if jax.process_count() > 1:
-        return jax.process_index(), jax.process_count()
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-        "MEGASCALE_COORDINATOR_ADDRESS"
+    global _initialized
+    if not _initialized and (
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
     ):
         try:
             jax.distributed.initialize()
-        except RuntimeError as e:  # already initialized
+        except RuntimeError as e:
+            # genuinely already initialized (e.g. by an outer launcher) —
+            # fine; anything else deserves the log line before we query
             logging.info("jax.distributed.initialize: %s", e)
+    _initialized = True
     return jax.process_index(), jax.process_count()
 
 

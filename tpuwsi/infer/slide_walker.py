@@ -99,7 +99,21 @@ class SlideWalker:
             x_pd, y_pd = self._patch_xy
             row_x = x_pd.loc[x_pd["slide_name"] == name]
             row_y = y_pd.loc[y_pd["slide_name"] == name]
-            n = self.num_tiles[idx]
+            if len(row_x) != 1 or len(row_y) != 1:
+                raise IOError(
+                    f"slide {name!r} missing (or duplicated) in the patch "
+                    "location CSVs — the resume CSVs must come from a run "
+                    "over the same slide set"
+                )
+            # replay the SAVED locations: the CSV row's non-null count is
+            # authoritative, not the current --num_tiles budget (a resume
+            # with a larger budget would KeyError past the saved columns,
+            # and NaN padding from wider rows must be excluded)
+            cols = [
+                c for c in x_pd.columns
+                if c != "slide_name" and not np.isnan(float(row_x[c].item()))
+            ]
+            n = min(len(cols), self.num_tiles[idx])
             return [
                 (int(row_y[str(i)].item()), int(row_x[str(i)].item()))
                 for i in range(n)

@@ -85,9 +85,17 @@ def build_tissue_grid(
     w, h = reader.dimensions
     if preview_downsample is None:
         preview_downsample = max(int(max(reader.level_downsamples)), 1)
-    # Read the coarsest pyramid level at its full extent, then box-downsample
-    # the rest of the way on the host.
-    level = len(reader.level_downsamples) - 1
+    # Read the COARSEST pyramid level whose downsample still satisfies the
+    # requested preview resolution, then box-downsample the rest on the
+    # host. (Always taking the coarsest level silently ignored a finer
+    # preview_downsample request and could drop small tissue regions.)
+    level = max(
+        (
+            i for i, d in enumerate(reader.level_downsamples)
+            if int(d) <= preview_downsample
+        ),
+        key=lambda i: reader.level_downsamples[i],
+    )
     level_ds = int(reader.level_downsamples[level])
     full = reader.read_region((0, 0), level, (w // level_ds, h // level_ds))
     rest = max(preview_downsample // level_ds, 1)

@@ -35,25 +35,35 @@ class CombinedFeaturesMILDataset:
         for ds in datasets.values():
             common = keys(ds) if common is None else (common & keys(ds))
         self.keys: List[str] = sorted(common)
+        # key→index maps: slide_names.index() per access is an O(N) string
+        # scan (O(K·N·D) for the consistency check alone)
+        self._index = {
+            name: (
+                None if ds.is_per_patient
+                else {k: i for i, k in enumerate(ds.slide_names)}
+            )
+            for name, ds in datasets.items()
+        }
         # target consistency across sets
         self._targets = {}
         for k in self.keys:
-            ts = {self._target_of(ds, k) for ds in datasets.values()}
+            ts = {
+                self._target_of(name, ds, k)
+                for name, ds in datasets.items()
+            }
             if len(ts) != 1:
                 raise ValueError(f"target mismatch across feature sets for {k}")
             self._targets[k] = ts.pop()
 
-    @staticmethod
-    def _target_of(ds: FeaturesMILDataset, key: str) -> int:
+    def _target_of(self, name: str, ds: FeaturesMILDataset, key: str) -> int:
         if ds.is_per_patient:
             return ds.patient_data[key]["target"]
-        return ds.targets[ds.slide_names.index(key)]
+        return ds.targets[self._index[name][key]]
 
-    @staticmethod
-    def _features_of(ds: FeaturesMILDataset, key: str) -> np.ndarray:
+    def _features_of(self, name: str, ds: FeaturesMILDataset, key: str) -> np.ndarray:
         if ds.is_per_patient:
             return ds.patient_data[key]["features"]
-        return ds.features[ds.slide_names.index(key)]
+        return ds.features[self._index[name][key]]
 
     def __len__(self):
         return len(self.keys)
@@ -62,7 +72,7 @@ class CombinedFeaturesMILDataset:
         key = self.keys[idx]
         out = {"key": key, "target": self._targets[key]}
         for name, ds in self.datasets.items():
-            feats = self._features_of(ds, key)
+            feats = self._features_of(name, ds, key)
             n = feats.shape[0]
             pick = rng.choice(n, size=self.bag_size, replace=n < self.bag_size)
             out[name] = feats[pick]
@@ -77,13 +87,14 @@ class CombinedFeaturesMILDataset:
         names = list(self.datasets)
         for start in range(0, len(order), batch_size):
             chunk = order[start : start + batch_size]
+            # ONE sample() per item (it draws every dataset's bag) — the
+            # previous per-name comprehension re-sampled and discarded
+            # D-1 of every D bags drawn
+            samples = [self.sample(int(i), rng) for i in chunk]
             batch = {
-                name: np.stack(
-                    [self.sample(int(i), rng)[name] for i in chunk]
-                )
-                for name in names
+                name: np.stack([s[name] for s in samples]) for name in names
             }
             batch["labels"] = np.asarray(
-                [self._targets[self.keys[int(i)]] for i in chunk], np.int64
+                [s["target"] for s in samples], np.int64
             )
             yield batch

@@ -19,7 +19,9 @@ def knn_classify(
     temperature: float = 0.07,
     num_classes: int = 2,
 ) -> jax.Array:
-    """Returns (M,) predicted labels via temperature-weighted cosine kNN."""
+    """Temperature-weighted cosine kNN. Returns the PAIR
+    ``(predicted_labels (M,), class_probabilities (M, C))`` — destructure it
+    (see ``knn_accuracy``); the probabilities feed AUC computations."""
     tr = train_feats / (jnp.linalg.norm(train_feats, axis=1, keepdims=True) + 1e-12)
     te = test_feats / (jnp.linalg.norm(test_feats, axis=1, keepdims=True) + 1e-12)
     sim = te @ tr.T  # (M, N)
