@@ -163,11 +163,14 @@ def main(argv=None):
 
         locs, scores, tissue_scores = [], [], []
         shape = walker.equivalent_grid_shape
-        for chunk, s in pipelined_fetch(_dispatch(), depth=args.dispatch_ahead):
-            s = np.asarray(s)[chunk.mask]
-            locs.append(chunk.equivalent_locations[chunk.mask])
-            scores.append(s)
-            tissue_scores.extend(s[chunk.is_tissue[chunk.mask]].tolist())
+        with walker:  # release the slide handle per entry (fd hygiene)
+            for chunk, s in pipelined_fetch(
+                _dispatch(), depth=args.dispatch_ahead
+            ):
+                s = np.asarray(s)[chunk.mask]
+                locs.append(chunk.equivalent_locations[chunk.mask])
+                scores.append(s)
+                tissue_scores.extend(s[chunk.is_tissue[chunk.mask]].tolist())
         locs = np.concatenate(locs) if locs else np.zeros((0, 2), int)
         scores = np.concatenate(scores) if scores else np.zeros((0,))
         heat = assemble_heatmap(shape, locs, scores)

@@ -106,6 +106,18 @@ class FullSlideWalker:
     def __len__(self):
         return int(np.ceil(len(self.locations) / self.tiles_per_iter))
 
+    def close(self):
+        """Release the slide handle — a multi-slide inference run (one
+        walker per Infer_Slides.txt entry) leaks file descriptors and
+        reader caches otherwise."""
+        self.reader.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
     def walk(self) -> Iterator[FullSlideChunk]:
         ts = self.tile_size
         tpi = self.tiles_per_iter

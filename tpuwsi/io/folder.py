@@ -51,9 +51,14 @@ def load_folder_datasets(
             os.path.join(root, train_split), image_size=image_size,
             class_map=cmap, channels=channels,
         )
+        # the val split inherits the TRAIN split's class->index map when no
+        # explicit --class-map is given: deriving indices independently from
+        # each split's subdirs silently shifts every later class when one is
+        # absent from a split (timm shares one class map the same way)
         val_ds = (
             ImageFolderDataset(os.path.join(root, val_name),
-                               image_size=image_size, class_map=cmap,
+                               image_size=image_size,
+                               class_map=cmap or train_ds.class_to_idx,
                                channels=channels)
             if val_name
             else None
@@ -144,7 +149,12 @@ class ImageFolderDataset:
         order = np.arange(len(self.samples))
         if shuffle:
             (rng or np.random.default_rng()).shuffle(order)
-        order = order[process_index::process_count]
+        # common per-host length: unequal strided slices would give hosts
+        # different batch counts and deadlock the collectives (see
+        # WSITileSampler.process_order)
+        order = order[process_index::process_count][
+            : len(order) // process_count
+        ]
         end = len(order) - (batch_size - 1 if drop_last else 0)
         for start in range(0, max(end, 0), batch_size):
             chunk = order[start : start + batch_size]

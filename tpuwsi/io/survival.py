@@ -71,7 +71,12 @@ def load_survival_slide_table(
     binary_target = list(df["survival status"])
     excluded = np.asarray(df["Exclude for time prediction?"], dtype=object)
 
-    valid = np.where((excluded != "Exclude") & ~np.isnan(censored))[0]
+    # NaN follow-up time must be dropped too: a single uncensored NaN-time
+    # slide gives the Cox loss an empty risk set (NaN comparisons are
+    # all-False) → log_denom = -inf → loss +inf, NaN-ing the whole run
+    valid = np.where(
+        (excluded != "Exclude") & ~np.isnan(censored) & ~np.isnan(time_target)
+    )[0]
 
     total_col, legit_col = grid_data_columns(tile_size, desired_magnification)
     bad = (
@@ -90,16 +95,20 @@ def load_survival_slide_table(
     fold_col = (
         "test fold idx breast" if dataset in ("CAT", "ABCTB_TCGA") else "test fold idx"
     )
+    test_fold_val = "test" if test_fold == 0 else test_fold  # metadata.py:294
     if train_type in ("REG", "MIL"):
         if train:
             folds = list(df[fold_col].unique())
-            for f in (test_fold, "test", "val"):
+            for f in (test_fold_val, "test", "val"):
                 if f in folds:
                     folds.remove(f)
         else:
-            folds = [test_fold, "val"]
+            folds = [test_fold_val, "val"]
     elif train_type == "Infer":
-        folds = list(infer_folds)
+        # fold 0 is stored as the string 'test' in the fold column — the
+        # same aliasing the main loader applies (metadata.py:307); without
+        # it --test-fold 0 selects an empty eval table
+        folds = ["test" if f == 0 else f for f in infer_folds]
     else:  # Infer_All_Folds
         folds = list(df[fold_col].unique())
     in_folds = df[fold_col].iloc[valid].isin(folds)

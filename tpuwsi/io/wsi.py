@@ -196,8 +196,16 @@ class WSITileSampler:
         """This process's strided slice of the epoch index stream
         (DistributedSampler semantics: all hosts shuffle with the SAME seed,
         then rank p takes every p-th element — slices are disjoint positions
-        that partition the epoch)."""
-        return self.epoch_indices(rng)[process_index::process_count]
+        that partition the epoch).
+
+        Truncated to the COMMON per-host length: with N % process_count != 0
+        some hosts would get one extra element, their batch counts could
+        differ, and the long hosts would enter a collective the short hosts
+        never join — a multi-host deadlock (DistributedSampler pads for the
+        same reason; truncation keeps every global batch full)."""
+        idx = self.epoch_indices(rng)
+        per_host = len(idx) // process_count
+        return idx[process_index::process_count][:per_host]
 
     def batches(
         self,

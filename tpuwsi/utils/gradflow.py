@@ -8,6 +8,8 @@ returns a dict for logging; an optional text renderer replaces the plot.
 
 from __future__ import annotations
 
+import math
+
 from typing import Dict
 
 import jax
@@ -33,9 +35,17 @@ def render_grad_flow(summary: Dict[str, tuple], width: int = 40) -> str:
     if not summary:
         return "(no gradients)"
     means = {k: float(v[0]) for k, v in summary.items()}
-    top = max(means.values()) or 1.0
+    finite = [v for v in means.values() if math.isfinite(v)]
+    top = max(finite) if finite else 1.0
+    top = top or 1.0
     lines = []
     for k in sorted(means):
-        bar = "#" * max(int(means[k] / top * width), 0)
-        lines.append(f"{k:<60s} {means[k]:.3e} {bar}")
+        v = means[k]
+        if math.isfinite(v):
+            bar = "#" * max(int(v / top * width), 0)
+        else:
+            # NaN/inf gradients are exactly what this diagnostic exists to
+            # show — render a marker instead of crashing on int(NaN)
+            bar = "!" * width
+        lines.append(f"{k:<60s} {v:.3e} {bar}")
     return "\n".join(lines)

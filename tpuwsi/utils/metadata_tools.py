@@ -84,4 +84,11 @@ def unmerge_dataset_group_metadata(
                                                  data_root=data_root)
     for cid, d in dir_dict.items():
         rows = slides_data[slides_data["id"] == cid]
+        if rows.empty:
+            # an 'id' edit/typo that matches zero rows would otherwise
+            # TRUNCATE that cohort's slides_data file to a header-only table
+            raise ValueError(
+                f"unmerge: no rows with id == {cid!r} in the merged frame — "
+                "refusing to overwrite its slides_data with an empty table"
+            )
         write_xlsx(_slides_data_path(d, cid), rows.reset_index(drop=True))
