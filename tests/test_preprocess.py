@@ -130,3 +130,24 @@ def test_recipe_is_jittable():
     imgs = _batch(jax.random.PRNGKey(10), b=2, s=64)
     out = fn(jax.random.PRNGKey(11), imgs)
     assert out.shape == imgs.shape
+
+
+def test_gaussian_blur_mxu_matches_exact_kernel():
+    """The matmul-form blur must apply the EXACT row-normalized Gaussian
+    (the 3-tap kernel truncates ~60% of the mass at DINO's sigma=2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuwsi.preprocess.augment import gaussian_blur
+
+    # impulse response at the center of a 33x33 image, fixed sigma via a
+    # degenerate range
+    img = jnp.zeros((33, 33, 1)).at[16, 16, 0].set(1.0)
+    out = np.asarray(gaussian_blur(jax.random.PRNGKey(0), img, (2.0, 2.0)))
+    d = np.arange(33) - 16.0
+    w = np.exp(-0.5 * (d / 2.0) ** 2)
+    w = w / w.sum()
+    expected = np.outer(w, w)
+    np.testing.assert_allclose(out[..., 0], expected, atol=1e-5)
+    # separable + normalized: total mass preserved
+    assert abs(out.sum() - 1.0) < 1e-4

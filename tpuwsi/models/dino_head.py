@@ -66,7 +66,9 @@ class DINOHead(nn.Module):
             kernel_init=trunc_normal_init(),
         )
         if n == 1:
-            x = nn.Dense(self.bottleneck_dim, **dense_kw)(x)
+            # named like the >1 branch's output layer so the param tree
+            # stays uniform across nlayers settings
+            x = nn.Dense(self.bottleneck_dim, name="mlp_out", **dense_kw)(x)
         else:
             for i in range(n - 1):
                 x = nn.Dense(self.hidden_dim, name=f"mlp_{i}", **dense_kw)(x)

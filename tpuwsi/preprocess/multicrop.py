@@ -66,8 +66,17 @@ def random_resized_crop(key, img, out_size, scale_range, ratio_range=(3 / 4, 4 /
     ratio = jnp.exp(log_ratio)
     cw = jnp.clip(jnp.round(jnp.sqrt(area * ratio)), 1, w).astype(jnp.int32)
     ch = jnp.clip(jnp.round(jnp.sqrt(area / ratio)), 1, h).astype(jnp.int32)
-    top = jax.random.randint(ky, (), 0, h) % jnp.maximum(h - ch + 1, 1)
-    left = jax.random.randint(kx, (), 0, w) % jnp.maximum(w - cw + 1, 1)
+    # floor(uniform * m) is exactly uniform over 0..m-1 for traced m —
+    # randint(0, h) % m is modulo-biased (residues below h % m are up to 2×
+    # as likely), skewing every crop toward the top-left
+    top = jnp.floor(
+        jax.random.uniform(ky, ())
+        * jnp.maximum(h - ch + 1, 1).astype(jnp.float32)
+    ).astype(jnp.int32)
+    left = jnp.floor(
+        jax.random.uniform(kx, ())
+        * jnp.maximum(w - cw + 1, 1).astype(jnp.float32)
+    ).astype(jnp.int32)
 
     # MXU matmul-based resample of the (top,left,ch,cw) box to
     # (out_size, out_size): sample positions are traced values, static output
@@ -102,11 +111,21 @@ _DINO_JITTER = A.jitter_params(
 
 def _dino_view(key, img, out_size, scale_range, blur_p, solarize_p):
     kc, kf, kj, kjp, kg, kb, kbp, ks = jax.random.split(key, 8)
-    v = random_resized_crop(kc, img, out_size, scale_range, hflip_key=kf)
+    # DINO's DataAugmentationDINO resamples with BICUBIC; the MXU matmul
+    # resample costs the same for either kernel (same matrix shapes) —
+    # clip the cubic overshoot like PIL's uint8 clamp
+    v = jnp.clip(
+        random_resized_crop(
+            kc, img, out_size, scale_range, hflip_key=kf, method="bicubic"
+        ),
+        0.0, 1.0,
+    )
     jittered = A.color_jitter(kj, v, *_DINO_JITTER)
     v = jnp.where(jax.random.bernoulli(kjp, 0.8), jittered, v)
     v = random_grayscale(kg, v, 0.2)
-    blurred = A.gaussian_blur3(kb, v, (0.1, 2.0))
+    # radius-4 blur: DINO draws σ up to 2.0, where a 3-tap kernel truncates
+    # most of the Gaussian mass (see augment.gaussian_blur)
+    blurred = A.gaussian_blur(kb, v, (0.1, 2.0))
     v = jnp.where(jax.random.bernoulli(kbp, blur_p), blurred, v)
     v = solarize(ks, v, solarize_p)
     return v

@@ -179,7 +179,7 @@ def make_recipe(
     post_norm_cutout = train and transform_type in (
         "cbnfrsc",
         "bnfrsc",
-        "c_0_05_bnfrsc",
+        "c_0_05_bnfrsc",  # dead in the reference too (transformations.py:206 lists it; no branch builds it) — kept for the same latent parity
         "pcbnfrsc",
     )
 

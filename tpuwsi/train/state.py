@@ -26,6 +26,6 @@ def create_train_state(params, tx: optax.GradientTransformation, ema: bool = Fal
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
-        ema_params=jax.tree_util.tree_map(lambda x: x, params) if ema else None,
+        ema_params=params if ema else None,  # jax arrays are immutable
         batch_stats=batch_stats,
     )
