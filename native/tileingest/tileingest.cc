@@ -167,7 +167,14 @@ int read_level_rect(TiffSlide* s, TIFF* tif, int level, int64_t x0,
   // Strip/scanline image: decode the needed rows via RGBA strip reader.
   uint32_t rows_per_strip = 0;
   TIFFGetFieldDefaulted(tif, TIFFTAG_ROWSPERSTRIP, &rows_per_strip);
-  if (rows_per_strip == 0) rows_per_strip = static_cast<uint32_t>(lv.height);
+  // libtiff's defaulted ROWSPERSTRIP for a single-strip image (tag absent)
+  // is (uint32)-1 — unclamped, width * 2^32 rows would be a multi-exabyte
+  // vector whose bad_alloc unwinds through the extern "C" boundary and
+  // aborts the process. Clamp to the level height (the partial-strip math
+  // below already handles short final strips).
+  if (rows_per_strip == 0 ||
+      rows_per_strip > static_cast<uint32_t>(lv.height))
+    rows_per_strip = static_cast<uint32_t>(lv.height);
   std::vector<uint32_t> strip(static_cast<size_t>(lv.width) * rows_per_strip);
   for (int64_t sy = (ry0 / rows_per_strip) * rows_per_strip; sy < ry1;
        sy += rows_per_strip) {

@@ -472,3 +472,57 @@ def test_mrxs_geometry_fuzz(tmp_path, seed):
                         f"expected zero at {(x0+xx, y0+yy)}"
                     )
     r.close()
+
+
+def test_striped_tiff_missing_rowsperstrip_tag(tmp_path):
+    """libtiff's defaulted ROWSPERSTRIP for a single-strip image with the
+    tag ABSENT is (uint32)-1 — unclamped, the strip buffer allocation was a
+    multi-exabyte bad_alloc that aborted the process through the ctypes
+    boundary."""
+    import struct
+
+    w = h = 64
+    rng = np.random.default_rng(0)
+    pixels = rng.integers(0, 255, (h, w, 3), dtype=np.uint8).tobytes()
+
+    # minimal little-endian classic TIFF: header, pixel strip, one IFD
+    # WITHOUT tag 278 (RowsPerStrip)
+    header_size = 8
+    data_off = header_size
+    ifd_off = data_off + len(pixels)
+    bits_off = ifd_off + 2 + 9 * 12 + 4  # BitsPerSample triple after the IFD
+
+    def tag(code, typ, count, value):
+        return struct.pack("<HHI4s", code, typ, count, value)
+
+    def short_val(v):
+        return struct.pack("<HH", v, 0)
+
+    def long_val(v):
+        return struct.pack("<I", v)
+
+    entries = [
+        tag(256, 3, 1, short_val(w)),            # ImageWidth
+        tag(257, 3, 1, short_val(h)),            # ImageLength
+        tag(258, 3, 3, long_val(bits_off)),      # BitsPerSample -> offset
+        tag(259, 3, 1, short_val(1)),            # Compression = none
+        tag(262, 3, 1, short_val(2)),            # Photometric = RGB
+        tag(273, 4, 1, long_val(data_off)),      # StripOffsets
+        tag(277, 3, 1, short_val(3)),            # SamplesPerPixel
+        tag(279, 4, 1, long_val(len(pixels))),   # StripByteCounts
+        tag(284, 3, 1, short_val(1)),            # PlanarConfig
+    ]
+    buf = struct.pack("<2sHI", b"II", 42, ifd_off)
+    buf += pixels
+    buf += struct.pack("<H", len(entries)) + b"".join(entries)
+    buf += struct.pack("<I", 0)  # next IFD
+    buf += struct.pack("<HHH", 8, 8, 8)
+    p = str(tmp_path / "nostrip.tif")
+    with open(p, "wb") as f:
+        f.write(buf)
+
+    r = ingest.CTileReader(p)
+    out = r.read_region((8, 8), 0, (16, 16))
+    expected = np.frombuffer(pixels, np.uint8).reshape(h, w, 3)[8:24, 8:24]
+    np.testing.assert_array_equal(out, expected)
+    r.close()

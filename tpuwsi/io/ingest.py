@@ -21,9 +21,11 @@ import numpy as np
 from tpuwsi.io.slide_readers import SlideReader
 
 _LIB_PATHS = [
+    # the explicit override must WIN over a (possibly stale) repo-local
+    # build — listed first
+    os.environ.get("TPUWSI_TILEINGEST_LIB", ""),
     os.path.join(os.path.dirname(__file__), "..", "..", "native", "build",
                  "libtileingest.so"),
-    os.environ.get("TPUWSI_TILEINGEST_LIB", ""),
 ]
 
 _lib = None

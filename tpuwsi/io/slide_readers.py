@@ -53,6 +53,16 @@ class OpenSlideReader(SlideReader):
         self.dimensions = self._slide.dimensions
         self.level_downsamples = list(self._slide.level_downsamples)
         self.path = path
+        # scan-bounds origin (mrxs): the reference subtracts
+        # PROPERTY_NAME_BOUNDS_X/Y before indexing the QuPath loan mask
+        # (utils.py:189-192) — without this, loan labels on bounded slides
+        # read the wrong mask region. (0, 0) when the properties are absent;
+        # the native MIRAX reader already normalizes its origin (mirax.cc).
+        props = self._slide.properties
+        self.bounds = (
+            int(props.get("openslide.bounds-x", 0) or 0),
+            int(props.get("openslide.bounds-y", 0) or 0),
+        )
 
     def read_region(self, location, level, size):
         img = self._slide.read_region(location, level, size).convert("RGB")
