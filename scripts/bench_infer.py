@@ -10,9 +10,11 @@ Usage: python scripts/bench_infer.py [batch] [mode]
   mode: 'probs' (default, slide-eval path, num_classes=2)
         'features' (head=Identity extraction path, 384-dim)
 
-Prints one JSON line with tiles/sec/chip (data-resident, forced fetch per
-batch — the honest serialized number; production walkers overlap host reads
-via the bounded prefetcher, bench_overlap.py).
+Prints one JSON line: "value" is the PIPELINED tiles/sec (what the serving
+loops actually run — infer/pipeline.py dispatch-ahead fetch); the serialized
+rate rides along as serialized_tiles_per_sec. Data-resident 256² tiles (the
+reference serving config: tile_size 256 feeds the model at 256² through
+interpolate_pos_encoding — no resize in the eval path).
 """
 
 from __future__ import annotations
@@ -49,7 +51,7 @@ def main():
     model = VisionTransformer(
         vit_small(
             num_classes=num_classes,
-            img_size=224,
+            img_size=tile,
             use_pallas_attention=on_tpu,
             use_fused_mlp=False,
             ln_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
@@ -57,15 +59,16 @@ def main():
         )
     )
     params = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
+        jax.random.PRNGKey(0), jnp.zeros((1, tile, tile, 3), jnp.float32)
     )
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=params, opt_state=(),
         ema_params=None,
     )
-    # Reference eval: 256² tile → eval transform (resize/center-handling per
-    # recipe) + normalize, then the 224² model input.
-    norm = make_recipe("none", train=False, tile_size=224)
+    # Reference eval path: 256² tiles normalized and fed AT 256² (the CLI
+    # builds the model at img_size = args.img_size or tile_size; 'none' has
+    # no resize) — interpolate_pos_encoding handles the geometry.
+    norm = make_recipe("none", train=False, tile_size=tile)
     step = jax.jit(
         make_eval_step(
             model.apply,
@@ -73,7 +76,7 @@ def main():
         )
     )
 
-    imgs = np.random.randint(0, 255, (batch, 224, 224, 3), dtype=np.uint8)
+    imgs = np.random.randint(0, 255, (batch, tile, tile, 3), dtype=np.uint8)
     b = {"images": jnp.asarray(imgs)}
     logits, probs = step(state, b)
     np.asarray(probs)  # compile + force fetch (axon: block_until_ready lies)
@@ -105,7 +108,7 @@ def main():
             {
                 "metric": f"inference_tiles_per_sec_per_chip_vit_s16_{mode}",
                 "value": round(batch * n_calls / dt_pipe, 1),
-                "unit": "224^2 tiles/sec/chip (eval normalize + forward)",
+                "unit": f"{tile}^2 tiles/sec/chip (eval normalize + forward, pipelined)",
                 "batch_size": batch,
                 "ms_per_batch_serialized": round(1e3 * dt / n_calls, 2),
                 "ms_per_batch_pipelined": round(1e3 * dt_pipe / n_calls, 2),

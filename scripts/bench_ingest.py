@@ -17,7 +17,7 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tpuwsi.io.ingest import (  # noqa: E402
     CTileReader,

@@ -33,7 +33,7 @@ H, HD = 6, 64
 SCALE = HD ** -0.5
 
 
-def timed(fn, *args, n=10):
+def timed_ms(fn, *args, n=10):
     out = fn(*args)
     np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
     t0 = time.perf_counter()
@@ -65,13 +65,14 @@ def main():
         flash_g = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))
         xla_g = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))
 
-        row = {"flash_fwd_ms": round(timed(flash_f, q, k, v), 3),
-               "flash_fwdbwd_ms": round(timed(flash_g, q, k, v), 3)}
+        row = {"flash_fwd_ms": round(timed_ms(flash_f, q, k, v), 3),
+               "flash_fwdbwd_ms": round(timed_ms(flash_g, q, k, v), 3)}
         # XLA materializes the (S, S) scores in HBM — at S=16k that is a
-        # 3 TB f32 tensor, so fwd AND bwd both die; record the failure
+        # ~26 GB f32 tensor (4·6·16384²·4 B) vs 16 GB HBM, so fwd AND bwd
+        # both die; record the failure
         for name, fn in (("xla_fwd_ms", xla_f), ("xla_fwdbwd_ms", xla_g)):
             try:
-                row[name] = round(timed(fn, q, k, v), 3)
+                row[name] = round(timed_ms(fn, q, k, v), 3)
             except Exception as e:
                 row[name] = f"OOM ({type(e).__name__})"
         results[f"S{s}"] = row

@@ -6,7 +6,9 @@ Builds a tiny bright-vs-dark ImageFolder, trains ViT-T(depth=4) with the
 loss falls and held-out AUC reaches 1.0.
 """
 
+import atexit
 import os
+import shutil
 import sys
 import tempfile
 
@@ -31,6 +33,7 @@ def main():
 
     rng = np.random.default_rng(0)
     root = tempfile.mkdtemp(prefix="e2e_slice_")
+    atexit.register(shutil.rmtree, root, True)  # no /tmp litter on the bench host
     for cls, base in (("bright", 200), ("dark", 40)):
         os.makedirs(f"{root}/{cls}", exist_ok=True)
         for i in range(32):
