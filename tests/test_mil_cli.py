@@ -76,3 +76,43 @@ def test_mil_cli_registry_resolution(tmp_path, monkeypatch):
         "--output", str(tmp_path / "mil2"),
     ])
     assert "eval_auc" in final
+
+
+def test_extract_features_to_mil_cli_chain(tmp_path):
+    """The two-CLI production chain: cli.train --extract_features exports the
+    reference-format inference.data, and cli.mil_train consumes it directly
+    (SURVEY §3.4 end to end through the public entry points)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_cli import wsi_cohort as _fixture  # reuse the cohort builder
+
+    # materialize the cohort fixture manually (it's a pytest fixture fn)
+    cohort_fn = _fixture.__wrapped__ if hasattr(_fixture, "__wrapped__") else _fixture
+    cohort = cohort_fn(tmp_path / "cohort")
+
+    from tpuwsi.cli.mil_train import main as mil_main
+    from tpuwsi.cli.train import main as train_main
+
+    out = str(tmp_path / "runs_ef")
+    train_main([
+        "--dataset", "TCGA", "--data-root", cohort,
+        "--model", "vit_tiny_patch16_224", "--tile-size", "32",
+        "-tf", "1", "-ef", "-nt", "6", "-tpi", "4", "--output", out,
+    ])
+    run_dir = [os.path.join(out, e) for e in os.listdir(out)
+               if e.startswith("Exp_")][0]
+    data_file = os.path.join(run_dir, "features", "inference.data")
+    assert os.path.isfile(data_file)
+
+    model, state, final = mil_main([
+        "--features", data_file,
+        "--bag-size", "4",
+        "--minimum-tiles", "1",
+        "--epochs", "3",
+        "-b", "2",
+        "--output", str(tmp_path / "mil_out"),
+        "--export-xlsx",
+    ])
+    assert os.path.isfile(os.path.join(str(tmp_path / "mil_out"),
+                                       "slide_scores.xlsx"))
