@@ -12,6 +12,7 @@ camera-mosaic stitching means each 512² read touches up to 9 overlapping
 JPEG tiles, so it is the worst-case decode amplification of the formats.
 """
 
+import os
 import sys
 import time
 
