@@ -106,3 +106,38 @@ def test_heatmap_img_size_resizes(tmp_path):
         "--output", str(tmp_path / "heat"),
     ])
     assert np.isfinite(list(results.values())[0])
+
+
+def test_heatmap_with_tissue_grid_dir(tmp_path):
+    """--grid-dir: tiles on the precomputed tissue grid are flagged tissue
+    and score the slide; off-grid background is sampled at
+    --background-fraction (datasets.py:2222-2230 surface)."""
+    from tpuwsi.cli.heatmap import main
+    from tpuwsi.io.grids import grid_file_path, save_grid_pickle
+
+    # bright tissue in the left half, dark background right
+    arr = np.zeros((512, 512, 3), np.uint8)
+    arr[:, :256] = 200
+    arr[:, 256:] = 30
+    slide = str(tmp_path / "s2.tif")
+    Image.fromarray(arr).save(slide)
+
+    # tissue grid = the 8 left-half tiles (tile_size 128 level-0 grid)
+    grid = [(top, left) for top in range(0, 512, 128) for left in (0, 128)]
+    gpath = grid_file_path(str(tmp_path), "s2.tif", 10, 128)
+    save_grid_pickle(gpath, grid)
+
+    out = str(tmp_path / "heat")
+    results = main([
+        "--slide", slide, "--slide-mag", "10", "--tile-size", "128",
+        "--model", "vit_tiny_patch16_224",
+        "--grid-dir", str(tmp_path),
+        "--background-fraction", "0.0",   # tissue tiles only
+        "-tpi", "4", "--output", out,
+    ])
+    heat = np.load(os.path.join(out, "s2.heatmap.npy"))
+    assert heat.shape == (4, 4)
+    # only the 8 tissue cells are scored; background cells stay NaN
+    assert np.isfinite(heat[:, :2]).all()
+    assert np.isnan(heat[:, 2:]).all()
+    assert np.isfinite(results["s2"])
