@@ -27,10 +27,29 @@ NORTH_STAR = 10_000.0  # tiles/sec/chip (BASELINE.json)
 # axon TPU backend in this image — steps run undonated.
 
 
+def bench_vit_config(on_tpu: bool):
+    """The exact ViTConfig this bench measures (tests pin the CLI to it)."""
+    from tpuwsi.core.tuned import tuned_vit_kwargs
+    from tpuwsi.models.vit import vit_small
+
+    return vit_small(num_classes=0, img_size=224, gelu_approx=True,
+                     **tuned_vit_kwargs(on_tpu))
+
+
+def bench_multicrop_config(on_tpu: bool):
+    """The exact MultiCropConfig this bench measures."""
+    from tpuwsi.core.tuned import tuned_multicrop_kwargs
+    from tpuwsi.preprocess.multicrop import MultiCropConfig
+
+    return MultiCropConfig(global_size=224, local_size=96, n_local=6,
+                           **tuned_multicrop_kwargs(on_tpu))
+
+
 def build(batch_size: int, tile: int = 224, raw: bool = False):
+    from tpuwsi.core.tuned import tuned_dino_kwargs, tuned_head_kwargs
     from tpuwsi.models import DINOHead
-    from tpuwsi.models.vit import VisionTransformer, vit_small
-    from tpuwsi.preprocess.multicrop import MultiCropConfig, make_multicrop
+    from tpuwsi.models.vit import VisionTransformer
+    from tpuwsi.preprocess.multicrop import make_multicrop
     from tpuwsi.ssl_dino import (
         DINOConfig,
         DINOModel,
@@ -40,38 +59,25 @@ def build(batch_size: int, tile: int = 224, raw: bool = False):
     from tpuwsi.train import OptimConfig, make_optimizer
 
     on_tpu = jax.default_backend() == "tpu"
-    # Round-3 kernel re-A/B (scripts/exp_kernels3.py, BENCH.md "Round 3"):
-    # with XLA's GEMM region now at ~95% of HBM peak, the fused-MLP Pallas
-    # family measures neutral-to-negative in-step (xla_mlp 117.6 vs base
-    # 118.4 ms at b96) while Pallas attention remains essential (XLA attn:
-    # 210.7 ms). Best full-step config: XLA MLP + bf16 LayerNorm.
-    backbone = VisionTransformer(
-        vit_small(num_classes=0, img_size=224, use_pallas_attention=on_tpu,
-                  use_fused_mlp=False,
-                  ln_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-                  gelu_approx=True)
-    )
+    # Measured-best step config (BENCH.md round-3 A/Bs: XLA MLP + bf16 LN +
+    # bf16 aug + bf16 head/loss-pair) — sourced from core/tuned.py so the
+    # CLI SSL loop trains the exact configuration this bench records
+    # (tests/test_tuned_config.py pins the two surfaces together).
+    backbone = VisionTransformer(bench_vit_config(on_tpu))
     model = DINOModel(
         backbone=backbone,
-        # bf16 head GEMMs / loss pair contractions: measured ≥0 full-step
-        # (+3% at b64 in round 2's first pass, ~+0.6% with the wide kernel)
         head=DINOHead(out_dim=65536, hidden_dim=2048, bottleneck_dim=256,
-                      gelu_approx=True,
-                      dtype=jnp.bfloat16 if on_tpu else jnp.float32),
+                      gelu_approx=True, **tuned_head_kwargs(on_tpu)),
     )
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
     )
     dcfg = DINOConfig(out_dim=65536, n_local=6, total_steps=1000,
-                      loss_pair_bf16=on_tpu)
+                      **tuned_dino_kwargs(on_tpu))
     ocfg = OptimConfig(opt="adamw", lr=5e-4, weight_decay=0.04)
     tx, _ = make_optimizer(ocfg, params, global_batch_size=batch_size)
     state = create_dino_state(params, tx, dcfg)
-    # bf16 augmentation: the view pipeline is HBM-bound elementwise work
-    # (8.4 ms/step of the b128 step in f32, exp_region3); bf16 halves it.
-    mc = make_multicrop(MultiCropConfig(
-        global_size=224, local_size=96, n_local=6,
-        compute_dtype="bfloat16" if on_tpu else "float32"))
+    mc = make_multicrop(bench_multicrop_config(on_tpu))
     step = make_dino_train_step(model.apply, tx, dcfg, multicrop_fn=mc)
     return state, (step if raw else jax.jit(step))
 

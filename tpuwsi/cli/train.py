@@ -1240,6 +1240,42 @@ def train_survival(args, output_dir, ledger, exp):
     return state
 
 
+def ssl_backbone_config(args, on_tpu: bool):
+    """The ViTConfig the SSL loop trains — tuned TPU defaults included.
+
+    Module-level (not inlined in train_ssl) so tests can pin it to the exact
+    configuration bench.py measures (core/tuned.py is the shared source;
+    round-3 VERDICT item 1: users must get the recorded-benchmark step)."""
+    from tpuwsi.core.tuned import tuned_vit_kwargs
+    from tpuwsi.models.registry import parse_model_name
+
+    return dataclasses.replace(
+        parse_model_name(args.model),
+        num_classes=0,
+        img_size=args.dino_global_size,
+        drop_path_rate=args.drop_path or 0.1,
+        gelu_approx=True,  # from-scratch SSL: no checkpoint parity constraint
+        # NOTE: scan_blocks is deliberately NOT tied to remat — it would
+        # change the checkpoint param-tree layout (blocks_i vs stacked
+        # blocks_scan) and break resume across a memory-only toggle.
+        remat_blocks=args.grad_checkpointing,
+        **tuned_vit_kwargs(on_tpu),
+    )
+
+
+def ssl_multicrop_config(args, on_tpu: bool):
+    """The MultiCropConfig the SSL loop trains (bf16 aug on TPU)."""
+    from tpuwsi.core.tuned import tuned_multicrop_kwargs
+    from tpuwsi.preprocess.multicrop import MultiCropConfig
+
+    return MultiCropConfig(
+        global_size=args.dino_global_size,
+        local_size=args.dino_local_size,
+        n_local=args.dino_local_crops,
+        **tuned_multicrop_kwargs(on_tpu),
+    )
+
+
 def train_ssl(args, output_dir):
     """DINO student/teacher SSL loop (the BASELINE north-star recipe)."""
     import jax.numpy as jnp
@@ -1249,9 +1285,8 @@ def train_ssl(args, output_dir):
     from tpuwsi.io.metadata import load_slide_table
     from tpuwsi.io.wsi import Prefetcher, WSITileSampler
     from tpuwsi.models import DINOHead
-    from tpuwsi.models.registry import parse_model_name
     from tpuwsi.models.vit import VisionTransformer
-    from tpuwsi.preprocess.multicrop import MultiCropConfig, make_multicrop
+    from tpuwsi.preprocess.multicrop import make_multicrop
     from tpuwsi.ssl_dino import (
         DINOConfig,
         DINOModel,
@@ -1281,21 +1316,14 @@ def train_ssl(args, output_dir):
         )
         steps_per_epoch = max(len(sampler) // (args.batch_size * pcount), 1)
 
-    cfg = dataclasses.replace(
-        parse_model_name(args.model),
-        num_classes=0,
-        img_size=args.dino_global_size,
-        drop_path_rate=args.drop_path or 0.1,
-        use_pallas_attention=jax.default_backend() == "tpu",
-        gelu_approx=True,  # from-scratch SSL: no checkpoint parity constraint
-        # NOTE: scan_blocks is deliberately NOT tied to this flag — it would
-        # change the checkpoint param-tree layout (blocks_i vs stacked
-        # blocks_scan) and break resume across a memory-only toggle.
-        remat_blocks=args.grad_checkpointing,
-    )
+    from tpuwsi.core.tuned import tuned_dino_kwargs, tuned_head_kwargs
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = ssl_backbone_config(args, on_tpu)
     model = DINOModel(
         backbone=VisionTransformer(cfg),
-        head=DINOHead(out_dim=args.dino_out_dim),
+        head=DINOHead(out_dim=args.dino_out_dim, gelu_approx=True,
+                      **tuned_head_kwargs(on_tpu)),
     )
     params = model.init(
         jax.random.PRNGKey(args.seed),
@@ -1316,6 +1344,7 @@ def train_ssl(args, output_dir):
         warmup_teacher_temp_steps=args.warmup_teacher_temp_epochs * steps_per_epoch,
         ema_base=args.ema_base,
         total_steps=total_steps,
+        **tuned_dino_kwargs(on_tpu),
     )
     ocfg = OptimConfig(
         opt=args.opt if args.opt != "sgd" else "adamw",
@@ -1334,13 +1363,7 @@ def train_ssl(args, output_dir):
     )
     tx, _ = make_optimizer(ocfg, params, global_batch)
     state = create_dino_state(params, tx, dcfg)
-    mc = make_multicrop(
-        MultiCropConfig(
-            global_size=args.dino_global_size,
-            local_size=args.dino_local_size,
-            n_local=args.dino_local_crops,
-        )
-    )
+    mc = make_multicrop(ssl_multicrop_config(args, on_tpu))
     from tpuwsi.core.compile import scheduled_step
 
     raw_step = make_dino_train_step(model.apply, tx, dcfg, multicrop_fn=mc)

@@ -34,8 +34,17 @@ def initialize_multihost() -> tuple[int, int]:
         os.environ.get("JAX_COORDINATOR_ADDRESS")
         or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
     ):
+        # Generic launcher support (torchrun's RANK/WORLD_SIZE equivalent):
+        # on TPU pods / SLURM / MPI jax auto-detects everything, but jax has
+        # no env plugin for a plain "N processes on arbitrary hosts" launch —
+        # JAX_NUM_PROCESSES + JAX_PROCESS_ID fill that hole (and the real
+        # 2-process integration test drives this path, tests/test_dist2proc.py).
+        kwargs = {}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+            kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
         try:
-            jax.distributed.initialize()
+            jax.distributed.initialize(**kwargs)
         except RuntimeError as e:
             # genuinely already initialized (e.g. by an outer launcher) —
             # fine; anything else deserves the log line before we query

@@ -59,8 +59,11 @@ class ViTConfig:
     use_pallas_attention: bool = True
     # Pallas fused MLP / fused pre-norm MLP block (ops/mlp.py). Separate
     # toggle from attention so the two kernel families can be A/B'd
-    # independently on the full step (scripts/exp_kernels3.py).
-    use_fused_mlp: bool = True
+    # independently on the full step (scripts/exp_kernels3.py). Default off:
+    # the round-3 re-A/B (BENCH.md) measured XLA's MLP at parity-or-better
+    # in-step once the GEMM region hit ~95% of HBM peak — the kernels stay
+    # as the documented measured-negative path (core/tuned.py).
+    use_fused_mlp: bool = False
     # Hybrid backward families (XLA forward kept for its 85-95%-MFU forward
     # mega-fusions; only the VJP routes through a Pallas dual-output kernel
     # — targets the 56-79%-MFU backward dgrad+wgrad+dbias multi-output
@@ -381,7 +384,7 @@ class Block(nn.Module):
     dtype: Dtype = jnp.bfloat16
     ln_dtype: Dtype = jnp.float32
     use_pallas: bool = True
-    use_fused_mlp: bool = True
+    use_fused_mlp: bool = False
     mlp_pallas_bwd: bool = False
     dense_pallas_bwd: bool = False
     pallas_interpret: bool = False
