@@ -1,0 +1,89 @@
+"""REAL 2-process ``jax.distributed`` integration test (round-3 VERDICT #3).
+
+Every other multi-host test fakes ``process_index``/``process_count``; this
+one spawns two actual CPU subprocesses with a local coordinator and runs the
+full stack across the process boundary: ``initialize_multihost`` (the
+JAX_NUM_PROCESSES/JAX_PROCESS_ID generic-launcher path), disjoint strided
+sampling, a psum'd data-parallel train step over the 2-device global mesh
+(the gradient all-reduce rides Gloo between the processes), an orbax
+checkpoint save called by both processes, and a restore round-trip.
+
+Reference equivalent: torchrun + DDP init + DistributedSampler
+(/root/reference/train.py:431,732; sbatch-ssl.sh:55).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_ROOT = os.path.dirname(_HERE)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_distributed_end_to_end(tmp_path):
+    # 8 images / 2 classes — each rank strides to 4, batch 2 → 2 steps
+    rng = np.random.default_rng(0)
+    data = tmp_path / "data"
+    for cls, base in (("neg", 40), ("pos", 200)):
+        os.makedirs(data / cls)
+        for i in range(4):
+            arr = np.clip(rng.normal(base, 20, (16, 16, 3)), 0, 255)
+            Image.fromarray(arr.astype(np.uint8)).save(data / cls / f"{i}.png")
+    ckpt_dir = tmp_path / "ckpt"
+
+    port = _free_port()
+    procs, results = [], [tmp_path / f"r{i}.json" for i in range(2)]
+    for i in range(2):
+        env = dict(
+            os.environ,
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(i),
+            # one local device per process → a 2-device GLOBAL mesh
+            XLA_FLAGS="--xla_force_host_platform_device_count=1",
+            PYTHONPATH=_ROOT + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(_HERE, "dist2proc_worker.py"),
+             str(data), str(ckpt_dir), str(results[i])],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        ))
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    r0, r1 = (json.loads(open(r).read()) for r in results)
+
+    # real coordinator handshake: both processes saw the 2-process world
+    for i, r in enumerate((r0, r1)):
+        assert (r["pidx"], r["pcount"]) == (i, 2)
+        assert r["global_devices"] == 2 and r["local_devices"] == 1
+
+    # strided sampling: disjoint per-rank item sets covering the dataset
+    assert not (set(r0["seen"]) & set(r1["seen"])), "rank batches overlap"
+    assert len(set(r0["seen"]) | set(r1["seen"])) == 8
+
+    # the psum'd step: identical (replicated) loss and identical params
+    # after 2 cross-process gradient all-reduces
+    np.testing.assert_allclose(r0["losses"], r1["losses"], rtol=1e-6)
+    np.testing.assert_allclose(r0["param_sum"], r1["param_sum"], rtol=1e-6)
+    assert r0["final_step"] == r1["final_step"] == 2
+
+    # orbax multihost save (called by BOTH ranks, written once) + restore
+    assert r0["restore_ok"] and r1["restore_ok"]
+    steps = [d for d in os.listdir(ckpt_dir) if d.isdigit()]
+    assert steps == ["2"], f"expected exactly one checkpoint step, got {steps}"
