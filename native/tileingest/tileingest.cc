@@ -14,7 +14,9 @@
 #include <atomic>
 #include <cctype>
 #include <condition_variable>
+#include <cstdio>
 #include <cstring>
+#include <map>
 #include <memory>
 #include <mutex>
 #include <queue>
@@ -612,6 +614,119 @@ int ti_write_synthetic_svs(const char* path, int64_t width, int64_t height,
   if (rc == 0)  // macro page: strip, wide aspect, flagged reduced
     rc = write_pattern_dir(tif, 320, 80, 1, 0, seed, FILETYPE_REDUCEDIMAGE);
   TIFFClose(tif);
+  return rc;
+}
+
+int ti_transcode(const char* src, const char* dst, int tile, int quality,
+                 int n_threads) {
+  if (tile <= 0 || tile % 16 != 0 || quality < 1 || quality > 100) return -1;
+  const int sid = ti_open(src);
+  if (sid < 0) return -1;
+  std::shared_ptr<Slide> slide = get_slide(sid);
+  // BigTIFF ("w8"): a 40GP level 0 at JPEG q90 exceeds classic TIFF's 4 GB
+  // offsets; our reader (and any libtiff >= 4) reads BigTIFF transparently.
+  TIFF* out = TIFFOpen(dst, "w8");
+  if (!out) {
+    ti_close(sid);
+    return -2;
+  }
+  int nth = n_threads > 0
+                ? n_threads
+                : static_cast<int>(std::thread::hardware_concurrency());
+  nth = std::max(1, nth);
+  int rc = 0;
+  for (size_t lvl = 0; lvl < slide->levels.size() && rc == 0; ++lvl) {
+    const int64_t w = slide->levels[lvl].width;
+    const int64_t h = slide->levels[lvl].height;
+    const int64_t wpad = (w + tile - 1) / tile * tile;
+    TIFFSetField(out, TIFFTAG_IMAGEWIDTH, static_cast<uint32_t>(w));
+    TIFFSetField(out, TIFFTAG_IMAGELENGTH, static_cast<uint32_t>(h));
+    TIFFSetField(out, TIFFTAG_SAMPLESPERPIXEL, 3);
+    TIFFSetField(out, TIFFTAG_BITSPERSAMPLE, 8);
+    TIFFSetField(out, TIFFTAG_ORIENTATION, ORIENTATION_TOPLEFT);
+    TIFFSetField(out, TIFFTAG_PLANARCONFIG, PLANARCONFIG_CONTIG);
+    TIFFSetField(out, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
+    TIFFSetField(out, TIFFTAG_COMPRESSION, COMPRESSION_JPEG);
+    TIFFSetField(out, TIFFTAG_JPEGQUALITY, quality);
+    TIFFSetField(out, TIFFTAG_TILEWIDTH, static_cast<uint32_t>(tile));
+    TIFFSetField(out, TIFFTAG_TILELENGTH, static_cast<uint32_t>(tile));
+    if (lvl > 0) TIFFSetField(out, TIFFTAG_SUBFILETYPE, FILETYPE_REDUCEDIMAGE);
+
+    // Stripe pipeline: workers decode (wpad x tile) source stripes in
+    // parallel (the expensive part for MIRAX — each stripe decodes every
+    // overlapping camera tile exactly once); the calling thread cuts and
+    // writes tiles strictly in order (TIFF handles are not thread-safe).
+    std::mutex mu;
+    std::condition_variable cv;
+    int64_t next_ty = 0;
+    std::map<int64_t, std::pair<int, std::vector<uint8_t>>> ready;
+    const size_t depth = static_cast<size_t>(nth) + 2;
+    bool abort_flag = false;
+
+    auto worker = [&]() {
+      for (;;) {
+        int64_t ty;
+        {
+          std::unique_lock<std::mutex> lk(mu);
+          cv.wait(lk, [&] {
+            return abort_flag || next_ty >= h || ready.size() < depth;
+          });
+          if (abort_flag || next_ty >= h) return;
+          ty = next_ty;
+          next_ty += tile;
+        }
+        std::vector<uint8_t> buf(static_cast<size_t>(wpad) * tile * 3);
+        const int r = slide->read_rect(static_cast<int>(lvl), 0, ty, wpad,
+                                       tile, buf.data());
+        {
+          std::lock_guard<std::mutex> lk(mu);
+          ready.emplace(ty, std::make_pair(r, std::move(buf)));
+        }
+        cv.notify_all();
+      }
+    };
+    std::vector<std::thread> pool;
+    for (int i = 0; i < nth; ++i) pool.emplace_back(worker);
+
+    std::vector<uint8_t> tbuf(static_cast<size_t>(tile) * tile * 3);
+    for (int64_t ty = 0; ty < h && rc == 0; ty += tile) {
+      std::pair<int, std::vector<uint8_t>> stripe;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.wait(lk, [&] { return ready.count(ty) > 0; });
+        stripe = std::move(ready[ty]);
+        ready.erase(ty);
+      }
+      cv.notify_all();
+      if (stripe.first != 0) {
+        rc = -4;
+        break;
+      }
+      for (int64_t tx = 0; tx < w; tx += tile) {
+        for (int64_t yy = 0; yy < tile; ++yy)
+          std::memcpy(
+              tbuf.data() + static_cast<size_t>(yy) * tile * 3,
+              stripe.second.data() +
+                  (static_cast<size_t>(yy) * wpad + tx) * 3,
+              static_cast<size_t>(tile) * 3);
+        if (TIFFWriteTile(out, tbuf.data(), static_cast<uint32_t>(tx),
+                          static_cast<uint32_t>(ty), 0, 0) < 0) {
+          rc = -5;
+          break;
+        }
+      }
+    }
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      abort_flag = true;
+    }
+    cv.notify_all();
+    for (std::thread& t : pool) t.join();
+    if (rc == 0) rc = TIFFWriteDirectory(out) ? 0 : -3;
+  }
+  TIFFClose(out);
+  ti_close(sid);
+  if (rc != 0) std::remove(dst);  // never leave a truncated pyramid behind
   return rc;
 }
 

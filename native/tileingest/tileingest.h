@@ -78,6 +78,19 @@ int ti_write_synthetic_svs(const char* path, int64_t width, int64_t height,
 int ti_write_synthetic_mrxs(const char* path, int64_t width, int64_t height,
                             int levels, int tile, uint32_t seed);
 
+// ---- offline transcode --------------------------------------------------------
+// Transcodes any supported slide (MIRAX/SVS/NDPI/TIFF) into a tiled
+// pyramidal JPEG TIFF (BigTIFF) at `dst`, copying every source pyramid
+// level. MIRAX mosaics decode ~3.5x slower per core than tiled TIFF
+// (BENCH.md), so CARMEL-class .mrxs cohorts are transcoded ONCE offline and
+// then ingest at the TIFF rate (reference equivalent: OpenSlide serves
+// .mrxs directly on every epoch, utils.py:176 — we pay the mosaic cost one
+// time instead). `tile` must be a multiple of 16 (JPEG MCU); quality in
+// [1, 100]; n_threads <= 0 → hardware concurrency. Stripes of output tiles
+// are decoded in parallel and written in order. Returns 0 on success.
+int ti_transcode(const char* src, const char* dst, int tile, int quality,
+                 int n_threads);
+
 // Version/health probe.
 int ti_abi_version();
 

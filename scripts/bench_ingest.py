@@ -40,6 +40,18 @@ def main():
 
         path = "/tmp/ingest_bench.mrxs"
         write_synthetic_mrxs(path, 8192, 8192, levels=3, tile=256, seed=3)
+    elif fmt == "mrxs2tif":
+        # the offline-transcode mitigation: one-shot .mrxs -> tiled TIFF
+        # (tpuwsi.cli.transcode), then ingest at the tiled-TIFF rate
+        from tpuwsi.io.ingest import transcode_slide, write_synthetic_mrxs
+
+        src = "/tmp/ingest_bench.mrxs"
+        path = "/tmp/ingest_bench_transcoded.tiff"
+        write_synthetic_mrxs(src, 8192, 8192, levels=3, tile=256, seed=3)
+        t0 = time.perf_counter()
+        transcode_slide(src, path, tile=256, quality=90, n_threads=threads)
+        print(f"one-time transcode: {time.perf_counter() - t0:.1f}s "
+              f"({os.path.getsize(path) / 1e6:.0f} MB)")
     else:
         path = "/tmp/ingest_bench.tif"
         write_synthetic_slide(path, 8192, 8192, levels=3, tile=256, seed=3)

@@ -526,3 +526,65 @@ def test_striped_tiff_missing_rowsperstrip_tag(tmp_path):
     expected = np.frombuffer(pixels, np.uint8).reshape(h, w, 3)[8:24, 8:24]
     np.testing.assert_array_equal(out, expected)
     r.close()
+
+
+# ---- offline transcode (.mrxs -> tiled pyramidal TIFF) --------------------------
+
+
+def test_transcode_mrxs_to_tiff_round_trip(synthetic_mrxs, tmp_path):
+    """The MIRAX ingest mitigation (BENCH.md): transcode once, then ingest at
+    the tiled-TIFF rate. Level structure must copy over and content must
+    survive within JPEG tolerance at every level."""
+    from tpuwsi.io.ingest import transcode_slide
+
+    dst = str(tmp_path / "carmel_like.tiff")
+    transcode_slide(synthetic_mrxs, dst, tile=256, quality=90, n_threads=2)
+
+    src = CTileReader(synthetic_mrxs)
+    out = CTileReader(dst)
+    assert len(out.level_downsamples) == len(src.level_downsamples)
+    assert out._level_dims == src._level_dims
+    for lvl, ds in ((0, 1), (1, 2), (2, 4)):
+        # read in LEVEL-0 coords (OpenSlide convention), compare to source
+        a = src.read_region((128 * ds, 96 * ds), lvl, (300, 200)).astype(np.int16)
+        b = out.read_region((128 * ds, 96 * ds), lvl, (300, 200)).astype(np.int16)
+        # two JPEG generations (camera tiles q95 -> transcode q90)
+        assert np.abs(a - b).mean() < 3.0, f"level {lvl}"
+        assert np.abs(a - b).max() <= 40, f"level {lvl}"
+    # a region spanning output-tile boundaries stitches cleanly
+    a = src.read_region((500, 400), 0, (320, 320)).astype(np.int16)
+    b = out.read_region((500, 400), 0, (320, 320)).astype(np.int16)
+    assert np.abs(a - b).mean() < 3.0
+    src.close()
+    out.close()
+
+
+def test_transcode_rejects_bad_args(synthetic_mrxs, tmp_path):
+    from tpuwsi.io.ingest import transcode_slide
+
+    with pytest.raises(IOError):
+        transcode_slide(synthetic_mrxs, str(tmp_path / "x.tiff"), tile=100)
+    with pytest.raises(IOError):
+        transcode_slide(str(tmp_path / "missing.mrxs"),
+                        str(tmp_path / "y.tiff"))
+    # failed transcodes leave no partial output behind
+    assert not os.path.exists(str(tmp_path / "x.tiff"))
+    assert not os.path.exists(str(tmp_path / "y.tiff"))
+
+
+def test_transcode_cli(synthetic_mrxs, tmp_path):
+    from tpuwsi.cli.transcode import main
+
+    out_dir = str(tmp_path / "tiffs")
+    assert main([synthetic_mrxs, "--output", out_dir, "--threads", "2"]) == 0
+    dst = os.path.join(out_dir, "carmel_like.tiff")
+    assert os.path.isfile(dst)
+    # idempotent: second run skips (no --force) and still succeeds
+    mtime = os.path.getmtime(dst)
+    assert main([synthetic_mrxs, "--output", out_dir]) == 0
+    assert os.path.getmtime(dst) == mtime
+    # the transcoded pyramid feeds the standard ingest path
+    r = open_slide(dst)
+    tile = r.read_region((0, 0), 0, (128, 128))
+    assert tile.shape == (128, 128, 3) and tile.std() > 0
+    r.close()

@@ -89,6 +89,12 @@ def _load():
                     lib.ti_write_synthetic.argtypes
                 )
                 lib.ti_write_synthetic_mrxs.restype = ctypes.c_int
+            if hasattr(lib, "ti_transcode"):
+                lib.ti_transcode.argtypes = [
+                    ctypes.c_char_p, ctypes.c_char_p,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ]
+                lib.ti_transcode.restype = ctypes.c_int
             _lib = lib
             return _lib
     raise OSError("libtileingest.so not built (see tpuwsi/io/ingest.py)")
@@ -144,6 +150,23 @@ def write_synthetic_mrxs(path: str, width: int, height: int, levels: int = 3,
     )
     if rc != 0:
         raise IOError(f"ti_write_synthetic_mrxs failed ({rc})")
+
+
+def transcode_slide(src: str, dst: str, tile: int = 256, quality: int = 90,
+                    n_threads: int = 0):
+    """Offline one-shot transcode of any supported slide into a tiled
+    pyramidal JPEG TIFF (BigTIFF), copying every source pyramid level.
+
+    The MIRAX mitigation (BENCH.md): native .mrxs decode runs ~3.5x slower
+    per core than tiled TIFF (mosaic decode amplification), so CARMEL-class
+    cohorts are transcoded ONCE and then ingest at the TIFF rate every
+    epoch. Reference equivalent: OpenSlide re-pays the mosaic cost on every
+    read_region (utils.py:176). On failure no partial output is left."""
+    rc = _load().ti_transcode(
+        src.encode(), dst.encode(), int(tile), int(quality), int(n_threads)
+    )
+    if rc != 0:
+        raise IOError(f"ti_transcode failed ({rc}) for {src}")
 
 
 class CTileReader(SlideReader):
