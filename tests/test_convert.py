@@ -187,3 +187,54 @@ def test_resnet_trunc_conversion_golden():
     out = np.asarray(model.apply(variables, jnp.asarray(x)))
     assert out.shape == (2, 1024)
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+class _TorchResNet50(_TorchTrunc):
+    """Full torchvision-named ResNet-50 (adds layer4 + fc) for the trainable
+    classifier golden test (round-3 VERDICT #7)."""
+
+    def __init__(self, num_classes=2):
+        super().__init__()
+
+        def make_layer(inplanes, planes, blocks, stride):
+            layers = [_TorchBottleneck(inplanes, planes, stride, True)]
+            for _ in range(1, blocks):
+                layers.append(_TorchBottleneck(planes * 4, planes))
+            return tnn.Sequential(*layers)
+
+        self.layer4 = make_layer(1024, 512, 3, 2)
+        self.fc = tnn.Linear(2048, num_classes)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        return self.fc(x.mean(dim=(2, 3)))
+
+
+def test_resnet50_classifier_conversion_golden():
+    """Full trainable ResNet-50 (layer4 + fc): torch weights → flax, logits
+    match. Parity surface: create_model('resnet50') at train.py:482-495."""
+    import torch
+
+    from tpuwsi.models.convert import torch_resnet_trunc_to_flax
+    from tpuwsi.models.resnet_trunc import resnet50
+
+    torch.manual_seed(1)
+    tmodel = _TorchResNet50(num_classes=2).eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.6, 1.4)
+
+    model = resnet50(num_classes=2, dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    variables = torch_resnet_trunc_to_flax(tmodel.state_dict(), variables)
+    x = np.random.RandomState(1).rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    out = np.asarray(model.apply(variables, jnp.asarray(x)))
+    assert out.shape == (2, 2)
+    np.testing.assert_allclose(out, ref, atol=3e-4, rtol=1e-3)

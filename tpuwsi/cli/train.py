@@ -295,10 +295,15 @@ def main(argv=None, default_overrides=None):
         use_pallas_attention=on_tpu,
         grad_checkpointing=args.grad_checkpointing,
     )
-    params = model.init(
+    variables = model.init(
         jax.random.PRNGKey(args.seed),
         jnp.zeros((1, img_size, img_size, args.in_chans), jnp.float32),
     )
+    # BatchNorm models (resnet50): running statistics live on
+    # TrainState.batch_stats, not under the optimizer — the train step
+    # updates them with mutable=['batch_stats'] (torch semantics)
+    batch_stats = variables.get("batch_stats") if isinstance(variables, dict) else None
+    params = {"params": variables["params"]} if batch_stats is not None else variables
     # global batch = per-host batch × process count (train.py:569-581 LR
     # scaling uses the same product); the mesh spans all global devices.
     global_batch = args.batch_size * pcount
@@ -343,7 +348,8 @@ def main(argv=None, default_overrides=None):
         from tpuwsi.train.optim import freeze_non_head
 
         tx = freeze_non_head(tx, params)
-    state = create_train_state(params, tx, ema=args.model_ema)
+    state = create_train_state(params, tx, ema=args.model_ema,
+                               batch_stats=batch_stats)
 
     ckpt = CheckpointManager(
         os.path.join(output_dir, "checkpoints"),
@@ -380,7 +386,8 @@ def main(argv=None, default_overrides=None):
 
                     tx = freeze_non_head(tx, params)
                 state = create_train_state(
-                    restored.params, tx, ema=args.model_ema
+                    restored.params, tx, ema=args.model_ema,
+                    batch_stats=restored.batch_stats,
                 )
                 state = state.replace(
                     step=restored.step,
@@ -524,6 +531,7 @@ def main(argv=None, default_overrides=None):
         ema_decay=args.model_ema_decay if args.model_ema else None,
         mix_fn=mix_fn,
         soft_loss_fn=soft_loss_fn,
+        use_batch_stats=batch_stats is not None,
     )
     # latency-hiding scheduler: +2.4% measured on the full step (BENCH.md)
     from tpuwsi.core.compile import scheduled_step
@@ -541,6 +549,7 @@ def main(argv=None, default_overrides=None):
             model.apply, tx, augment_fn=aug, loss_fn=loss_fn,
             ema_decay=args.model_ema_decay if args.model_ema else None,
             mix_fn=None,
+            use_batch_stats=batch_stats is not None,
         )
         jit_step_nomix = scheduled_step(
             compile_step(nomix_fn, mesh, state, donate=False,

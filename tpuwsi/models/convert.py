@@ -169,8 +169,12 @@ def torch_resnet_trunc_to_flax(state_dict: Dict, variables):
     put_conv("conv1.weight", ("params", "conv1"))
     put_bn("bn1", "bn1", ())
 
-    stage_sizes = (3, 4, 6)  # layer1-3 of ResNet-50 (trunk keeps no layer4)
-    for stage, blocks in enumerate(stage_sizes, start=1):
+    # Stage count follows the TARGET tree: the 1024-dim trunk has layer1-3
+    # (layer4/fc in the state_dict are ignored); the full resnet50
+    # classifier (models.resnet_trunc.resnet50) has layer4 and a Dense fc.
+    stages = (3, 4, 6, 3) if ("params", "layer4_0", "Conv_0",
+                              "kernel") in flat else (3, 4, 6)
+    for stage, blocks in enumerate(stages, start=1):
         for b in range(blocks):
             t = f"layer{stage}.{b}"
             parent = (f"layer{stage}_{b}",)
@@ -182,5 +186,11 @@ def torch_resnet_trunc_to_flax(state_dict: Dict, variables):
                 put_conv(f"{t}.downsample.0.weight",
                          ("params",) + parent + ("downsample_conv",))
                 put_bn(f"{t}.downsample.1", "downsample_bn", parent)
+
+    if ("params", "fc", "kernel") in flat and "fc.weight" in sd:
+        # torch Linear (O, I) → flax Dense (I, O); shape check in put()
+        # guards classifier-size mismatches loudly
+        put(("params", "fc", "kernel"), np.transpose(sd["fc.weight"]))
+        put(("params", "fc", "bias"), sd["fc.bias"])
 
     return flax.traverse_util.unflatten_dict(flat)

@@ -57,6 +57,13 @@ def create_model(
     """
     if name in ("resnet50_trunc", "resnet50_trunc_baseline"):
         return ResNetTruncBaseline(dtype=dtype)
+    if name == "resnet50":
+        # full trainable CNN classifier (train.py:482-495 create_model
+        # surface; the canonical non-ViT timm name). BatchNorm stats ride
+        # TrainState.batch_stats — the CLI loops detect them at init.
+        from tpuwsi.models.resnet_trunc import resnet50
+
+        return resnet50(num_classes=num_classes, dtype=dtype)
     cfg = parse_model_name(name)
     import dataclasses
 

@@ -56,6 +56,14 @@ class ViTConfig:
     # backward for O(depth) less activation memory — lets bigger batches fit
     # HBM (BASELINE headroom item: batch-128 regression).
     remat_blocks: bool = False
+    # Rematerialization policy when remat_blocks=True: a name from
+    # jax.checkpoint_policies ("dots_saveable",
+    # "dots_with_no_batch_dims_saveable", ...) or None for full recompute.
+    # Beyond memory, the policy restructures WHICH ops the backward pass
+    # recomputes adjacent to the gradient GEMMs — i.e. which backward
+    # fusions XLA can form (exp_remat4.py A/Bs this against the 56-79%-MFU
+    # dgrad+wgrad+dbias multi-output fusions named in BENCH.md).
+    remat_policy: Optional[str] = None
     use_pallas_attention: bool = True
     # Pallas fused MLP / fused pre-norm MLP block (ops/mlp.py). Separate
     # toggle from attention so the two kernel families can be A/B'd
@@ -72,6 +80,12 @@ class ViTConfig:
     # corresponding full-Pallas family is off.
     mlp_pallas_bwd: bool = False
     dense_pallas_bwd: bool = False
+    # Save the attention softmax probabilities (bf16) from the forward
+    # kernel so the backward skips the QK^T recompute and the whole masked
+    # softmax pass — trades ~p bytes of HBM traffic for 1 of the backward's
+    # 5 dots plus its wide VPU pass (round-4 attention experiment,
+    # scripts/exp_attn4.py).
+    attn_save_probs: bool = False
     # Run the Pallas kernels in interpreter mode (forces the kernel path on
     # non-TPU backends — used to validate the custom_partitioning sharded
     # lowering on the CPU test mesh; never enable on real hardware).
@@ -99,6 +113,29 @@ class ViTConfig:
     @property
     def num_patches(self) -> int:
         return self.num_patches_side ** 2
+
+
+def _remat_policy(name: Optional[str]):
+    """Resolve a ViTConfig.remat_policy name to a jax.checkpoint policy.
+
+    None → recompute everything (jax.checkpoint's default). A base policy
+    may be extended with checkpoint_name'd intermediates via '+', e.g.
+    "dots_saveable+attn_out" saves GEMM outputs AND the Pallas attention
+    kernel output (which is a custom_call, invisible to dots_saveable)."""
+    if name is None:
+        return None
+    base, *named = name.split("+")
+    try:
+        policy = getattr(jax.checkpoint_policies, base)
+    except AttributeError:
+        raise ValueError(
+            f"unknown remat_policy {base!r}; see jax.checkpoint_policies"
+        ) from None
+    if named:
+        policy = jax.checkpoint_policies.save_from_both_policies(
+            policy, jax.checkpoint_policies.save_only_these_names(*named)
+        )
+    return policy
 
 
 def trunc_normal_init(stddev: float = 0.02):
@@ -169,6 +206,8 @@ class Attention(nn.Module):
     # >0: the sequence axis is pack·block_len tokens of independent packed
     # sub-sequences (backbone-level packing) — attention is block-diagonal.
     block_len: int = 0
+    # forward kernel saves softmax probs; backward skips their recompute
+    save_probs: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool, return_attn: bool = False):
@@ -218,7 +257,16 @@ class Attention(nn.Module):
                     interpret=self.pallas_interpret or None,
                     training=not deterministic,
                     block_len=self.block_len,
+                    save_probs=self.save_probs,
                 )
+                # Identity outside remat. Under remat_blocks, policies built
+                # from save_only_these_names("attn_out") keep the kernel
+                # output saved — dots_saveable alone treats the Pallas
+                # custom_call as recomputable and re-runs the whole
+                # attention forward inside the backward (exp_remat4.py).
+                from jax.ad_checkpoint import checkpoint_name
+
+                out = checkpoint_name(out, "attn_out")
             elif self.block_len:
                 from tpuwsi.ops.attention import _mha_reference
 
@@ -393,6 +441,7 @@ class Block(nn.Module):
     # sub-sequences of block_len tokens share the sequence axis.
     pack: int = 1
     block_len: int = 0
+    save_probs: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool, return_attn: bool = False):
@@ -419,6 +468,7 @@ class Block(nn.Module):
             dense_pallas_bwd=self.dense_pallas_bwd,
             pallas_interpret=self.pallas_interpret,
             block_len=self.block_len,
+            save_probs=self.save_probs,
             name="attn",
         )(y.astype(self.dtype), deterministic, return_attn)
         x = x + DropPath(self.drop_path, pack=self.pack,
@@ -480,6 +530,7 @@ class _ScanBlockBody(nn.Module):
     dense_pallas_bwd: bool = False
     pack: int = 1
     block_len: int = 0
+    save_probs: bool = False
 
     @nn.compact
     def __call__(self, x, dpr):
@@ -516,6 +567,7 @@ class _ScanBlockBody(nn.Module):
             dense_pallas_bwd=self.dense_pallas_bwd,
             pallas_interpret=self.pallas_interpret,
             block_len=self.block_len,
+            save_probs=self.save_probs,
             name="attn",
         )(y.astype(self.dtype), det, False)
         x = x + droppath(y)
@@ -659,7 +711,9 @@ class VisionTransformer(nn.Module):
             body = (
                 nn.remat(
                     _ScanBlockBody,
-                    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                    policy=_remat_policy(
+                        cfg.remat_policy or "dots_with_no_batch_dims_saveable"
+                    ),
                 )
                 if cfg.remat_blocks
                 else _ScanBlockBody
@@ -688,10 +742,12 @@ class VisionTransformer(nn.Module):
                 deterministic=deterministic,
                 pack=seq_pack,
                 block_len=blk_len,
+                save_probs=cfg.attn_save_probs,
                 name="blocks_scan",
             )(x, jnp.asarray(dpr, dtype=jnp.float32))
         BlockCls = (
-            nn.remat(Block, static_argnums=(2, 3))
+            nn.remat(Block, static_argnums=(2, 3),
+                     policy=_remat_policy(cfg.remat_policy))
             if cfg.remat_blocks
             else Block
         )
@@ -714,6 +770,7 @@ class VisionTransformer(nn.Module):
                 gelu_approx=cfg.gelu_approx,
                 pack=seq_pack,
                 block_len=blk_len,
+                save_probs=cfg.attn_save_probs,
                 name=f"blocks_{i}",
             )(x, deterministic, want_attn)
             if want_attn:

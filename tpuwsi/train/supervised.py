@@ -37,10 +37,15 @@ def make_train_step(
     compute_auc: bool = True,
     mix_fn: Optional[Callable] = None,
     soft_loss_fn: Optional[Callable] = None,
+    use_batch_stats: bool = False,
 ):
     """Build the jit-able train step.
 
     apply_fn(params, images, rngs=...) → logits.
+    use_batch_stats: BatchNorm models (resnet50) — the forward runs with
+    ``mutable=['batch_stats']`` against ``state.batch_stats`` and the
+    updated statistics are threaded back into the state (torch semantics:
+    running stats update on every train forward, no gradients).
     augment_fn(key, uint8_images) → normalised float images (or None if the
     batch is already preprocessed).
     mix_fn(key, images, labels) → (mixed_images, soft_targets): the timm
@@ -70,16 +75,26 @@ def make_train_step(
             images, soft_targets = mix_fn(mix_key, images, labels)
 
         def compute_loss(params):
-            logits = apply_fn(
-                params, images, deterministic=False, rngs={"dropout": drop_key, "droppath": drop_key}
-            )
+            if use_batch_stats:
+                logits, mut = apply_fn(
+                    {**params, "batch_stats": state.batch_stats}, images,
+                    deterministic=False, mutable=["batch_stats"],
+                    rngs={"dropout": drop_key, "droppath": drop_key},
+                )
+                new_stats = mut["batch_stats"]
+            else:
+                logits = apply_fn(
+                    params, images, deterministic=False,
+                    rngs={"dropout": drop_key, "droppath": drop_key},
+                )
+                new_stats = None
             if soft_targets is not None:
-                return soft_loss_fn(logits, soft_targets), logits
-            return loss_fn(logits, labels), logits
+                return soft_loss_fn(logits, soft_targets), (logits, new_stats)
+            return loss_fn(logits, labels), (logits, new_stats)
 
-        (loss, logits), grads = jax.value_and_grad(compute_loss, has_aux=True)(
-            state.params
-        )
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema_params
@@ -90,6 +105,7 @@ def make_train_step(
             params=new_params,
             opt_state=new_opt_state,
             ema_params=new_ema,
+            batch_stats=new_stats if new_stats is not None else state.batch_stats,
         )
         if labels.ndim == 2:
             # multi-target ('+'-joined, datasets.py:55-61): step metrics
@@ -126,6 +142,9 @@ def make_eval_step(
         if preprocess_fn is not None:
             images = preprocess_fn(images)
         params = state.ema_params if use_ema and state.ema_params is not None else state.params
+        if state.batch_stats is not None:
+            # BN models evaluate on the running statistics
+            params = {**params, "batch_stats": state.batch_stats}
         logits = apply_fn(params, images, deterministic=True)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return logits, probs
