@@ -92,3 +92,36 @@ def test_over_vmem_wide_fallback_trains_on_tpu():
 
     g = np.asarray(jax.jit(jax.grad(loss))(qkv), np.float32)
     assert np.isfinite(g).all()
+
+
+def test_saved_probs_grads_match_recompute_on_tpu():
+    """attn_save_probs on the chip: the saved-p VJP (Mosaic-compiled, not
+    interpret mode) must match the recompute VJP — values and grads, at the
+    DINO step's two geometries (197-token globals, packed 37-token locals)."""
+    from tpuwsi.ops.attention import mha_from_qkv
+
+    rng = np.random.default_rng(1)
+    for b, n in ((4, 197), (6, 37)):
+        d, heads = 384, 6
+        qkv = jnp.asarray(rng.normal(0, 1, (b, n, 3 * d)), jnp.bfloat16)
+
+        def f(x, sp):
+            return (
+                mha_from_qkv(x, heads, training=True, save_probs=sp)
+                .astype(jnp.float32) ** 2
+            ).sum()
+
+        o_s = np.asarray(jax.jit(
+            lambda x: mha_from_qkv(x, heads, training=True, save_probs=True)
+        )(qkv), np.float32)
+        o_b = np.asarray(jax.jit(
+            lambda x: mha_from_qkv(x, heads, training=True)
+        )(qkv), np.float32)
+        np.testing.assert_allclose(o_s, o_b, atol=1e-3, err_msg=f"n={n}")
+        g_s = np.asarray(jax.jit(jax.grad(lambda x: f(x, True)))(qkv),
+                         np.float32)
+        g_b = np.asarray(jax.jit(jax.grad(lambda x: f(x, False)))(qkv),
+                         np.float32)
+        assert np.isfinite(g_s).all()
+        np.testing.assert_allclose(g_s, g_b, atol=3e-2, rtol=3e-2,
+                                   err_msg=f"n={n}")

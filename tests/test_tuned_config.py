@@ -76,6 +76,7 @@ def test_tuned_values_are_the_measured_best():
     assert kw["use_fused_mlp"] is False  # XLA MLP beat the Pallas family
     assert kw["ln_dtype"] == jnp.bfloat16
     assert kw["use_pallas_attention"] is True  # XLA attn: 210.7 vs 102.9 ms
+    assert kw["attn_save_probs"] is True  # r4 exp_attn4: 101.5 -> 99.3 ms
     assert tuned_multicrop_kwargs(True) == {"compute_dtype": "bfloat16"}
     assert tuned_head_kwargs(True) == {"dtype": jnp.bfloat16}
     assert tuned_dino_kwargs(True) == {"loss_pair_bf16": True}

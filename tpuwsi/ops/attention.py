@@ -849,6 +849,176 @@ def _mha_qkv_backward(qkv, g, num_heads, scale, interpret, block_len=0):
     return dqkv
 
 
+def _mha_qkv_kernel_saved(q_len_ref, qkv_ref, o_ref, p_out_ref, st_ref, *,
+                          num_heads: int, seq_pad: int, scale: float,
+                          block_len: int):
+    """_mha_qkv_kernel that ALSO emits the softmax probabilities (bf16).
+
+    Saving p lets the backward skip both the QK^T recompute (1 of its 5
+    dots) and the entire masked-softmax VPU pass — the round-4 attention
+    experiment (exp_attn4.py): trade ~0.4 ms/step of HBM p-traffic for
+    that recompute. Identical math to the recompute path: p carries the
+    key-padding and block-diagonal masks baked in."""
+    d = qkv_ref.shape[2] // 3
+    hd = d // num_heads
+    R = num_heads * seq_pad
+    n = q_len_ref[0]
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (seq_pad, 1), 0)
+    qkv = jnp.where(rowi < n, qkv_ref[0], 0)  # (S_pad, 3D)
+    q_all = (qkv[:, :d].astype(jnp.float32) * scale).astype(qkv.dtype)
+    for h in range(num_heads):
+        k = qkv[:, d + h * hd : d + (h + 1) * hd]
+        st_ref[h * seq_pad : (h + 1) * seq_pad, :] = jax.lax.dot_general(
+            k, q_all[:, h * hd : (h + 1) * hd],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+    rowj = jax.lax.broadcasted_iota(jnp.int32, (R, seq_pad), 0)
+    keyj = rowj % seq_pad
+    valid = keyj < n
+    if block_len < seq_pad:
+        coli = jax.lax.broadcasted_iota(jnp.int32, (R, seq_pad), 1)
+        valid &= (keyj // block_len) == (coli // block_len)
+    st = jnp.where(valid, st_ref[:], NEG_INF)
+    s3 = st.reshape(num_heads, seq_pad, seq_pad)
+    m = jnp.max(s3, axis=1, keepdims=True)
+    e = jnp.exp(s3 - m)
+    l = jnp.sum(e, axis=1, keepdims=True)
+    p = (e / l).reshape(R, seq_pad).astype(qkv.dtype)
+    p_out_ref[0] = p
+    for h in range(num_heads):
+        v = qkv[:, 2 * d + h * hd : 2 * d + (h + 1) * hd]
+        o = jax.lax.dot_general(
+            p[h * seq_pad : (h + 1) * seq_pad, :], v,
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, h * hd : h * hd + hd] = o.astype(o_ref.dtype)
+
+
+def _mha_qkv_forward_saved(qkv, num_heads, scale, interpret, block_len=0):
+    b, n, d3 = qkv.shape
+    seq_pad = max(_cdiv(n, 128) * 128, 128)
+    if not block_len:
+        block_len = seq_pad
+    R = num_heads * seq_pad
+    lengths = jnp.full((1,), n, dtype=jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, seq_pad, d3), lambda i, lens: (i, 0, 0))],
+        out_specs=[
+            pl.BlockSpec((1, seq_pad, d3 // 3), lambda i, lens: (i, 0, 0)),
+            pl.BlockSpec((1, R, seq_pad), lambda i, lens: (i, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, seq_pad), jnp.float32),
+        ],
+    )
+    out, p = pl.pallas_call(
+        functools.partial(
+            _mha_qkv_kernel_saved, num_heads=num_heads, seq_pad=seq_pad,
+            scale=scale, block_len=block_len,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, d3 // 3), qkv.dtype),
+            jax.ShapeDtypeStruct((b, R, seq_pad), qkv.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_WIDE_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(lengths, qkv)
+    return out, p
+
+
+def _mha_qkv_bwd_kernel_saved(q_len_ref, qkv_ref, g_ref, p_ref, dqkv_ref,
+                              dp_ref, *, num_heads: int, seq_pad: int,
+                              scale: float):
+    """Backward from SAVED probabilities: no score dots, no softmax, no mask
+    recompute (the saved p already encodes key padding and the packed
+    block-diagonal). 4 dots per head instead of 5, and the backward's wide
+    VPU pass shrinks to the ds expression."""
+    d = qkv_ref.shape[2] // 3
+    hd = d // num_heads
+    R = num_heads * seq_pad
+    n = q_len_ref[0]
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (seq_pad, 1), 0)
+    qkv = jnp.where(rowi < n, qkv_ref[0], 0)  # (S_pad, 3D)
+    # padded g rows MUST be zero: they null dp/dv columns for padded
+    # queries (whose saved p is a real softmax row, not zero)
+    g = jnp.where(rowi < n, g_ref[0], 0)  # (S_pad, D)
+    p = p_ref[0]  # (R, S_pad), qkv dtype
+    for h in range(num_heads):
+        v = qkv[:, 2 * d + h * hd : 2 * d + (h + 1) * hd]
+        gh = g[:, h * hd : (h + 1) * hd]
+        dp_ref[h * seq_pad : (h + 1) * seq_pad, :] = jax.lax.dot_general(
+            v, gh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dv = jax.lax.dot_general(
+            p[h * seq_pad : (h + 1) * seq_pad, :], gh,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[0, :, 2 * d + h * hd : 2 * d + (h + 1) * hd] = dv.astype(
+            dqkv_ref.dtype
+        )
+    dp3 = dp_ref[:].reshape(num_heads, seq_pad, seq_pad)
+    p3 = p.astype(jnp.float32).reshape(num_heads, seq_pad, seq_pad)
+    t3 = jnp.sum(p3 * dp3, axis=1, keepdims=True)
+    ds = ((p3 * (dp3 - t3) * scale).reshape(R, seq_pad)).astype(qkv.dtype)
+    for h in range(num_heads):
+        dsh = ds[h * seq_pad : (h + 1) * seq_pad, :]
+        q = qkv[:, h * hd : (h + 1) * hd]
+        k = qkv[:, d + h * hd : d + (h + 1) * hd]
+        dq = jax.lax.dot_general(
+            dsh, k, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            dsh, q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[0, :, h * hd : (h + 1) * hd] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, d + h * hd : d + (h + 1) * hd] = dk.astype(
+            dqkv_ref.dtype
+        )
+
+
+def _mha_qkv_backward_saved(qkv, g, p, num_heads, scale, interpret):
+    b, n, d3 = qkv.shape
+    seq_pad = max(_cdiv(n, 128) * 128, 128)
+    R = num_heads * seq_pad
+    lengths = jnp.full((1,), n, dtype=jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, seq_pad, d3), lambda i, lens: (i, 0, 0)),
+            pl.BlockSpec((1, seq_pad, d3 // 3), lambda i, lens: (i, 0, 0)),
+            pl.BlockSpec((1, R, seq_pad), lambda i, lens: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, seq_pad, d3), lambda i, lens: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((R, seq_pad), jnp.float32),
+        ],
+    )
+    dqkv = pl.pallas_call(
+        functools.partial(
+            _mha_qkv_bwd_kernel_saved, num_heads=num_heads, seq_pad=seq_pad,
+            scale=scale,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n, d3), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_WIDE_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(lengths, qkv, g, p)
+    return dqkv
+
+
 def _mha_reference(qkv, num_heads, scale, block_len=0):
     b, n, d3 = qkv.shape
     d = d3 // 3
@@ -939,6 +1109,89 @@ _mha_qkv_backward_p.def_partition(
 )
 
 
+@functools.partial(custom_partitioning, static_argnums=(1, 2, 3, 4))
+def _mha_qkv_forward_saved_p(qkv, num_heads, scale, interpret, block_len=0):
+    return _mha_qkv_forward_saved(qkv, num_heads, scale, interpret, block_len)
+
+
+def _mha_fwd_saved_infer(num_heads, scale, interpret, block_len, mesh,
+                         arg_shapes, result_shape):
+    sh = _keep_leading_spec(mesh, arg_shapes[0], 1)
+    return (sh, sh)
+
+
+def _mha_fwd_saved_partition(num_heads, scale, interpret, block_len, mesh,
+                             arg_shapes, result_shape):
+    sh = _keep_leading_spec(mesh, arg_shapes[0], 1)
+
+    def lower(qkv):
+        return _mha_qkv_forward_saved(qkv, num_heads, scale, interpret,
+                                      block_len)
+
+    return mesh, lower, (sh, sh), (sh,)
+
+
+_mha_qkv_forward_saved_p.def_partition(
+    partition=_mha_fwd_saved_partition,
+    infer_sharding_from_operands=_mha_fwd_saved_infer,
+    sharding_rule="b s d -> b s e, b r t",
+    need_replication_factors=("s", "d", "e", "r", "t"),
+)
+
+
+@functools.partial(custom_partitioning, static_argnums=(3, 4, 5))
+def _mha_qkv_backward_saved_p(qkv, g, p, num_heads, scale, interpret):
+    return _mha_qkv_backward_saved(qkv, g, p, num_heads, scale, interpret)
+
+
+def _mha_bwd_saved_infer(num_heads, scale, interpret, mesh, arg_shapes,
+                         result_shape):
+    return _keep_leading_spec(mesh, arg_shapes[0], 1)
+
+
+def _mha_bwd_saved_partition(num_heads, scale, interpret, mesh, arg_shapes,
+                             result_shape):
+    shs = tuple(_keep_leading_spec(mesh, a, 1) for a in arg_shapes)
+
+    def lower(qkv, g, p):
+        return _mha_qkv_backward_saved(qkv, g, p, num_heads, scale, interpret)
+
+    return mesh, lower, shs[0], shs
+
+
+_mha_qkv_backward_saved_p.def_partition(
+    partition=_mha_bwd_saved_partition,
+    infer_sharding_from_operands=_mha_bwd_saved_infer,
+    sharding_rule="b s d, b s e, b r t -> b s d",
+    need_replication_factors=("s", "d", "e", "r", "t"),
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _mha_qkv_saved(qkv, num_heads, scale, interpret, block_len=0):
+    out, _ = _mha_qkv_forward_saved_p(qkv, num_heads, scale, interpret,
+                                      block_len)
+    return out
+
+
+def _mha_qkv_saved_fwd(qkv, num_heads, scale, interpret, block_len):
+    out, p = _mha_qkv_forward_saved_p(qkv, num_heads, scale, interpret,
+                                      block_len)
+    return out, (qkv, p)
+
+
+def _mha_qkv_saved_bwd(num_heads, scale, interpret, block_len, res, g):
+    qkv, p = res
+    # block_len is baked into the saved p (block-diagonal support) — the
+    # backward needs no mask at all.
+    return (
+        _mha_qkv_backward_saved_p(qkv, g, p, num_heads, scale, interpret),
+    )
+
+
+_mha_qkv_saved.defvjp(_mha_qkv_saved_fwd, _mha_qkv_saved_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def _mha_qkv(qkv, num_heads, scale, interpret, block_len=0):
     return _mha_qkv_forward_p(qkv, num_heads, scale, interpret, block_len)
@@ -969,6 +1222,7 @@ def mha_from_qkv(
     interpret: bool | None = None,
     training: bool = False,
     block_len: int = 0,
+    save_probs: bool = False,
 ) -> jax.Array:
     """Multi-head attention directly from the fused qkv projection output.
 
@@ -999,7 +1253,8 @@ def mha_from_qkv(
             jax.default_backend() == "tpu"
             and _wide_vmem_ok(num_heads, seq_pad, d, qkv.dtype.itemsize)
         ) or interpret:
-            return _mha_qkv(qkv, num_heads, scale, bool(interpret), block_len)
+            op = _mha_qkv_saved if (save_probs and training) else _mha_qkv
+            return op(qkv, num_heads, scale, bool(interpret), block_len)
         return _mha_reference(qkv, num_heads, scale, block_len)
     # Measured on v5e (scripts/exp_attn2.py): the wide-softmax kernel is 1.6×
     # XLA fwd at 197 tokens and 1.25× fwd+bwd; below ~64 tokens the 128-row
@@ -1042,9 +1297,11 @@ def mha_from_qkv(
         if b_pad != b:
             qkv = jnp.pad(qkv, ((0, b_pad - b), (0, 0), (0, 0)))
         packed = qkv.reshape(b_pad // pack, pack * n, qkv.shape[-1])
-        out = _mha_qkv(packed, num_heads, scale, bool(interpret), n)
+        op = _mha_qkv_saved if (save_probs and training) else _mha_qkv
+        out = op(packed, num_heads, scale, bool(interpret), n)
         return out.reshape(b_pad, n, d)[:b]
-    return _mha_qkv(qkv, num_heads, scale, bool(interpret))
+    op = _mha_qkv_saved if (save_probs and training) else _mha_qkv
+    return op(qkv, num_heads, scale, bool(interpret))
 
 
 def fused_attention(
