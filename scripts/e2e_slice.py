@@ -1,9 +1,18 @@
 #!/usr/bin/env python
 """E2E training-slice verification on the real TPU (verify skill surface 4).
 
-Builds a tiny bright-vs-dark ImageFolder, trains ViT-T(depth=4) with the
-'flip' recipe for ~50 steps through the supervised train step, asserts the
-loss falls and held-out AUC reaches 1.0.
+Supervised arm (default): builds a tiny bright-vs-dark ImageFolder, trains
+ViT-T(depth=4) with the 'flip' recipe for ~50 steps through the supervised
+train step, asserts the loss falls and held-out AUC reaches 1.0.
+
+SSL arm (``python scripts/e2e_slice.py ssl``, round-3 VERDICT #6): ~200
+real-TPU DINO steps on synthetic STRUCTURED tiles (horizontal- vs
+vertical-stripe textures with random frequency/phase/brightness — classes
+a crop-invariant embedding must separate but raw pixels don't trivially),
+through the production student/teacher step (multicrop + EMA + centering).
+Asserts the DINO loss falls and a k-NN probe on the teacher's CLS features
+beats chance decisively. This is the flagship-path learning-signal check
+the CPU-tiny correctness tests can't provide (SURVEY §0 north-star loop).
 """
 
 import atexit
@@ -91,5 +100,122 @@ def main():
     print("e2e slice OK")
 
 
+def _stripe_tiles(rng, n, vertical: bool, size=256):
+    """Structured synthetic texture tiles: sinusoidal stripes with random
+    frequency/phase/brightness + pixel noise. Orientation is the latent
+    class — invariant to DINO's crops/flips/jitter, so an SSL embedding
+    that learns anything useful separates it."""
+    ax = np.arange(size, dtype=np.float32)
+    tiles = np.empty((n, size, size, 3), np.uint8)
+    for i in range(n):
+        f = rng.uniform(3.0, 9.0)
+        phase = rng.uniform(0, 2 * np.pi)
+        base = rng.uniform(100, 156)
+        wave = base + 70.0 * np.sin(2 * np.pi * f * ax / size + phase)
+        img = np.broadcast_to(
+            wave[None, :] if vertical else wave[:, None], (size, size)
+        )
+        img = img[..., None] + rng.normal(0, 12, (size, size, 3))
+        tiles[i] = np.clip(img, 0, 255).astype(np.uint8)
+    return tiles
+
+
+def main_ssl(steps=200):
+    from tpuwsi.models import DINOHead
+    from tpuwsi.core.tuned import (
+        tuned_dino_kwargs,
+        tuned_head_kwargs,
+        tuned_multicrop_kwargs,
+        tuned_vit_kwargs,
+    )
+    from tpuwsi.models.vit import ViTConfig, VisionTransformer
+    from tpuwsi.preprocess.multicrop import MultiCropConfig, make_multicrop
+    from tpuwsi.ssl_dino import (
+        DINOConfig,
+        DINOModel,
+        create_dino_state,
+        knn_accuracy,
+        make_dino_train_step,
+    )
+    from tpuwsi.train import OptimConfig, make_optimizer
+
+    on_tpu = jax.default_backend() == "tpu"
+    rng = np.random.default_rng(0)
+    batch = 48
+    cfg = ViTConfig(
+        img_size=96, patch_size=16, embed_dim=192, depth=6, num_heads=3,
+        num_classes=0, drop_path_rate=0.1, gelu_approx=True,
+        **tuned_vit_kwargs(on_tpu),
+    )
+    backbone = VisionTransformer(cfg)
+    model = DINOModel(
+        backbone=backbone,
+        head=DINOHead(out_dim=4096, hidden_dim=512, bottleneck_dim=128,
+                      gelu_approx=True, **tuned_head_kwargs(on_tpu)),
+    )
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 96, 96, 3), jnp.float32))
+    dcfg = DINOConfig(out_dim=4096, n_local=6, total_steps=steps,
+                      warmup_teacher_temp_steps=steps // 4,
+                      ema_base=0.99, **tuned_dino_kwargs(on_tpu))
+    ocfg = OptimConfig(opt="adamw", lr=1e-3, weight_decay=0.04,
+                       sched="cosine", warmup_epochs=1, epochs=10,
+                       steps_per_epoch=steps // 10, min_lr=1e-5)
+    tx, _ = make_optimizer(ocfg, params, global_batch_size=batch)
+    state = create_dino_state(params, tx, dcfg)
+    mc = make_multicrop(MultiCropConfig(global_size=96, local_size=48,
+                                        n_local=6,
+                                        **tuned_multicrop_kwargs(on_tpu)))
+    step = jax.jit(make_dino_train_step(model.apply, tx, dcfg,
+                                        multicrop_fn=mc))
+
+    # unlabeled training pool: both orientations mixed
+    pool = np.concatenate([
+        _stripe_tiles(rng, 96, vertical=False),
+        _stripe_tiles(rng, 96, vertical=True),
+    ])
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for it in range(steps):
+        idx = rng.choice(len(pool), size=batch, replace=False)
+        key, k = jax.random.split(key)
+        state, m = step(state, {"images": jnp.asarray(pool[idx])}, k)
+        losses.append(float(m["loss"]))
+        if it % 20 == 0:
+            print(f"step {it:4d} dino-loss {losses[-1]:.4f}", flush=True)
+
+    # k-NN probe on the TEACHER's CLS features (DINO protocol)
+    t_backbone = {"params": state.teacher_params["params"]["backbone"]}
+    feats = []
+    labels = np.repeat([0, 1], 64)
+    probe = np.concatenate([
+        _stripe_tiles(rng, 64, vertical=False),
+        _stripe_tiles(rng, 64, vertical=True),
+    ])
+    # center 96x96 crop, normalized like the multicrop eval path
+    c0 = (256 - 96) // 2
+    crops = probe[:, c0:c0 + 96, c0:c0 + 96].astype(np.float32) / 255.0
+    for i in range(0, len(crops), 64):
+        f = backbone.apply(t_backbone, jnp.asarray(crops[i:i + 64]),
+                           deterministic=True)
+        feats.append(np.asarray(f, np.float32))
+    feats = np.concatenate(feats)
+    tr = np.concatenate([np.arange(0, 48), np.arange(64, 112)])
+    te = np.concatenate([np.arange(48, 64), np.arange(112, 128)])
+    acc = float(knn_accuracy(
+        jnp.asarray(feats[tr]), jnp.asarray(labels[tr]),
+        jnp.asarray(feats[te]), jnp.asarray(labels[te]), k=10,
+    ))
+    first = float(np.mean(losses[:10]))
+    last = float(np.mean(losses[-10:]))
+    print(f"dino loss: {first:.4f} -> {last:.4f}  kNN acc: {acc:.3f}")
+    assert last < first - 0.05, (first, last)
+    assert acc >= 0.8, acc
+    print("ssl slice OK")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "ssl":
+        main_ssl(int(sys.argv[2]) if len(sys.argv) > 2 else 200)
+    else:
+        main()

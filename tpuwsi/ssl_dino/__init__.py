@@ -7,6 +7,7 @@ from tpuwsi.ssl_dino.dino import (
     make_dino_train_step,
     teacher_temp_schedule,
 )
+from tpuwsi.ssl_dino.knn import knn_accuracy, knn_classify
 
 __all__ = [
     "DINOConfig",
@@ -14,6 +15,8 @@ __all__ = [
     "DINOState",
     "create_dino_state",
     "dino_loss",
+    "knn_accuracy",
+    "knn_classify",
     "make_dino_train_step",
     "teacher_temp_schedule",
 ]
