@@ -102,8 +102,10 @@ def main():
     # K sweep (scripts/exp_flags3.py, b96): K=8 109.0 ms, K=32 102.9,
     # K=64 102.0; re-measured under the final flags (round-3 session 3):
     # K=64 7,543 vs K=32 7,489 views/s (+0.7%) with b112 7,195 / b128 7,338
-    # both losing to b96 — K=64 @ b96 adopted. Override: bench.py [batch] [K].
-    K = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    # both losing to b96. Round-4 re-sweep under the savep config:
+    # b96/K=128 7,860 vs b96/K=64 7,833, b112 7,515, b128 7,455 —
+    # K=128 @ b96 adopted. Override: bench.py [batch] [K].
+    K = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 
     def multi(state, batch, rng):
         def body(carry, i):
