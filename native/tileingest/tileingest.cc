@@ -660,7 +660,13 @@ int ti_transcode(const char* src, const char* dst, int tile, int quality,
     std::condition_variable cv;
     int64_t next_ty = 0;
     std::map<int64_t, std::pair<int, std::vector<uint8_t>>> ready;
-    const size_t depth = static_cast<size_t>(nth) + 2;
+    // Bound TOTAL resident stripes (queued + in-flight): a real slide's
+    // level-0 stripe is wpad*tile*3 bytes (~115 MB at 150k px wide), and
+    // the single-threaded TIFF writer is usually the bottleneck — without
+    // counting in-flight decodes a many-core host parks ~2x n_threads
+    // stripes in RAM and OOMs.
+    const size_t depth = static_cast<size_t>(std::min(nth, 8)) + 2;
+    size_t in_flight = 0;
     bool abort_flag = false;
 
     auto worker = [&]() {
@@ -669,11 +675,13 @@ int ti_transcode(const char* src, const char* dst, int tile, int quality,
         {
           std::unique_lock<std::mutex> lk(mu);
           cv.wait(lk, [&] {
-            return abort_flag || next_ty >= h || ready.size() < depth;
+            return abort_flag || next_ty >= h ||
+                   ready.size() + in_flight < depth;
           });
           if (abort_flag || next_ty >= h) return;
           ty = next_ty;
           next_ty += tile;
+          ++in_flight;
         }
         std::vector<uint8_t> buf(static_cast<size_t>(wpad) * tile * 3);
         const int r = slide->read_rect(static_cast<int>(lvl), 0, ty, wpad,
@@ -681,6 +689,7 @@ int ti_transcode(const char* src, const char* dst, int tile, int quality,
         {
           std::lock_guard<std::mutex> lk(mu);
           ready.emplace(ty, std::make_pair(r, std::move(buf)));
+          --in_flight;
         }
         cv.notify_all();
       }

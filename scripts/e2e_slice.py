@@ -120,7 +120,7 @@ def _stripe_tiles(rng, n, vertical: bool, size=256):
     return tiles
 
 
-def main_ssl(steps=200):
+def main_ssl(steps=400, lr=3e-4, out_dim=1024):
     from tpuwsi.models import DINOHead
     from tpuwsi.core.tuned import (
         tuned_dino_kwargs,
@@ -150,17 +150,21 @@ def main_ssl(steps=200):
     backbone = VisionTransformer(cfg)
     model = DINOModel(
         backbone=backbone,
-        head=DINOHead(out_dim=4096, hidden_dim=512, bottleneck_dim=128,
+        head=DINOHead(out_dim=out_dim, hidden_dim=512, bottleneck_dim=128,
                       gelu_approx=True, **tuned_head_kwargs(on_tpu)),
     )
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 96, 96, 3), jnp.float32))
-    dcfg = DINOConfig(out_dim=4096, n_local=6, total_steps=steps,
+    # DINO-recipe hygiene at slice scale: recipe-scaled LR (the first run at
+    # lr=1e-3 collapsed the student to uniform — loss pinned at ln(K)),
+    # last-layer freeze for the first epoch (main_dino.py semantics).
+    dcfg = DINOConfig(out_dim=out_dim, n_local=6, total_steps=steps,
                       warmup_teacher_temp_steps=steps // 4,
+                      freeze_last_layer_steps=steps // 10,
                       ema_base=0.99, **tuned_dino_kwargs(on_tpu))
-    ocfg = OptimConfig(opt="adamw", lr=1e-3, weight_decay=0.04,
+    ocfg = OptimConfig(opt="adamw", lr=lr, weight_decay=0.04,
                        sched="cosine", warmup_epochs=1, epochs=10,
-                       steps_per_epoch=steps // 10, min_lr=1e-5)
+                       steps_per_epoch=steps // 10, min_lr=1e-6)
     tx, _ = make_optimizer(ocfg, params, global_batch_size=batch)
     state = create_dino_state(params, tx, dcfg)
     mc = make_multicrop(MultiCropConfig(global_size=96, local_size=48,
@@ -169,20 +173,25 @@ def main_ssl(steps=200):
     step = jax.jit(make_dino_train_step(model.apply, tx, dcfg,
                                         multicrop_fn=mc))
 
-    # unlabeled training pool: both orientations mixed
-    pool = np.concatenate([
+    # unlabeled training pool: both orientations mixed — uploaded ONCE and
+    # gathered on-device per step (the tunneled host->device link is
+    # ~40 MB/s; re-uploading 9 MB of tiles per step dominated the loop)
+    pool = jnp.asarray(np.concatenate([
         _stripe_tiles(rng, 96, vertical=False),
         _stripe_tiles(rng, 96, vertical=True),
-    ])
+    ]))
     key = jax.random.PRNGKey(1)
     losses = []
     for it in range(steps):
-        idx = rng.choice(len(pool), size=batch, replace=False)
+        idx = rng.choice(pool.shape[0], size=batch, replace=False)
         key, k = jax.random.split(key)
-        state, m = step(state, {"images": jnp.asarray(pool[idx])}, k)
-        losses.append(float(m["loss"]))
-        if it % 20 == 0:
-            print(f"step {it:4d} dino-loss {losses[-1]:.4f}", flush=True)
+        imgs = jnp.take(pool, jnp.asarray(idx), axis=0)
+        state, m = step(state, {"images": imgs}, k)
+        losses.append(m["loss"])  # fetched lazily at the end
+        if it % 100 == 0:
+            print(f"step {it:4d} dino-loss {float(m['loss']):.4f}",
+                  flush=True)
+    losses = [float(x) for x in losses]
 
     # k-NN probe on the TEACHER's CLS features (DINO protocol)
     t_backbone = {"params": state.teacher_params["params"]["backbone"]}
@@ -216,6 +225,10 @@ def main_ssl(steps=200):
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "ssl":
-        main_ssl(int(sys.argv[2]) if len(sys.argv) > 2 else 200)
+        main_ssl(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 400,
+            float(sys.argv[3]) if len(sys.argv) > 3 else 3e-4,
+            int(sys.argv[4]) if len(sys.argv) > 4 else 1024,
+        )
     else:
         main()

@@ -79,7 +79,7 @@ def test_adamw_cosine_ema_trajectory_matches_torch():
             for k, v in tm.state_dict().items():
                 if v.is_floating_point():
                     ema_t[k].mul_(EMA_DECAY).add_(v, alpha=1 - EMA_DECAY)
-        torch_losses.append(float(loss))
+        torch_losses.append(float(loss.detach()))
 
     # --- tpuwsi side: the production step with in-step EMA ---
     state = create_train_state(params, tx, ema=True)

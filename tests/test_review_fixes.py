@@ -61,3 +61,120 @@ def test_loss_scale_fp16_loss_no_overflow():
     scaled = ls.scale_loss(jnp.float16(1.5))
     assert np.isfinite(float(scaled))
     assert float(scaled) == 1.5 * float(ls.scale)
+
+
+def test_bn_ema_stats_tracked_and_used_in_ema_eval():
+    """Round-4 review: timm ModelEmaV2 averages the FULL state_dict incl.
+    BN running stats (reference train.py:616-622) — the EMA eval path must
+    pair EMA weights with EMA stats, not the live ones."""
+    import jax
+
+    from tpuwsi.models.resnet_trunc import resnet50
+    from tpuwsi.train import OptimConfig, create_train_state, make_optimizer
+    from tpuwsi.train.supervised import make_eval_step, make_train_step
+
+    model = resnet50(num_classes=2, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3), jnp.float32))
+    params = {"params": variables["params"]}
+    tx, _ = make_optimizer(OptimConfig(opt="sgd", lr=0.5, weight_decay=0.0),
+                           params, global_batch_size=4)
+    state = create_train_state(params, tx, ema=True,
+                               batch_stats=variables["batch_stats"])
+    assert state.ema_batch_stats is not None
+    step = jax.jit(make_train_step(model.apply, tx, augment_fn=None,
+                                   compute_auc=False, ema_decay=0.5,
+                                   use_batch_stats=True))
+    rng = np.random.RandomState(0)
+    batch = {
+        "images": jnp.asarray(rng.rand(4, 32, 32, 3), jnp.float32),
+        "labels": jnp.asarray([0, 1, 0, 1]),
+    }
+    for _ in range(2):
+        state, _ = step(state, batch, jax.random.PRNGKey(1))
+
+    live = jnp.concatenate([x.ravel() for x in
+                            jax.tree_util.tree_leaves(state.batch_stats)])
+    ema = jnp.concatenate([x.ravel() for x in
+                           jax.tree_util.tree_leaves(state.ema_batch_stats)])
+    # EMA stats lag the live ones (decay 0.5 over 2 steps) but have moved
+    assert not np.allclose(np.asarray(live), np.asarray(ema))
+    assert np.abs(np.asarray(ema)).sum() > 0
+
+    # EMA eval consumes the EMA stats: logits differ from a state whose
+    # ema_batch_stats were zeroed-out live stats
+    ev = jax.jit(make_eval_step(model.apply, use_ema=True))
+    logits_ema, _ = ev(state, batch)
+    tampered = state.replace(ema_batch_stats=jax.tree_util.tree_map(
+        jnp.zeros_like, state.ema_batch_stats))
+    logits_tampered, _ = ev(tampered, batch)
+    assert not np.allclose(np.asarray(logits_ema),
+                           np.asarray(logits_tampered))
+
+
+def test_resnet50_honors_drop_rate_and_remat():
+    """create_model('resnet50', drop_rate=..., grad_checkpointing=...) must
+    not silently drop the knobs (round-4 review)."""
+    import jax
+
+    from tpuwsi.models.registry import create_model
+
+    m = create_model("resnet50", num_classes=2, drop_rate=0.5,
+                     grad_checkpointing=True, dtype=jnp.float32)
+    assert m.drop_rate == 0.5 and m.remat_blocks
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    # train-mode forward draws a dropout rng; two keys → different logits
+    # (inputs must VARY across the batch: train-mode BN zeroes a batch of
+    # identical images — zero variance — and everything downstream)
+    x = jnp.asarray(np.random.RandomState(3).rand(2, 32, 32, 3), jnp.float32)
+    out1 = m.apply(variables, x, train=True,
+                   mutable=["batch_stats"],
+                   rngs={"dropout": jax.random.PRNGKey(1)})[0]
+    out2 = m.apply(variables, x, train=True,
+                   mutable=["batch_stats"],
+                   rngs={"dropout": jax.random.PRNGKey(2)})[0]
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_explicit_drop_path_zero_wins_in_ssl_config():
+    """--drop-path 0 must disable stochastic depth (round-4 review: `or`
+    silently re-enabled the 0.1 default)."""
+    from tpuwsi.cli.args import parse_args
+    from tpuwsi.cli.train import ssl_backbone_config
+
+    cfg = ssl_backbone_config(parse_args(["--drop-path", "0"]), False)
+    assert cfg.drop_path_rate == 0.0
+    cfg = ssl_backbone_config(parse_args([]), False)
+    assert cfg.drop_path_rate == 0.1
+
+
+def test_jax_num_processes_without_id_fails_loudly():
+    import pytest
+
+    from tpuwsi.core import distributed
+
+    old = dict(os.environ)
+    os.environ["JAX_COORDINATOR_ADDRESS"] = "127.0.0.1:1"
+    os.environ["JAX_NUM_PROCESSES"] = "2"
+    os.environ.pop("JAX_PROCESS_ID", None)
+    distributed._initialized = False
+    try:
+        with pytest.raises(RuntimeError, match="JAX_PROCESS_ID"):
+            distributed.initialize_multihost()
+    finally:
+        os.environ.clear()
+        os.environ.update(old)
+        distributed._initialized = True
+
+
+def test_transcode_cli_rejects_basename_collision(tmp_path, capsys):
+    from tpuwsi.cli.transcode import main
+
+    os.makedirs(tmp_path / "a")
+    os.makedirs(tmp_path / "b")
+    for d in ("a", "b"):
+        open(tmp_path / d / "s1.mrxs", "w").close()
+    rc = main([str(tmp_path / "a" / "s1.mrxs"),
+               str(tmp_path / "b" / "s1.mrxs"),
+               "--output", str(tmp_path / "out")])
+    assert rc == 2

@@ -393,6 +393,8 @@ def main(argv=None, default_overrides=None):
                     step=restored.step,
                     ema_params=(restored.ema_params
                                 if args.model_ema else None),
+                    ema_batch_stats=(restored.ema_batch_stats
+                                     if args.model_ema else None),
                 )
                 sched_count_offset = int(restored.step)
             else:
@@ -404,7 +406,11 @@ def main(argv=None, default_overrides=None):
         # params only — fresh optimizer/schedule.
         donor = CheckpointManager(warm).restore(target=state)
         if donor is not None:
-            state = state.replace(params=donor.params)
+            # params AND BatchNorm running stats (timm load_checkpoint loads
+            # running_mean/var with the weights — identity-init stats would
+            # wreck transfer evals until re-estimated)
+            state = state.replace(params=donor.params,
+                                  batch_stats=donor.batch_stats)
             logging.info("warm-started params from %s", warm)
 
     multi_target = "+" in args.target and not folder_mode
@@ -1262,7 +1268,9 @@ def ssl_backbone_config(args, on_tpu: bool):
         parse_model_name(args.model),
         num_classes=0,
         img_size=args.dino_global_size,
-        drop_path_rate=args.drop_path or 0.1,
+        # DINO recipe default 0.1; an EXPLICIT --drop-path 0 must win
+        # (`or` would silently re-enable stochastic depth)
+        drop_path_rate=0.1 if args.drop_path is None else args.drop_path,
         gelu_approx=True,  # from-scratch SSL: no checkpoint parity constraint
         # NOTE: scan_blocks is deliberately NOT tied to remat — it would
         # change the checkpoint param-tree layout (blocks_i vs stacked

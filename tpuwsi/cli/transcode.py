@@ -50,6 +50,15 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
     os.makedirs(args.output, exist_ok=True)
+    # Same basename from different directories would silently overwrite (or
+    # skip-as-exists) — a cohort slide vanishing without an error. Refuse.
+    names = [os.path.splitext(os.path.basename(s))[0] for s in args.slides]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        print(f"duplicate output basenames across inputs: {sorted(dupes)} — "
+              f"transcode colliding slides in separate --output dirs",
+              file=sys.stderr)
+        return 2
     failures = 0
     for src in args.slides:
         base = os.path.splitext(os.path.basename(src))[0]

@@ -41,6 +41,12 @@ def initialize_multihost() -> tuple[int, int]:
         # 2-process integration test drives this path, tests/test_dist2proc.py).
         kwargs = {}
         if os.environ.get("JAX_NUM_PROCESSES"):
+            if "JAX_PROCESS_ID" not in os.environ:
+                raise RuntimeError(
+                    "JAX_NUM_PROCESSES is set but JAX_PROCESS_ID is not — "
+                    "the generic launch contract needs both on every host "
+                    "(plus JAX_COORDINATOR_ADDRESS)."
+                )
             kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
             kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
         try:

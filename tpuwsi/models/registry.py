@@ -61,9 +61,13 @@ def create_model(
         # full trainable CNN classifier (train.py:482-495 create_model
         # surface; the canonical non-ViT timm name). BatchNorm stats ride
         # TrainState.batch_stats — the CLI loops detect them at init.
+        # drop_rate → timm's pre-fc dropout; grad_checkpointing remats each
+        # bottleneck. drop_path_rate has no torchvision-resnet analog and is
+        # ignored (as in torchvision's resnet50).
         from tpuwsi.models.resnet_trunc import resnet50
 
-        return resnet50(num_classes=num_classes, dtype=dtype)
+        return resnet50(num_classes=num_classes, drop_rate=drop_rate,
+                        remat_blocks=grad_checkpointing, dtype=dtype)
     cfg = parse_model_name(name)
     import dataclasses
 

@@ -72,6 +72,11 @@ class ResNetTruncBaseline(nn.Module):
 
     stage_sizes: Sequence[int] = (3, 4, 6)  # layer1..layerN of ResNet-50
     num_classes: int = 0  # 0 → feature trunk (no head)
+    # timm resnet semantics: dropout on the pooled features before fc
+    drop_rate: float = 0.0
+    # rematerialize each bottleneck block in the backward (timm
+    # set_grad_checkpointing, train.py:146,540)
+    remat_blocks: bool = False
     dtype: object = jnp.bfloat16
 
     @nn.compact
@@ -96,10 +101,14 @@ class ResNetTruncBaseline(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         widths = (64, 128, 256, 512)
+        BlockCls = (
+            nn.remat(BottleneckBaseline, static_argnums=(2,))
+            if self.remat_blocks else BottleneckBaseline
+        )
         for stage, (blocks, width) in enumerate(zip(self.stage_sizes, widths)):
             for block in range(blocks):
                 strides = 2 if stage > 0 and block == 0 else 1
-                x = BottleneckBaseline(
+                x = BlockCls(
                     features=width,
                     strides=strides,
                     downsample=(block == 0),
@@ -109,17 +118,21 @@ class ResNetTruncBaseline(nn.Module):
         x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool → (B, C)
         x = x.astype(jnp.float32)
         if self.num_classes > 0:
+            if self.drop_rate > 0.0:
+                x = nn.Dropout(self.drop_rate)(x, deterministic=not train)
             x = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(x)
         return x
 
 
-def resnet50(num_classes: int = 2, dtype=jnp.bfloat16):
+def resnet50(num_classes: int = 2, drop_rate: float = 0.0,
+             remat_blocks: bool = False, dtype=jnp.bfloat16):
     """Full trainable ResNet-50 classifier (timm/torchvision geometry:
-    stages 3-4-6-3, 2048-dim pool, Dense head). Torch weights import via
-    ``convert.torch_resnet_trunc_to_flax`` (which maps layer4 + fc when the
-    target tree has them)."""
+    stages 3-4-6-3, 2048-dim pool, pre-fc dropout, Dense head). Torch
+    weights import via ``convert.torch_resnet_trunc_to_flax`` (which maps
+    layer4 + fc when the target tree has them)."""
     return ResNetTruncBaseline(
-        stage_sizes=(3, 4, 6, 3), num_classes=num_classes, dtype=dtype
+        stage_sizes=(3, 4, 6, 3), num_classes=num_classes,
+        drop_rate=drop_rate, remat_blocks=remat_blocks, dtype=dtype
     )
 
 

@@ -58,12 +58,15 @@ class ViTConfig:
     remat_blocks: bool = False
     # Rematerialization policy when remat_blocks=True: a name from
     # jax.checkpoint_policies ("dots_saveable",
-    # "dots_with_no_batch_dims_saveable", ...) or None for full recompute.
-    # Beyond memory, the policy restructures WHICH ops the backward pass
-    # recomputes adjacent to the gradient GEMMs — i.e. which backward
-    # fusions XLA can form (exp_remat4.py A/Bs this against the 56-79%-MFU
-    # dgrad+wgrad+dbias multi-output fusions named in BENCH.md).
-    remat_policy: Optional[str] = None
+    # "dots_with_no_batch_dims_saveable", ...), None for full recompute, or
+    # "auto" (default) for the historical per-stack choice: full recompute
+    # on the unrolled stack, dots_with_no_batch_dims_saveable inside scan
+    # (where full recompute re-runs every Pallas attention forward in the
+    # backward of EVERY layer). Beyond memory, the policy restructures
+    # WHICH ops the backward recomputes adjacent to the gradient GEMMs —
+    # i.e. which backward fusions XLA can form (exp_remat4.py A/Bs this
+    # against the 56-79%-MFU dgrad+wgrad+dbias MOFs named in BENCH.md).
+    remat_policy: Optional[str] = "auto"
     use_pallas_attention: bool = True
     # Pallas fused MLP / fused pre-norm MLP block (ops/mlp.py). Separate
     # toggle from attention so the two kernel families can be A/B'd
@@ -712,7 +715,9 @@ class VisionTransformer(nn.Module):
                 nn.remat(
                     _ScanBlockBody,
                     policy=_remat_policy(
-                        cfg.remat_policy or "dots_with_no_batch_dims_saveable"
+                        "dots_with_no_batch_dims_saveable"
+                        if cfg.remat_policy == "auto"
+                        else cfg.remat_policy
                     ),
                 )
                 if cfg.remat_blocks
@@ -747,7 +752,9 @@ class VisionTransformer(nn.Module):
             )(x, jnp.asarray(dpr, dtype=jnp.float32))
         BlockCls = (
             nn.remat(Block, static_argnums=(2, 3),
-                     policy=_remat_policy(cfg.remat_policy))
+                     policy=_remat_policy(
+                         None if cfg.remat_policy == "auto"
+                         else cfg.remat_policy))
             if cfg.remat_blocks
             else Block
         )

@@ -16,6 +16,10 @@ class TrainState:
     opt_state: Any
     ema_params: Optional[Any] = None
     batch_stats: Optional[Any] = None
+    # EMA of the BatchNorm running statistics: timm ModelEmaV2 averages the
+    # FULL state_dict including running_mean/var (reference train.py:616-622),
+    # so EMA eval must pair EMA weights with EMA stats.
+    ema_batch_stats: Optional[Any] = None
 
 
 def create_train_state(params, tx: optax.GradientTransformation, ema: bool = False,
@@ -28,4 +32,5 @@ def create_train_state(params, tx: optax.GradientTransformation, ema: bool = Fal
         opt_state=tx.init(params),
         ema_params=params if ema else None,  # jax arrays are immutable
         batch_stats=batch_stats,
+        ema_batch_stats=batch_stats if ema else None,
     )

@@ -98,14 +98,21 @@ def make_train_step(
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema_params
+        new_ema_stats = state.ema_batch_stats
         if state.ema_params is not None and ema_decay is not None:
             new_ema = ema_update(state.ema_params, new_params, ema_decay)
+            if new_stats is not None and state.ema_batch_stats is not None:
+                # ModelEmaV2 averages running stats with the weights
+                new_ema_stats = ema_update(
+                    state.ema_batch_stats, new_stats, ema_decay
+                )
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             opt_state=new_opt_state,
             ema_params=new_ema,
             batch_stats=new_stats if new_stats is not None else state.batch_stats,
+            ema_batch_stats=new_ema_stats,
         )
         if labels.ndim == 2:
             # multi-target ('+'-joined, datasets.py:55-61): step metrics
@@ -141,10 +148,17 @@ def make_eval_step(
         images = batch["images"]
         if preprocess_fn is not None:
             images = preprocess_fn(images)
-        params = state.ema_params if use_ema and state.ema_params is not None else state.params
+        ema = use_ema and state.ema_params is not None
+        params = state.ema_params if ema else state.params
         if state.batch_stats is not None:
-            # BN models evaluate on the running statistics
-            params = {**params, "batch_stats": state.batch_stats}
+            # BN models evaluate on the running statistics — the EMA'd copy
+            # under EMA eval (ModelEmaV2 averages the full state_dict)
+            stats = (
+                state.ema_batch_stats
+                if ema and state.ema_batch_stats is not None
+                else state.batch_stats
+            )
+            params = {**params, "batch_stats": stats}
         logits = apply_fn(params, images, deterministic=True)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return logits, probs
