@@ -45,7 +45,14 @@ def bench_multicrop_config(on_tpu: bool):
                            **tuned_multicrop_kwargs(on_tpu))
 
 
-def build(batch_size: int, tile: int = 224, raw: bool = False):
+def build(batch_size: int, tile: int = 224, raw: bool = False,
+          vit_overrides: dict | None = None):
+    """Build the bench step. ``vit_overrides`` patches the ViTConfig — the
+    shared entry the exp_* A/B scripts use so they always measure deltas
+    against the EXACT adopted configuration (round-4 review: two scripts
+    hand-copied this builder and would silently drift)."""
+    import dataclasses
+
     from tpuwsi.core.tuned import tuned_dino_kwargs, tuned_head_kwargs
     from tpuwsi.models import DINOHead
     from tpuwsi.models.vit import VisionTransformer
@@ -63,7 +70,10 @@ def build(batch_size: int, tile: int = 224, raw: bool = False):
     # bf16 aug + bf16 head/loss-pair) — sourced from core/tuned.py so the
     # CLI SSL loop trains the exact configuration this bench records
     # (tests/test_tuned_config.py pins the two surfaces together).
-    backbone = VisionTransformer(bench_vit_config(on_tpu))
+    cfg = bench_vit_config(on_tpu)
+    if vit_overrides:
+        cfg = dataclasses.replace(cfg, **vit_overrides)
+    backbone = VisionTransformer(cfg)
     model = DINOModel(
         backbone=backbone,
         head=DINOHead(out_dim=65536, hidden_dim=2048, bottleneck_dim=256,
