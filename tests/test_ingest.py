@@ -588,3 +588,20 @@ def test_transcode_cli(synthetic_mrxs, tmp_path):
     tile = r.read_region((0, 0), 0, (128, 128))
     assert tile.shape == (128, 128, 3) and tile.std() > 0
     r.close()
+
+
+def test_transcode_svs_layout(synthetic_svs, tmp_path):
+    """Transcode is format-generic: an Aperio-layout SVS (strip thumbnail,
+    label/macro pages) transcodes to a clean tiled pyramid — only the
+    genuine tissue levels copy over."""
+    from tpuwsi.io.ingest import transcode_slide
+
+    dst = str(tmp_path / "aperio.tiff")
+    transcode_slide(synthetic_svs, dst, tile=256, quality=90, n_threads=2)
+    src, out = CTileReader(synthetic_svs), CTileReader(dst)
+    assert out._level_dims == src._level_dims  # label/macro/thumb dropped
+    a = src.read_region((100, 80), 0, (200, 150)).astype(np.int16)
+    b = out.read_region((100, 80), 0, (200, 150)).astype(np.int16)
+    assert np.abs(a - b).mean() < 3.0
+    src.close()
+    out.close()

@@ -274,3 +274,56 @@ def test_cli_max_steps_exact_with_dispatch_chunks(tmp_path):
         "--max-steps-per-epoch", "3",   # mid-chunk bound
     ])
     assert int(state.step) == 3
+
+
+def test_multi_step_threads_batch_stats():
+    """BN models (resnet50) under --steps-per-dispatch: the batch_stats
+    collection rides the scan carry. One scanned step must match one direct
+    dispatch (loss exact, stats bit-equal, params to jit-boundary roundoff);
+    multi-step equality is NOT asserted beyond that — BN's rsqrt amplifies
+    the ~2e-6 fusion-boundary difference chaotically across steps."""
+    from tpuwsi.models.resnet_trunc import resnet50
+    from tpuwsi.train import OptimConfig, create_train_state, make_optimizer
+    from tpuwsi.train.supervised import make_multi_step, make_train_step
+
+    model = resnet50(num_classes=2, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 16, 16, 3), jnp.float32))
+    params = {"params": variables["params"]}
+    tx, _ = make_optimizer(OptimConfig(opt="sgd", lr=0.1, weight_decay=0.0),
+                           params, global_batch_size=4)
+    state = create_train_state(params, tx, ema=True,
+                               batch_stats=variables["batch_stats"])
+    step = make_train_step(model.apply, tx, augment_fn=None,
+                           compute_auc=False, ema_decay=0.9,
+                           use_batch_stats=True)
+    rngnp = np.random.default_rng(3)
+    b = {
+        "images": jnp.asarray(rngnp.random((4, 16, 16, 3)), jnp.float32),
+        "labels": jnp.asarray(rngnp.integers(0, 2, (4,))),
+    }
+    rng = jax.random.PRNGKey(5)
+
+    s1, m1 = jax.jit(step)(state, b, rng)
+    multi = jax.jit(make_multi_step(step))
+    s2, m2 = multi(state, {k: v[None] for k, v in b.items()}, rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), atol=1e-6)
+    for tree, tol in (("params", 1e-5), ("batch_stats", 0.0),
+                      ("ema_batch_stats", 1e-7)):
+        for a, c in zip(jax.tree_util.tree_leaves(getattr(s1, tree)),
+                        jax.tree_util.tree_leaves(getattr(s2, tree))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       atol=tol, err_msg=tree)
+    # a 3-step scan still runs and keeps advancing the stats
+    stacked = {
+        "images": jnp.asarray(rngnp.random((3, 4, 16, 16, 3)), jnp.float32),
+        "labels": jnp.asarray(rngnp.integers(0, 2, (3, 4))),
+    }
+    s3, _ = multi(state, stacked, rng)
+    assert int(s3.step) == 3
+    init_leaves = jax.tree_util.tree_leaves(variables["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(c))
+        for a, c in zip(jax.tree_util.tree_leaves(s3.batch_stats), init_leaves)
+    )
