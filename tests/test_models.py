@@ -79,6 +79,7 @@ def test_registry_names():
         "vit_tiny_patch16_224",
         "vit_small_patch16_224_dino",
         "vit_base_patch16_224",
+        "vit_large_patch16_224",
     ]:
         m = create_model(name, num_classes=2, use_pallas_attention=False)
         assert isinstance(m, VisionTransformer)

@@ -16,16 +16,24 @@ from typing import Optional
 import jax.numpy as jnp
 
 from tpuwsi.models.resnet_trunc import ResNetTruncBaseline
-from tpuwsi.models.vit import ViTConfig, VisionTransformer, vit_base, vit_small, vit_tiny
+from tpuwsi.models.vit import (
+    ViTConfig,
+    VisionTransformer,
+    vit_base,
+    vit_large,
+    vit_small,
+    vit_tiny,
+)
 
 _VIT_FACTORIES = {
     "tiny": vit_tiny,
     "small": vit_small,
     "base": vit_base,
+    "large": vit_large,
 }
 
 _NAME_RE = re.compile(
-    r"^vit_(?P<size>tiny|small|base)_patch(?P<patch>\d+)_(?P<img>\d+)(?P<dino>_dino)?$"
+    r"^vit_(?P<size>tiny|small|base|large)_patch(?P<patch>\d+)_(?P<img>\d+)(?P<dino>_dino)?$"
 )
 
 

@@ -825,3 +825,11 @@ def vit_small(patch_size: int = 16, **kw) -> ViTConfig:
 
 def vit_base(patch_size: int = 16, **kw) -> ViTConfig:
     return ViTConfig(patch_size=patch_size, embed_dim=768, depth=12, num_heads=12, **kw)
+
+
+def vit_large(patch_size: int = 16, **kw) -> ViTConfig:
+    """timm vit_large geometry (1024/24/16). No GipMed recipe uses it, but
+    the reference can name any timm ViT (train.py:482-495) — kept for
+    surface breadth; memory-bound configs combine with remat_blocks."""
+    return ViTConfig(patch_size=patch_size, embed_dim=1024, depth=24,
+                     num_heads=16, **kw)
