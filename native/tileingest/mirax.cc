@@ -34,15 +34,19 @@
 // tiles of DIGITIZER_WIDTH x HEIGHT px. Camera level-0 pixel positions come
 // from the VIMSLIDE_POSITION_BUFFER nonhier blob (9 bytes per camera:
 // uint8 flag, int32 x, int32 y, row-major) — adjacent cameras OVERLAP, so
-// positions are authoritative; a regular grid with OVERLAP_X/Y spacing is
-// the fallback when the buffer is absent. Zoom level n stores one JPEG per
-// 2^n x 2^n tile-grid block (image_number = top-left cell), downsampled by
-// 2^n; tiles are painted at position/2^n and later tiles overwrite earlier
-// ones in the overlap bands, exactly like OpenSlide's painting order.
+// positions are authoritative. MIRAX >= 2.2 exports store the same records
+// zlib-compressed under the StitchingIntensityLayer nonhier layer instead
+// (OpenSlide's mirax driver handles both; so do we). A regular grid with
+// OVERLAP_X/Y spacing is the fallback when neither buffer is present.
+// Zoom level n stores one tile image per 2^n x 2^n tile-grid block
+// (image_number = top-left cell), downsampled by 2^n; tiles are painted at
+// position/2^n and later tiles overwrite earlier ones in the overlap
+// bands, exactly like OpenSlide's painting order.
 //
-// Out of scope (loud nullptr, never garbage): non-JPEG IMAGE_FORMAT
-// (PNG/BMP24) and the zlib-compressed StitchingIntensityLayer position
-// variant of MIRAX >= 2.2.
+// Tile payloads: IMAGE_FORMAT is per zoom-level section — JPEG (libjpeg),
+// PNG (libpng, RGB/RGBA/gray/palette normalized to RGB8), or BMP24
+// (uncompressed bottom-up BGR). Anything else is a loud nullptr, never
+// garbage.
 
 #include "mirax.h"
 
@@ -67,6 +71,8 @@
 #include <csetjmp>
 #include <cstdlib>
 #include <jpeglib.h>
+#include <png.h>
+#include <zlib.h>
 
 // File-scope JPEG plumbing, shared by the reader (namespace tileingest) and
 // the extern "C" fixture writer below.
@@ -110,6 +116,104 @@ bool decode_jpeg(const uint8_t* buf, size_t len, int64_t w, int64_t h,
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+// ---- PNG (libpng, in-memory source) ----------------------------------------
+
+struct PngSrc {
+  const uint8_t* p;
+  size_t left;
+};
+
+void png_mem_read(png_structp png, png_bytep out, png_size_t n) {
+  PngSrc* s = static_cast<PngSrc*>(png_get_io_ptr(png));
+  if (n > s->left) {
+    png_error(png, "short read");
+    return;
+  }
+  std::memcpy(out, s->p, n);
+  s->p += n;
+  s->left -= n;
+}
+
+// Decodes a PNG into caller-allocated RGB8 of exactly (w, h); normalizes
+// palette/gray/alpha/16-bit inputs to RGB8 (MIRAX PNG exports are RGB, but
+// libpng's transforms make the general case free). Fails on a dimension
+// mismatch rather than writing out of bounds.
+bool decode_png(const uint8_t* buf, size_t len, int64_t w, int64_t h,
+                uint8_t* out) {
+  if (len < 8 || png_sig_cmp(buf, 0, 8) != 0) return false;
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return false;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return false;
+  }
+  std::vector<png_bytep> rows;
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  PngSrc src{buf, len};
+  png_set_read_fn(png, &src, png_mem_read);
+  png_read_info(png, info);
+  if (png_get_image_width(png, info) != static_cast<png_uint_32>(w) ||
+      png_get_image_height(png, info) != static_cast<png_uint_32>(h)) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  // Normalize every color type to 8-bit RGB.
+  png_set_palette_to_rgb(png);
+  png_set_expand_gray_1_2_4_to_8(png);
+  png_set_gray_to_rgb(png);
+  png_set_strip_alpha(png);
+  png_set_strip_16(png);
+  png_read_update_info(png, info);
+  if (png_get_rowbytes(png, info) != static_cast<size_t>(w) * 3) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  rows.resize(static_cast<size_t>(h));
+  for (int64_t y = 0; y < h; ++y)
+    rows[y] = out + static_cast<size_t>(y) * w * 3;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  return true;
+}
+
+// ---- BMP24 (uncompressed bottom-up BGR, the MIRAX BMP24 export) -------------
+
+uint32_t bmp_le32(const uint8_t* p) {
+  return static_cast<uint32_t>(p[0]) | (static_cast<uint32_t>(p[1]) << 8) |
+         (static_cast<uint32_t>(p[2]) << 16) |
+         (static_cast<uint32_t>(p[3]) << 24);
+}
+
+bool decode_bmp24(const uint8_t* buf, size_t len, int64_t w, int64_t h,
+                  uint8_t* out) {
+  if (len < 54 || buf[0] != 'B' || buf[1] != 'M') return false;
+  const uint32_t pix_off = bmp_le32(buf + 10);
+  const int32_t bw = static_cast<int32_t>(bmp_le32(buf + 18));
+  const int32_t bh = static_cast<int32_t>(bmp_le32(buf + 22));  // <0: top-down
+  const uint16_t bpp = static_cast<uint16_t>(buf[28] | (buf[29] << 8));
+  const uint32_t compression = bmp_le32(buf + 30);
+  if (bw != w || (bh != h && bh != -h) || bpp != 24 || compression != 0)
+    return false;
+  const size_t stride = (static_cast<size_t>(w) * 3 + 3) & ~size_t{3};
+  if (pix_off + stride * h > len) return false;
+  const bool bottom_up = bh > 0;
+  for (int64_t y = 0; y < h; ++y) {
+    const uint8_t* row = buf + pix_off + stride * (bottom_up ? h - 1 - y : y);
+    uint8_t* dst = out + static_cast<size_t>(y) * w * 3;
+    for (int64_t x = 0; x < w; ++x) {  // BGR -> RGB
+      dst[x * 3 + 0] = row[x * 3 + 2];
+      dst[x * 3 + 1] = row[x * 3 + 1];
+      dst[x * 3 + 2] = row[x * 3 + 0];
+    }
+  }
   return true;
 }
 
@@ -244,11 +348,45 @@ struct MiraxTile {
   int32_t fileno = 0;
 };
 
+enum class TileFormat { kJpeg, kPng, kBmp24 };
+
 struct MiraxLevel {
-  int64_t tw = 0;  // stored JPEG pixels
+  int64_t tw = 0;  // stored tile pixels
   int64_t th = 0;
+  TileFormat format = TileFormat::kJpeg;
   std::vector<MiraxTile> tiles;  // sorted by (py, px)
 };
+
+bool decode_tile(TileFormat fmt, const uint8_t* buf, size_t len, int64_t w,
+                 int64_t h, uint8_t* out) {
+  switch (fmt) {
+    case TileFormat::kJpeg:
+      return decode_jpeg(buf, len, w, h, out);
+    case TileFormat::kPng:
+      return decode_png(buf, len, w, h, out);
+    case TileFormat::kBmp24:
+      return decode_bmp24(buf, len, w, h, out);
+  }
+  return false;
+}
+
+// IMAGE_FORMAT values as written by the scanner software (OpenSlide's mirax
+// driver accepts exactly these three).
+bool parse_tile_format(const std::string& s, TileFormat* out) {
+  if (s == "JPEG") {
+    *out = TileFormat::kJpeg;
+    return true;
+  }
+  if (s == "PNG") {
+    *out = TileFormat::kPng;
+    return true;
+  }
+  if (s == "BMP24") {
+    *out = TileFormat::kBmp24;
+    return true;
+  }
+  return false;
+}
 
 struct MiraxSlide : Slide {
   // Data files are opened LAZILY on first read (a sampler can hold hundreds
@@ -308,7 +446,8 @@ struct MiraxSlide : Slide {
                 static_cast<off_t>(it->offset)) !=
           static_cast<ssize_t>(raw.size()))
         return -7;
-      if (!decode_jpeg(raw.data(), raw.size(), lv.tw, lv.th, rgb.data()))
+      if (!decode_tile(lv.format, raw.data(), raw.size(), lv.tw, lv.th,
+                       rgb.data()))
         return -7;
       for (int64_t yy = cy0; yy < cy1; ++yy) {
         const uint8_t* src = rgb.data() + ((yy - ty) * lv.tw + (cx0 - tx)) * 3;
@@ -403,8 +542,9 @@ Slide* mirax_open(const char* cpath) {
   const int64_t t0w = ini.num(lvl0_sec, "DIGITIZER_WIDTH");
   const int64_t t0h = ini.num(lvl0_sec, "DIGITIZER_HEIGHT");
   if (t0w <= 0 || t0h <= 0) return nullptr;
-  if (ini.str(lvl0_sec, "IMAGE_FORMAT", "JPEG") != "JPEG")
-    return nullptr;  // PNG/BMP24 variants are out of scope — fail loudly
+  TileFormat fmt0;
+  if (!parse_tile_format(ini.str(lvl0_sec, "IMAGE_FORMAT", "JPEG"), &fmt0))
+    return nullptr;  // unknown payload format — fail loudly, never garbage
 
   auto slide = std::make_unique<MiraxSlide>();
   slide->path = path;
@@ -415,30 +555,47 @@ Slide* mirax_open(const char* cpath) {
   std::vector<bool> cam_ok(cam_x * cam_y, false);
   bool have_positions = false;
   {
+    const size_t want = static_cast<size_t>(9) * cam_x * cam_y;
     int rec = 0;
     for (long i = 0; i < nonhier_count && !have_positions; ++i) {
       std::snprintf(key, sizeof(key), "NONHIER_%ld_NAME", i);
       const std::string name = ini.str(H, key);
       std::snprintf(key, sizeof(key), "NONHIER_%ld_COUNT", i);
       const long count = ini.num(H, key, 1);
-      if (name == "VIMSLIDE_POSITION_BUFFER") {
+      // VIMSLIDE_POSITION_BUFFER stores the 9-byte records raw;
+      // StitchingIntensityLayer (MIRAX >= 2.2) stores the same records
+      // zlib-compressed. OpenSlide's mirax driver tries exactly these two.
+      const bool raw_pos = name == "VIMSLIDE_POSITION_BUFFER";
+      const bool zlib_pos = name == "StitchingIntensityLayer";
+      if (raw_pos || zlib_pos) {
         std::vector<IndexEntry> es;
         if (read_record_entries(idx, nonhier_root, rec, &es) && !es.empty()) {
           const IndexEntry& e = es[0];
-          if (e.fileno >= 0 && e.fileno < file_count &&
-              e.length >= 9 * cam_x * cam_y) {
+          if (e.fileno >= 0 && e.fileno < file_count && e.length > 0 &&
+              (!raw_pos || static_cast<size_t>(e.length) >= want)) {
             std::vector<uint8_t> buf(e.length);
             const int fd = slide->fd_for(e.fileno);
             if (fd >= 0 && pread(fd, buf.data(), buf.size(),
                                  static_cast<off_t>(e.offset)) ==
                                static_cast<ssize_t>(buf.size())) {
-              for (long c = 0; c < cam_x * cam_y; ++c) {
-                const uint8_t* p = buf.data() + 9 * c;
-                cam_ok[c] = p[0] != 0;
-                cam_px[c] = le32(p + 1);
-                cam_py[c] = le32(p + 5);
+              bool ok = raw_pos;
+              if (zlib_pos) {
+                std::vector<uint8_t> inflated(want);
+                uLongf dlen = static_cast<uLongf>(want);
+                ok = uncompress(inflated.data(), &dlen, buf.data(),
+                                static_cast<uLong>(buf.size())) == Z_OK &&
+                     dlen == want;
+                if (ok) buf = std::move(inflated);
               }
-              have_positions = true;
+              if (ok) {
+                for (long c = 0; c < cam_x * cam_y; ++c) {
+                  const uint8_t* p = buf.data() + 9 * c;
+                  cam_ok[c] = p[0] != 0;
+                  cam_px[c] = le32(p + 1);
+                  cam_py[c] = le32(p + 5);
+                }
+                have_positions = true;
+              }
             }
           }
         }
@@ -469,6 +626,10 @@ Slide* mirax_open(const char* cpath) {
     MiraxLevel& lv = slide->zoom[z];
     lv.tw = ini.num(sec, "DIGITIZER_WIDTH", t0w);
     lv.th = ini.num(sec, "DIGITIZER_HEIGHT", t0h);
+    lv.format = fmt0;
+    if (const std::string* f = ini.get(sec, "IMAGE_FORMAT")) {
+      if (!parse_tile_format(*f, &lv.format)) return nullptr;
+    }
     std::vector<IndexEntry> es;
     if (!read_record_entries(idx, hier_root,
                              zoom_record0 + static_cast<int>(z), &es))

@@ -1,15 +1,18 @@
 """Python-side MIRAX (.mrxs) fixture generator for reader edge cases the C++
 synthetic writer (divisions=1, all cameras present, one data file) does not
 cover: CameraImageDivisionsPerSide > 1, absent cameras (position-buffer
-flag = 0), and tiles split across multiple Data files.
+flag = 0), tiles split across multiple Data files, PNG/BMP24 tile payloads,
+and the MIRAX >= 2.2 zlib-compressed StitchingIntensityLayer position
+buffer.
 
 Writes the same on-disk format native/tileingest/mirax.cc parses:
-Slidedat.ini + Index.dat + Data%04d.dat, JPEG tiles via PIL.
+Slidedat.ini + Index.dat + Data%04d.dat, tile payloads via PIL.
 """
 
 import io
 import os
 import struct
+import zlib
 
 import numpy as np
 from PIL import Image
@@ -35,12 +38,18 @@ def write_mirax(
     seed=5,
     absent_cameras=(),
     n_data_files=2,
+    image_format="JPEG",
+    zlib_position=False,
 ):
     """Camera grid cam_x x cam_y, each camera divided into divisions² stored
     tiles of `tile` px; cameras overlap by `overlap` level-0 px. Tile content
     is the analytic `pattern` at absolute level-0 coordinates, so stitched
-    reads must reproduce it everywhere (JPEG tolerance). Returns the .mrxs
-    stub path."""
+    reads must reproduce it everywhere (JPEG tolerance; PNG/BMP24 are
+    lossless, so reads must match EXACTLY). `image_format` is one of
+    JPEG/PNG/BMP24 (the three payloads real scanners emit); `zlib_position`
+    stores the camera positions as the MIRAX >= 2.2 zlib-compressed
+    StitchingIntensityLayer blob instead of the raw VIMSLIDE buffer.
+    Returns the .mrxs stub path."""
     base = os.path.splitext(path)[0]
     os.makedirs(base, exist_ok=True)
     gridw = cam_x * divisions
@@ -52,10 +61,16 @@ def write_mirax(
         return cx * cam_adv, cy * cam_adv
 
     data = [bytearray() for _ in range(n_data_files)]
+    pil_format = {"JPEG": "JPEG", "PNG": "PNG", "BMP24": "BMP"}[image_format]
 
-    def add_jpeg(arr, fileno):
+    def add_image(arr, fileno):
         buf = io.BytesIO()
-        Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+        if pil_format == "JPEG":
+            Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+        else:
+            # PIL writes RGB BMPs as 24-bit uncompressed bottom-up — exactly
+            # the MIRAX BMP24 payload; PNG as 8-bit color-type-2 RGB.
+            Image.fromarray(arr).save(buf, format=pil_format)
         off = len(data[fileno])
         data[fileno] += buf.getvalue()
         return off, len(buf.getvalue())
@@ -77,17 +92,20 @@ def write_mirax(
                     px + np.arange(tile) * ds, py + np.arange(tile) * ds, seed
                 )
                 fileno = (gy * gridw + gx) % n_data_files
-                off, length = add_jpeg(arr, fileno)
+                off, length = add_image(arr, fileno)
                 lvl.append((gy * gridw + gx, off, length, fileno))
         recs.append(lvl)
 
-    # position buffer: 9 bytes per camera, row-major, flag=0 for absent
+    # position buffer: 9 bytes per camera, row-major, flag=0 for absent;
+    # zlib-compressed when emulating a MIRAX >= 2.2 export
     pos = bytearray()
     for cy in range(cam_y):
         for cx in range(cam_x):
             present = (cx, cy) not in absent_cameras
             x, y = cam_pos(cx, cy)
             pos += struct.pack("<Bii", 1 if present else 0, x, y)
+    if zlib_position:
+        pos = bytearray(zlib.compress(bytes(pos)))
     pos_file = 0
     pos_off = len(data[pos_file])
     data[pos_file] += pos
@@ -132,11 +150,18 @@ def write_mirax(
             f"HIER_0_VAL_{z} = ZoomLevel_{z}",
             f"HIER_0_VAL_{z}_SECTION = LAYER_0_LEVEL_{z}_SECTION",
         ]
-    lines += [
-        "NONHIER_0_NAME = VIMSLIDE_POSITION_BUFFER",
-        "NONHIER_0_COUNT = 1",
-        "NONHIER_0_VAL_0 = default",
-    ]
+    if zlib_position:
+        lines += [
+            "NONHIER_0_NAME = StitchingIntensityLayer",
+            "NONHIER_0_COUNT = 1",
+            "NONHIER_0_VAL_0 = StitchingIntensityLevel",
+        ]
+    else:
+        lines += [
+            "NONHIER_0_NAME = VIMSLIDE_POSITION_BUFFER",
+            "NONHIER_0_COUNT = 1",
+            "NONHIER_0_VAL_0 = default",
+        ]
     for z in range(levels):
         lines += [
             f"[LAYER_0_LEVEL_{z}_SECTION]",
@@ -144,7 +169,7 @@ def write_mirax(
             f"DIGITIZER_HEIGHT = {tile}",
             f"OVERLAP_X = {float(overlap)}",
             f"OVERLAP_Y = {float(overlap)}",
-            "IMAGE_FORMAT = JPEG",
+            f"IMAGE_FORMAT = {image_format}",
         ]
     lines += ["[DATAFILE]", f"FILE_COUNT = {n_data_files}"]
     for i in range(n_data_files):

@@ -304,6 +304,69 @@ def test_mrxs_absent_cameras_zero_filled(tmp_path):
     r.close()
 
 
+@pytest.mark.parametrize("fmt", ["PNG", "BMP24"])
+def test_mrxs_lossless_tile_payloads_exact(tmp_path, fmt):
+    """MIRAX exports also ship PNG and BMP24 tile payloads (OpenSlide's
+    driver handles all three; mirax.cc decode_tile). Lossless payloads must
+    stitch to the analytic pattern EXACTLY — any decode slip (BMP's
+    bottom-up BGR rows and 4-byte row padding especially) is a hard
+    mismatch, not a tolerance miss."""
+    from mirax_fixture import pattern, write_mirax
+
+    p = write_mirax(
+        str(tmp_path / f"{fmt.lower()}.mrxs"), cam_x=3, cam_y=2,
+        divisions=2, tile=64, overlap=8, levels=2, seed=11,
+        n_data_files=2, image_format=fmt,
+    )
+    r = CTileReader(p)
+    got = r.read_region((30, 20), 0, (300, 200))
+    ref = pattern(range(30, 330), range(20, 220), seed=11)
+    assert np.array_equal(got, ref)
+    got1 = r.read_region((0, 0), 1, (150, 100))
+    ref1 = pattern(np.arange(150) * 2, np.arange(100) * 2, 11)
+    assert np.array_equal(got1, ref1)
+    r.close()
+
+
+def test_mrxs_zlib_position_buffer(tmp_path):
+    """MIRAX >= 2.2 stores the camera positions zlib-compressed under the
+    StitchingIntensityLayer nonhier layer (9-byte records after inflate);
+    the reader must stitch identically to the raw VIMSLIDE variant,
+    including absent-camera flags."""
+    from mirax_fixture import write_mirax
+
+    kw = dict(cam_x=3, cam_y=2, divisions=1, tile=64, overlap=8, levels=1,
+              seed=13, n_data_files=1, absent_cameras=((1, 0),))
+    raw = write_mirax(str(tmp_path / "raw.mrxs"), **kw)
+    zl = write_mirax(str(tmp_path / "zl.mrxs"), zlib_position=True, **kw)
+    r_raw, r_zl = CTileReader(raw), CTileReader(zl)
+    assert r_raw.dimensions == r_zl.dimensions
+    a = r_raw.read_region((0, 0), 0, (176, 120))
+    b = r_zl.read_region((0, 0), 0, (176, 120))
+    assert np.array_equal(a, b)
+    # absent middle camera of the top row stays zero-filled after inflate
+    assert (r_zl.read_region((66, 4), 0, (44, 44)) == 0).all()
+    r_raw.close()
+    r_zl.close()
+
+
+def test_mrxs_unknown_image_format_fails_loudly(tmp_path):
+    """An IMAGE_FORMAT the reader does not implement must refuse to open —
+    decoding garbage into training tiles is the one unacceptable outcome."""
+    from mirax_fixture import write_mirax
+
+    p = write_mirax(str(tmp_path / "exotic.mrxs"), cam_x=2, cam_y=1,
+                    divisions=1, tile=64, overlap=8, levels=1, seed=3,
+                    n_data_files=1)
+    ini = os.path.join(os.path.splitext(p)[0], "Slidedat.ini")
+    with open(ini) as f:
+        s = f.read()
+    with open(ini, "w") as f:
+        f.write(s.replace("IMAGE_FORMAT = JPEG", "IMAGE_FORMAT = JPEG2000"))
+    with pytest.raises(IOError):
+        CTileReader(p)
+
+
 def test_mrxs_bogus_file_fails_loudly(tmp_path):
     """A stub .mrxs with no data directory must raise the actionable error,
     never fall through to PIL (training on the stub would be garbage)."""
