@@ -408,3 +408,100 @@ def test_random_interpolation_mixes_kernels():
         elif np.allclose(np.asarray(got), np.asarray(cub)):
             seen.add("bicubic")
     assert seen == {"bilinear", "bicubic"}
+
+
+# ---------------------------------------------------------------------------
+# AugMix (timm augment_and_mix_transform, the --aug-splits/--jsd-loss
+# protocol, timm_train.py:614-663)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_augmix_defaults_and_overrides():
+    from tpuwsi.preprocess.batch_aug import parse_augmix
+
+    assert parse_augmix("augmix") == (3.0, 3, -1, 1.0, float("inf"))
+    assert parse_augmix("augmix-m5-w4-d2-a0.7-mstd0.5") == (5.0, 4, 2, 0.7, 0.5)
+    with pytest.raises(ValueError):
+        parse_augmix("augmix-b1")  # blended mode: explicit non-goal
+    with pytest.raises(ValueError):
+        parse_augmix("rand-m9")
+
+
+def test_augmix_op_set_matches_timm():
+    """timm _AUGMIX_TRANSFORMS is a 13-op subset of the RandAugment set
+    (no Invert/SolarizeAdd); the mix must draw from exactly those."""
+    from tpuwsi.preprocess.batch_aug import (
+        _AUGMIX_OPS, _RA_OPS, _op_invert, _op_solarize_add,
+    )
+
+    assert len(_AUGMIX_OPS) == 13
+    assert set(_AUGMIX_OPS) <= set(_RA_OPS)
+    assert _op_invert not in _AUGMIX_OPS
+    assert _op_solarize_add not in _AUGMIX_OPS
+
+
+def test_augmix_deterministic_and_varies():
+    from tpuwsi.preprocess.batch_aug import make_augmix
+
+    fn = jax.jit(make_augmix("augmix-m3-w3"))
+    imgs = jnp.asarray(np.stack([_rand_img(s) for s in range(4)]))
+    k = jax.random.PRNGKey(0)
+    a, b = fn(k, imgs), fn(k, imgs)
+    c = fn(jax.random.PRNGKey(1), imgs)
+    assert a.dtype == jnp.uint8 and a.shape == imgs.shape
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+    assert not np.array_equal(np.asarray(a), np.asarray(imgs))
+    # per-sample keys: different images get different chains/weights
+    same = jnp.asarray(np.stack([_rand_img(7)] * 4))
+    out = np.asarray(fn(k, same))
+    assert not np.array_equal(out[0], out[1])
+
+
+def test_augmix_blend_stays_near_original_at_high_alpha():
+    """out = img + m*(mixed - img): with alpha large, Beta(a, a)
+    concentrates at 1/2 and the Dirichlet at uniform weights, so the
+    output is a genuine half-blend — changed from the original, but with a
+    far smaller mean|Δ| than the full op mix (m=1) would give."""
+    from tpuwsi.preprocess.batch_aug import make_augmix
+
+    img = _rand_img(5)[None]
+    half = jax.jit(make_augmix("augmix-m9-w3-d2-a1000-mstd0"))
+    out = np.asarray(half(jax.random.PRNGKey(3), jnp.asarray(img)))
+    assert not np.array_equal(out, img)
+    delta = np.abs(out.astype(np.float32) - img.astype(np.float32)).mean()
+    assert 0.5 < delta < 80.0  # a collapsed blend (m≈0) would be ~0
+
+
+def test_jsd_cross_entropy_matches_torch_formula():
+    """Golden vs a literal torch replica of timm's JsdCrossEntropy
+    (smoothed CE on split 0 + alpha * mean batchmean-KL(p_i || mean p))."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from tpuwsi.train.losses import jsd_cross_entropy
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(12, 5)).astype(np.float32)  # 3 splits x B=4
+    labels = rng.integers(0, 5, size=4)
+    ours = float(jsd_cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                                   num_splits=3, smoothing=0.1))
+    lt, yt = torch.tensor(logits), torch.tensor(labels)
+    split = torch.split(lt, 4)
+    ce = F.cross_entropy(split[0], yt, label_smoothing=0.1)
+    probs = [F.softmax(l, dim=1) for l in split]
+    logp_mix = torch.clamp(torch.stack(probs).mean(0), 1e-7, 1).log()
+    kl = sum(F.kl_div(logp_mix, p, reduction="batchmean") for p in probs) / 3
+    assert abs(ours - float(ce + 12.0 * kl)) < 1e-4
+
+
+def test_jsd_identical_splits_reduce_to_ce():
+    from tpuwsi.train.losses import cross_entropy, jsd_cross_entropy
+
+    rng = np.random.default_rng(1)
+    one = rng.normal(size=(4, 3)).astype(np.float32)
+    logits = jnp.asarray(np.concatenate([one, one, one]))
+    labels = jnp.asarray(rng.integers(0, 3, size=4))
+    assert float(jsd_cross_entropy(logits, labels, num_splits=3)) == pytest.approx(
+        float(cross_entropy(jnp.asarray(one), labels)), abs=1e-5
+    )

@@ -455,6 +455,81 @@ def test_cli_timm_batch_augs(patch_folder, tmp_path):
     assert int(state.step) == 2
 
 
+def test_cli_augmix_jsd_aug_splits(patch_folder, tmp_path):
+    """The full AugMix training protocol (timm_train.py:614-663): 3
+    augmentation splits per sample (split 0 clean, shared crop), AugMix
+    secondary policy, erasing skipping the clean split (--resplit), and
+    the Jensen-Shannon consistency loss over the concat batch."""
+    from tpuwsi.cli.train import main
+
+    state = main([
+        "--data-dir", patch_folder,
+        "--model", "vit_tiny_patch16_224",
+        "--img-size", "32",
+        "-b", "8",
+        "--epochs", "1",
+        "--max-steps-per-epoch", "2",
+        "--warmup-epochs", "0",
+        "--transform_type", "timm",
+        "--output", str(tmp_path / "runs"),
+        "--eval_rate", "100",
+        "--val-split", "0",
+        "--aa", "augmix-m3-w3",
+        "--aug-splits", "3",
+        "--jsd-loss",
+        "--resplit",
+        "--reprob", "0.25",
+    ])
+    assert int(state.step) == 2
+
+
+def test_cli_jsd_and_splits_guards(patch_folder, tmp_path):
+    from tpuwsi.cli.train import main
+
+    base = [
+        "--data-dir", patch_folder, "--model", "vit_tiny_patch16_224",
+        "--img-size", "32", "-b", "8", "--epochs", "1",
+        "--max-steps-per-epoch", "1", "--transform_type", "timm",
+        "--output", str(tmp_path / "runs"), "--val-split", "0",
+    ]
+    with pytest.raises(SystemExit, match="aug-splits"):
+        main(base + ["--jsd-loss"])  # JSD needs splits (timm assert)
+    with pytest.raises(SystemExit, match="aug-splits"):
+        main(base + ["--aug-splits", "1"])
+    with pytest.raises(SystemExit, match="mixup"):
+        main(base + ["--aug-splits", "2", "--mixup", "0.8"])
+
+
+def test_cli_aug_repeats(patch_folder, tmp_path):
+    """--aug-repeats (RASampler/DeiT repeated augmentation): repeated
+    instances share a source image but get independent augmentation; the
+    epoch length is unchanged."""
+    from tpuwsi.cli.train import main
+    from tpuwsi.io.folder import ImageFolderDataset
+
+    ds = ImageFolderDataset(patch_folder)
+    plain = list(ds.batches(4, rng=np.random.default_rng(0)))
+    rep = list(ds.batches(4, rng=np.random.default_rng(0), repeats=2))
+    assert len(rep) == len(plain)  # epoch length unchanged
+    for b in rep:
+        imgs = b["images"].reshape(4, -1)
+        assert np.array_equal(imgs[0], imgs[1])  # adjacent repeats
+        assert np.array_equal(imgs[2], imgs[3])
+    # unique coverage per epoch is halved
+    n_unique = len({bytes(b["images"][i].tobytes()) for b in rep
+                    for i in range(4)})
+    assert n_unique <= len(ds) // 2 + 1
+
+    state = main([
+        "--data-dir", patch_folder, "--model", "vit_tiny_patch16_224",
+        "--img-size", "32", "-b", "8", "--epochs", "1",
+        "--max-steps-per-epoch", "1", "--warmup-epochs", "0",
+        "--transform_type", "timm", "--output", str(tmp_path / "runs"),
+        "--eval_rate", "100", "--val-split", "0", "--aug-repeats", "2",
+    ])
+    assert int(state.step) == 1
+
+
 def test_timm_train_alias_defaults(patch_folder, tmp_path):
     """cli/timm_train pins timm's own defaults (eval-metric top1, per-epoch
     validation) without overriding explicit flags."""

@@ -206,7 +206,20 @@ def build_parser() -> argparse.ArgumentParser:
                         help="normalization std override (3 floats)")
     # timm folder-mode batch augmentations (timm_train.py:238-271)
     parser.add_argument("--aa", default=None, type=str,
-                        help="auto-augment spec, e.g. rand-m9-mstd0.5")
+                        help="auto-augment spec, e.g. rand-m9-mstd0.5 or "
+                             "augmix-m3-w3")
+    parser.add_argument("--aug-splits", default=0, type=int,
+                        help="augmentation splits per sample (timm AugMix "
+                             "protocol; 0 or >1, split 0 is clean)")
+    parser.add_argument("--jsd-loss", action="store_true",
+                        help="Jensen-Shannon consistency loss across "
+                             "--aug-splits (timm JsdCrossEntropy)")
+    parser.add_argument("--resplit", action="store_true",
+                        help="skip random erasing on the clean split "
+                             "(timm --resplit)")
+    parser.add_argument("--aug-repeats", default=0, type=int,
+                        help="repeated-augmentation instances per sample "
+                             "in each batch (timm RASampler / DeiT)")
     parser.add_argument("--reprob", default=0.0, type=float,
                         help="random-erasing probability")
     parser.add_argument("--remode", default="pixel", type=str)

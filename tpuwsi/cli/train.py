@@ -211,6 +211,10 @@ def main(argv=None, default_overrides=None):
 
     # ---------------- data ----------------
     folder_mode = bool(args.data_dir)
+    if args.aug_repeats and not folder_mode:
+        raise SystemExit("--aug-repeats is a folder-mode (timm loader) "
+                         "feature; WSI sampling has factor-based virtual "
+                         "epochs instead")
     if folder_mode:
         from tpuwsi.io.folder import load_folder_datasets
 
@@ -442,6 +446,20 @@ def main(argv=None, default_overrides=None):
         )
     else:
         loss_fn = lambda l, y: cross_entropy(l, y, args.smoothing)
+    if args.jsd_loss:
+        # timm --jsd-loss (AugMix protocol): smoothed CE on the clean split
+        # + Jensen-Shannon consistency across all splits
+        if args.aug_splits < 2:
+            raise SystemExit("--jsd-loss needs --aug-splits > 1 (timm "
+                             "asserts the same)")
+        if multi_target or args.focal or args.bce_loss:
+            raise SystemExit("--jsd-loss replaces the base loss; drop "
+                             "--focal/--bce-loss/multi-target")
+        from tpuwsi.train.losses import jsd_cross_entropy
+
+        loss_fn = lambda l, y: jsd_cross_entropy(
+            l, y, num_splits=args.aug_splits, smoothing=args.smoothing
+        )
 
     if args.no_aug:
         # timm --no-aug (transforms_noaug_train): train batches get the
@@ -483,23 +501,71 @@ def main(argv=None, default_overrides=None):
             norm_type="Amir" if args.dataset.startswith("TMA") else "Ron",
         )
     # timm folder-mode batch augs (timm_train.py:238-271, 585-612):
-    # RandAugment on raw uint8 → recipe (aug+norm) → RandomErasing;
+    # RandAugment/AugMix on raw uint8 → recipe (aug+norm) → RandomErasing;
     # Mixup/CutMix runs inside the step on the normalized batch.
+    aa_fn = re_fn = None
     if (args.aa or args.reprob > 0) and not args.no_aug:
         from tpuwsi.preprocess.batch_aug import (
-            make_rand_augment,
+            make_auto_augment,
             make_random_erasing,
         )
 
-        ra = make_rand_augment(args.aa) if args.aa else None
+        aa_fn = make_auto_augment(args.aa) if args.aa else None
         re_fn = (
             make_random_erasing(args.reprob, mode=args.remode,
                                 count=args.recount)
             if args.reprob > 0 else None
         )
+    if args.aug_splits:
+        # timm --aug-splits / AugMixDataset (timm_train.py:563-583): N
+        # augmented views per sample, concatenated along the batch axis.
+        # The primary crop/flip is SHARED across splits (one key, like
+        # AugMixDataset applying the base transform once); split 0 is the
+        # clean split (no AA/ColorJitter; erasing only without --resplit);
+        # splits 1.. get the secondary policy + erasing.
+        if args.aug_splits < 2:
+            raise SystemExit("--aug-splits must be 0 or > 1 (timm asserts "
+                             "the same)")
+        if not (folder_mode and args.transform_type == "timm") or args.no_aug:
+            raise SystemExit(
+                "--aug-splits needs folder mode with the timm transform "
+                "stack (--transform_type timm), the reference's "
+                "timm_train.py loader surface; --no-aug conflicts"
+            )
+        if args.mixup > 0 or args.cutmix > 0 or args.cutmix_minmax:
+            raise SystemExit("--aug-splits with mixup/cutmix is not "
+                             "supported; drop one of them")
+        from tpuwsi.preprocess.timm_aug import make_timm_train_aug
+
+        base_clean = make_timm_train_aug(
+            img_size, scale=args.scale, ratio=args.ratio,
+            hflip=args.hflip, vflip=args.vflip,
+            color_jitter=None,
+            mean=args.mean, std=args.std,
+            interpolation=(args.train_interpolation
+                           or args.interpolation
+                           or _default_interp(args.model)),
+        )
+        n_splits, resplit = args.aug_splits, args.resplit
+
+        def aug(key, images, _aa=aa_fn, _re=re_fn, _clean=base_clean,
+                _sec=aug):
+            kp, ks, ke = jax.random.split(key, 3)
+            outs = []
+            for s in range(n_splits):
+                x = images
+                if s > 0 and _aa is not None:
+                    x = _aa(jax.random.fold_in(ks, s), x)
+                x = (_clean if s == 0 else _sec)(kp, x)
+                if _re is not None and (s > 0 or not resplit):
+                    x = _re(jax.random.fold_in(ke, s), x)
+                outs.append(x)
+            return jnp.concatenate(outs, axis=0)
+
+    elif aa_fn is not None or re_fn is not None:
         base_aug = aug
 
-        def aug(key, images, _ra=ra, _re=re_fn, _base=base_aug):
+        def aug(key, images, _ra=aa_fn, _re=re_fn, _base=base_aug):
             k1, k2, k3 = jax.random.split(key, 3)
             if _ra is not None:
                 images = _ra(k1, images)
@@ -646,6 +712,7 @@ def main(argv=None, default_overrides=None):
                     batches = train_ds.batches(
                         args.batch_size, rng=epoch_rng,
                         process_index=pindex, process_count=pcount,
+                        repeats=max(args.aug_repeats, 1),
                     )
                 else:
                     batches = sampler.batches(

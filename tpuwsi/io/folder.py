@@ -145,10 +145,18 @@ class ImageFolderDataset:
         drop_last: bool = True,
         process_index: int = 0,
         process_count: int = 1,
+        repeats: int = 1,
     ) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.samples))
         if shuffle:
             (rng or np.random.default_rng()).shuffle(order)
+        if repeats > 1:
+            # timm --aug-repeats (RASampler/DeiT repeated augmentation):
+            # adjacent repeated instances, truncated so the epoch length is
+            # unchanged — each epoch sees ~len/repeats unique images, and
+            # the repeats land in the same batch where each gets an
+            # independent on-device augmentation draw.
+            order = np.repeat(order, repeats)[: len(self.samples)]
         # common per-host length: unequal strided slices would give hosts
         # different batch counts and deadlock the collectives (see
         # WSITileSampler.process_order)

@@ -8,6 +8,10 @@ Parity: the vanilla timm trainer's create_loader surface
 - **RandAugment** ('rand-mN-mstdS'): timm's 15-op policy re-implemented as
   jit-able image ops (affine ops ride a gather-based bilinear sampler; the
   histogram/LUT ops use fixed 256-bin integer math matching PIL);
+- **AugMix** ('augmix-mM-wW-dD'): timm's augment_and_mix_transform — per
+  image, `width` op chains of 1-3 ops from the 13-op AugMix set are
+  Dirichlet-mixed and Beta-blended with the original (the --aug-splits /
+  --jsd-loss training protocol, timm_train.py:614-663);
 - **Random Erasing** (--reprob, 'pixel'/'const' modes): per-sample noise
   rectangle after normalization.
 
@@ -486,3 +490,119 @@ def make_rand_augment(
         return jax.vmap(apply_one)(keys, images)
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# AugMix ('augmix-mM-wW-dD[-aA][-mstdS]', timm augment_and_mix_transform)
+# ---------------------------------------------------------------------------
+
+# timm's _AUGMIX_TRANSFORMS (the Hendrycks et al. AugMix op set): the
+# "Increasing" enhance/posterize/solarize semantics are what _op_* already
+# implement for RandAugment; Invert/SolarizeAdd are RandAugment-only.
+_AUGMIX_OPS = [
+    _op_autocontrast,
+    _op_color,
+    _op_contrast,
+    _op_brightness,
+    _op_sharpness,
+    _op_equalize,
+    _op_rotate,
+    _op_posterize,
+    _op_solarize,
+    _op_shear_x,
+    _op_shear_y,
+    _op_translate_x,
+    _op_translate_y,
+]
+
+
+def parse_augmix(spec: str):
+    """'augmix[-mM-wW-dD-aA-mstdS]' → (magnitude, width, depth, alpha,
+    mstd). timm defaults: m=3, w=3, d=-1 (random 1-3 per chain), a=1,
+    magnitude_std=inf (magnitude ~ U[0, m] per op). Blended mode ('-b...')
+    is timm's non-default approximation and is not implemented."""
+    if not spec.startswith("augmix"):
+        raise ValueError(f"not an AugMix spec: {spec!r}")
+    m, w, d, a, mstd = 3.0, 3, -1, 1.0, float("inf")
+    for part in spec.split("-")[1:]:
+        if part.startswith("mstd"):
+            mstd = float(part[4:])
+        elif part.startswith("m"):
+            m = float(part[1:])
+        elif part.startswith("w"):
+            w = int(part[1:])
+        elif part.startswith("d"):
+            d = int(part[1:])
+        elif part.startswith("a"):
+            a = float(part[1:])
+        elif part.startswith("b"):
+            raise ValueError(
+                "blended AugMix ('-b') is a non-default timm approximation; "
+                "use the exact mix (no '-b' in the spec)"
+            )
+    return m, w, d, a, mstd
+
+
+def make_augmix(spec: str = "augmix-m3-w3") -> Callable:
+    """fn(key, uint8_images) -> uint8_images with the AugMix policy
+    (arXiv:1912.02781 via timm): per image, `width` chains of `depth`
+    (or random 1-3) ops from the 13-op set — each at magnitude ~ U[0, m]
+    (or N(m, mstd)) with random sign for the signed ops — are mixed with
+    Dirichlet(alpha) weights, then blended with the original image by
+    m ~ Beta(alpha, alpha)."""
+    magnitude, width, depth, alpha, mstd = parse_augmix(spec)
+    max_depth = depth if depth > 0 else 3
+
+    def chain(key, imgf):
+        kd, key = jax.random.split(key)
+        d = (
+            jnp.asarray(depth, jnp.int32)
+            if depth > 0
+            else jax.random.randint(kd, (), 1, 4)
+        )
+
+        def body(i, carry):
+            out, key = carry
+            key, kop, km, ks = jax.random.split(key, 4)
+            op_idx = jax.random.randint(kop, (), 0, len(_AUGMIX_OPS))
+            if math.isinf(mstd):
+                m = jax.random.uniform(km, (), minval=0.0, maxval=magnitude)
+            elif mstd > 0:
+                m = jnp.clip(magnitude + mstd * jax.random.normal(km), 0.0, 10.0)
+            else:
+                m = jnp.asarray(magnitude, jnp.float32)
+            sign = jnp.where(jax.random.bernoulli(ks), 1.0, -1.0)
+            stepped = jax.lax.switch(op_idx, _AUGMIX_OPS, out, m, sign)
+            return jnp.where(i < d, stepped, out), key
+
+        out, _ = jax.lax.fori_loop(0, max_depth, body, (imgf, key))
+        return out
+
+    def apply_one(key, img):
+        imgf = img.astype(jnp.float32)
+        kw, kb, kc = jax.random.split(key, 3)
+        weights = jax.random.dirichlet(kw, jnp.full((width,), alpha))
+        blend_m = jax.random.beta(kb, alpha, alpha)
+        mixed = jnp.zeros_like(imgf)
+        for i in range(width):
+            mixed = mixed + weights[i] * chain(jax.random.fold_in(kc, i), imgf)
+        # timm truncates the mix to uint8 before PIL Image.blend
+        mixed = jnp.floor(jnp.clip(mixed, 0.0, 255.0))
+        out = imgf + blend_m * (mixed - imgf)
+        return jnp.clip(jnp.round(out), 0, 255).astype(img.dtype)
+
+    def fn(key, images):
+        keys = jax.random.split(key, images.shape[0])
+        return jax.vmap(apply_one)(keys, images)
+
+    return fn
+
+
+def make_auto_augment(spec: str, apply_prob: float = 0.5) -> Callable:
+    """Dispatch a timm --aa spec to the matching on-device policy:
+    'rand-...' → RandAugment, 'augmix...' → AugMix (the only families a
+    GipMed-adjacent recipe can reach; 'original'/'v0' AutoAugment policies
+    raise with that pointer)."""
+    if spec.startswith("augmix"):
+        return make_augmix(spec)
+    return make_rand_augment(spec, apply_prob=apply_prob)

@@ -66,19 +66,26 @@ def focal_loss(logits, labels, gamma: float = 2.0, alpha=None):
     return loss.mean()
 
 
-def jsd_cross_entropy(logits_clean, logits_aug1, logits_aug2, labels, alpha=12.0):
-    """timm JsdCrossEntropy for AugMix-style splits."""
-    ce = cross_entropy(logits_clean, labels)
-    probs = [
-        jax.nn.softmax(l) for l in (logits_clean, logits_aug1, logits_aug2)
-    ]
-    mix = jnp.clip(sum(probs) / 3.0, 1e-7, 1.0)
+def jsd_cross_entropy(logits, labels, num_splits=3, alpha=12.0,
+                      smoothing=0.0):
+    """timm JsdCrossEntropy (the AugMix --jsd-loss protocol,
+    timm_train.py:614-663): ``logits`` is the concatenation of
+    ``num_splits`` augmentation splits of the same B samples along the
+    batch axis (split 0 = clean). Smoothed CE on the clean split plus
+    alpha x the mean KL(p_i || mean-of-p) Jensen-Shannon consistency term
+    across all splits (torch: F.kl_div(logp_mixture, p_split,
+    reduction='batchmean'))."""
+    b = logits.shape[0] // num_splits
+    splits = [logits[i * b:(i + 1) * b] for i in range(num_splits)]
+    ce = cross_entropy(splits[0], labels[:b], smoothing)
+    probs = [jax.nn.softmax(l.astype(jnp.float32)) for l in splits]
+    mix = jnp.clip(sum(probs) / num_splits, 1e-7, 1.0)
     log_mix = jnp.log(mix)
     kl = sum(
         jnp.sum(p * (jnp.log(jnp.clip(p, 1e-7, 1.0)) - log_mix), axis=-1).mean()
         for p in probs
     )
-    return ce + alpha * kl / 3.0
+    return ce + alpha * kl / num_splits
 
 
 def cox_partial_likelihood(risk_scores, times, events):

@@ -114,6 +114,10 @@ def make_train_step(
             batch_stats=new_stats if new_stats is not None else state.batch_stats,
             ema_batch_stats=new_ema_stats,
         )
+        if logits.shape[0] != labels.shape[0]:
+            # --aug-splits concat batch (N*B logits, B labels): step
+            # metrics score the clean split, like the JSD loss's CE term
+            logits = logits[: labels.shape[0]]
         if labels.ndim == 2:
             # multi-target ('+'-joined, datasets.py:55-61): step metrics
             # report the FIRST target's head; -1 (unknown) labels masked
