@@ -505,3 +505,127 @@ def test_jsd_identical_splits_reduce_to_ce():
     assert float(jsd_cross_entropy(logits, labels, num_splits=3)) == pytest.approx(
         float(cross_entropy(jnp.asarray(one), labels)), abs=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# create_scheduler_v2 extras (train.py:883-887): SGDR cycles, k-decay,
+# warmup-prefix, LR noise, multistep, plateau
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_cycles_k_decay_match_timm_formula():
+    """timm CosineLRScheduler with cycles/k-decay/warmup-prefix: the traced
+    schedule must match a literal numpy replica of timm's _get_lr."""
+    import math
+
+    from tpuwsi.train.optim import OptimConfig, make_schedule
+
+    cfg = OptimConfig(
+        lr=1.0, sched="cosine", epochs=12, warmup_epochs=2, warmup_lr=0.01,
+        min_lr=0.05, steps_per_epoch=10, lr_cycle_mul=2.0,
+        lr_cycle_decay=0.7, lr_cycle_limit=3, lr_k_decay=1.5,
+        warmup_prefix=True,
+    )
+    sched = make_schedule(cfg, peak_lr=1.0)
+    warm_t, span = 20, 100.0  # decay span excludes warmup (prefix)
+
+    def timm_lr(t):
+        if t < warm_t:
+            return 0.01 + (1.0 - 0.01) * t / warm_t
+        t = t - warm_t
+        i = math.floor(math.log(1 - t / span * (1 - 2.0), 2.0))
+        t_i = 2.0 ** i * span
+        t_curr = t - (1 - 2.0 ** i) / (1 - 2.0) * span
+        if i >= 3:
+            return 0.05
+        lr_max = 1.0 * 0.7 ** i
+        return 0.05 + 0.5 * (lr_max - 0.05) * (
+            1 + math.cos(math.pi * t_curr ** 1.5 / t_i ** 1.5)
+        )
+
+    for t in [0, 5, 19, 20, 21, 60, 119, 120, 200, 350, 700]:
+        assert float(sched(t)) == pytest.approx(timm_lr(t), abs=1e-5), t
+
+
+def test_cosine_restart_jumps_back_up():
+    from tpuwsi.train.optim import OptimConfig, make_schedule
+
+    cfg = OptimConfig(lr=1.0, sched="cosine", epochs=4, warmup_epochs=0,
+                      min_lr=0.0, steps_per_epoch=10, lr_cycle_limit=2,
+                      lr_cycle_decay=0.5)
+    sched = make_schedule(cfg, 1.0)
+    # cycle 0 spans steps 0-40, cycle 1 restarts at 0.5 peak
+    assert float(sched(39)) < 0.05
+    assert float(sched(41)) == pytest.approx(0.5, abs=0.05)
+    # past cycle_limit: held at min_lr
+    assert float(sched(85)) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_lr_noise_bounded_ranged_deterministic():
+    from tpuwsi.train.optim import OptimConfig, make_schedule
+
+    kw = dict(lr=1.0, sched="constant", epochs=10, warmup_epochs=0,
+              steps_per_epoch=10, lr_noise=(0.2, 0.8), lr_noise_pct=0.3)
+    a = make_schedule(OptimConfig(**kw), 1.0)
+    b = make_schedule(OptimConfig(**kw), 1.0)
+    base = make_schedule(
+        OptimConfig(**{**kw, "lr_noise": None}), 1.0
+    )
+    deviated = 0
+    for t in range(0, 100, 10):  # one sample per epoch
+        la, lb, l0 = float(a(t)), float(b(t)), float(base(t))
+        assert la == pytest.approx(lb)  # seeded → deterministic
+        if 20 <= t < 80:
+            assert abs(la / l0 - 1.0) <= 0.3 + 1e-6  # |noise| <= pct
+            deviated += la != l0
+        else:
+            assert la == pytest.approx(l0)  # outside the range: exact
+    assert deviated >= 4
+    # noise is per-epoch, not per-step
+    assert float(a(25)) == pytest.approx(float(a(29)))
+
+
+def test_multistep_milestones():
+    from tpuwsi.train.optim import OptimConfig, make_schedule
+
+    cfg = OptimConfig(lr=1.0, sched="multistep", epochs=10, warmup_epochs=1,
+                      warmup_lr=0.0, decay_rate=0.1,
+                      decay_milestones=(3, 6), steps_per_epoch=10)
+    sched = make_schedule(cfg, 1.0)
+    assert float(sched(5)) == pytest.approx(0.5, abs=1e-6)  # warmup
+    assert float(sched(20)) == pytest.approx(1.0)
+    assert float(sched(35)) == pytest.approx(0.1)
+    assert float(sched(95)) == pytest.approx(0.01)
+
+
+def test_plateau_controller_and_scale_surgery():
+    """torch ReduceLROnPlateau semantics + the no-recompile scale slot:
+    the scale lives in opt_state and multiplies the final update."""
+    from tpuwsi.train.optim import (
+        OptimConfig, PlateauController, make_optimizer, set_plateau_scale,
+    )
+
+    c = PlateauController(factor=0.5, patience=1, mode="max")
+    assert c.step(0.7) is None          # first metric = best
+    assert c.step(0.8) is None          # improved
+    assert c.step(0.8) is None          # bad epoch 1 (rel-threshold)
+    assert c.step(0.79) == 0.5          # bad epoch 2 > patience → decay
+    assert c.step(0.9) is None          # new best resets
+    cmin = PlateauController(factor=0.5, patience=0, mode="min")
+    assert cmin.step(1.0) is None
+    assert cmin.step(1.0) == 0.5        # patience 0: decay on first stall
+
+    cfg = OptimConfig(opt="sgd", lr=1.0, sched="plateau", epochs=2,
+                      warmup_epochs=0, steps_per_epoch=10, momentum=0.0,
+                      weight_decay=0.0)
+    params = {"w": jnp.ones((4, 4))}
+    tx, _ = make_optimizer(cfg, params, global_batch_size=8)
+    st = tx.init(params)
+    grads = {"w": jnp.full((4, 4), 0.5)}
+    up1, _ = tx.update(grads, st, params)
+    st2 = set_plateau_scale(st, 0.25)
+    up2, _ = tx.update(grads, st2, params)
+    assert np.allclose(np.asarray(up2["w"]), np.asarray(up1["w"]) * 0.25)
+    # tree structure unchanged → no recompile of a jitted step
+    assert (jax.tree_util.tree_structure(st)
+            == jax.tree_util.tree_structure(st2))

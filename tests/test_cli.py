@@ -530,6 +530,36 @@ def test_cli_aug_repeats(patch_folder, tmp_path):
     assert int(state.step) == 1
 
 
+def test_cli_plateau_scheduler_decays_on_stalled_metric(patch_folder, tmp_path):
+    """--sched plateau (timm PlateauLRScheduler): when the eval metric
+    stalls, the host controller decays the LR scale living in opt_state
+    (value surgery, no recompile). Bright-vs-dark folders saturate AUC at
+    1.0 after epoch 0, so patience 0 must decay from epoch 1 on."""
+    import jax
+
+    from tpuwsi.cli.train import main
+    from tpuwsi.train.optim import PlateauScaleState
+
+    state = main([
+        "--data-dir", patch_folder, "--model", "vit_tiny_patch16_224",
+        "--img-size", "32", "-b", "8", "--epochs", "3",
+        "--max-steps-per-epoch", "1", "--warmup-epochs", "0",
+        "--transform_type", "timm", "--output", str(tmp_path / "runs"),
+        "--eval_rate", "1", "--val-split", "0.25",
+        "--sched", "plateau", "--patience-epochs", "0",
+        "--decay-rate", "0.5", "--lr", "0.001",
+    ])
+    scales = [
+        s.scale for s in jax.tree_util.tree_leaves(
+            state.opt_state,
+            is_leaf=lambda x: isinstance(x, PlateauScaleState),
+        )
+        if isinstance(s, PlateauScaleState)
+    ]
+    assert len(scales) == 1
+    assert float(scales[0]) <= 0.5  # at least one decay fired
+
+
 def test_timm_train_alias_defaults(patch_folder, tmp_path):
     """cli/timm_train pins timm's own defaults (eval-metric top1, per-epoch
     validation) without overriding explicit flags."""

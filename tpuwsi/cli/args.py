@@ -63,10 +63,34 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--lr-base-scale", default="", type=str)
     parser.add_argument("--momentum", default=0.9, type=float)
     parser.add_argument("--weight-decay", default=2e-5, type=float)
-    parser.add_argument("--sched", default="cosine", type=str)
+    parser.add_argument("--sched", default="cosine", type=str,
+                        choices=["cosine", "step", "multistep", "plateau",
+                                 "constant", "none"])
     parser.add_argument("--decay-epochs", default=90, type=float,
                         help="epoch interval for the step scheduler "
                              "(timm --decay-epochs)")
+    parser.add_argument("--decay-milestones", default=None, type=float,
+                        nargs="+",
+                        help="multistep scheduler milestone epochs "
+                             "(timm --decay-milestones)")
+    parser.add_argument("--patience-epochs", default=10, type=int,
+                        help="plateau scheduler patience in eval epochs "
+                             "(timm --patience-epochs)")
+    parser.add_argument("--lr-cycle-mul", default=1.0, type=float,
+                        help="SGDR cycle length multiplier (timm)")
+    parser.add_argument("--lr-cycle-decay", default=0.5, type=float,
+                        help="SGDR per-cycle peak decay (timm)")
+    parser.add_argument("--lr-cycle-limit", default=1, type=int,
+                        help="SGDR cycle count, 0 = unlimited (timm)")
+    parser.add_argument("--lr-k-decay", default=1.0, type=float,
+                        help="cosine k-decay exponent (timm --lr-k-decay)")
+    parser.add_argument("--warmup-prefix", action="store_true",
+                        help="decay span starts after warmup (timm)")
+    parser.add_argument("--lr-noise", default=None, type=float, nargs="+",
+                        help="per-epoch LR noise range as epoch fractions "
+                             "or epochs (timm --lr-noise)")
+    parser.add_argument("--lr-noise-pct", default=0.67, type=float)
+    parser.add_argument("--lr-noise-std", default=1.0, type=float)
     parser.add_argument("--decay-rate", "--dr", default=0.1, type=float,
                         help="step scheduler decay factor (timm --decay-rate)")
     parser.add_argument("--warmup-epochs", default=5, type=int)

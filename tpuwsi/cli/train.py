@@ -337,6 +337,18 @@ def main(argv=None, default_overrides=None):
         steps_per_epoch=steps_per_epoch,
         decay_epochs=args.decay_epochs,
         decay_rate=args.decay_rate,
+        decay_milestones=(tuple(args.decay_milestones)
+                          if args.decay_milestones else None),
+        patience_epochs=args.patience_epochs,
+        lr_cycle_mul=args.lr_cycle_mul,
+        lr_cycle_decay=args.lr_cycle_decay,
+        lr_cycle_limit=args.lr_cycle_limit,
+        lr_k_decay=args.lr_k_decay,
+        warmup_prefix=args.warmup_prefix,
+        lr_noise=tuple(args.lr_noise) if args.lr_noise else None,
+        lr_noise_pct=args.lr_noise_pct,
+        lr_noise_std=args.lr_noise_std,
+        seed=args.seed,
         layer_decay=args.layer_decay,
         **_opt_extra_kwargs(args),
         # timm --start-epoch advances the scheduler to that epoch; resumed
@@ -347,6 +359,20 @@ def main(argv=None, default_overrides=None):
         ),
     )
     tx, schedule = make_optimizer(ocfg, params, global_batch)
+    plateau = None
+    if args.sched == "plateau":
+        # timm PlateauLRScheduler (train.py:883-887): host-side controller
+        # steps on the epoch eval metric; the cumulative scale lives in the
+        # optimizer state (value surgery, no recompile) and therefore rides
+        # checkpoints/resume with the rest of opt_state.
+        from tpuwsi.train.optim import PlateauController
+
+        plateau = PlateauController(
+            factor=args.decay_rate, patience=args.patience_epochs,
+            mode="min" if "loss" in args.eval_metric else "max",
+            min_scale=args.min_lr / max(ocfg.resolved_lr(global_batch),
+                                        1e-12),
+        )
     if args.no_grad:
         # --no-grad head-only finetuning (train.py:498-503)
         from tpuwsi.train.optim import freeze_non_head
@@ -837,6 +863,17 @@ def main(argv=None, default_overrides=None):
                         {f"eval_{k}": v for k, v in eval_metrics.items()},
                         step=int(state.step),
                     )
+                if (plateau is not None
+                        and eval_metrics.get(args.eval_metric) is not None):
+                    new_scale = plateau.step(
+                        float(eval_metrics[args.eval_metric])
+                    )
+                    if new_scale is not None:
+                        from tpuwsi.train.optim import set_plateau_scale
+
+                        state = state.replace(opt_state=set_plateau_scale(
+                            state.opt_state, new_scale))
+                        logging.info("plateau: LR scale -> %.4g", new_scale)
                 ckpt.save(int(state.step), state,
                           eval_metrics or {args.eval_metric: 0.0})
                 update_summary(epoch, train_metrics, eval_metrics, summary_path)

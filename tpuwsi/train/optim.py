@@ -10,7 +10,7 @@ schedules with linear warmup, and the DDP world-size LR scaling rule
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +54,28 @@ class OptimConfig:
     # timm --start-epoch on a FRESH run: the schedule starts this many steps
     # in (resumed runs restore the optax counts from the checkpoint instead)
     schedule_offset_steps: int = 0
+    # timm create_scheduler_v2 extras (train.py:883-887 surface):
+    # SGDR cosine restarts: cycle i has length t*mul^i and peak lr*decay^i;
+    # cycles past cycle_limit hold min_lr (0 = unlimited cycles)
+    lr_cycle_mul: float = 1.0
+    lr_cycle_decay: float = 0.5
+    lr_cycle_limit: int = 1
+    # k-decay cosine exponent (arXiv:2004.05909): frac = t^k / T^k
+    lr_k_decay: float = 1.0
+    # timm --warmup-prefix: the decay span starts AFTER warmup instead of
+    # the warmup overriding the first warmup_steps of the decay curve
+    warmup_prefix: bool = False
+    # timm --lr-noise [start end]: per-epoch multiplicative LR noise inside
+    # the given range (fractions of total epochs when < 1, else epochs)
+    lr_noise: Optional[tuple] = None
+    lr_noise_pct: float = 0.67
+    lr_noise_std: float = 1.0
+    seed: int = 42
+    # timm --decay-milestones (multistep scheduler): LR × decay_rate at
+    # each milestone epoch
+    decay_milestones: Optional[tuple] = None
+    # timm --patience-epochs (plateau scheduler; see plateau_scale())
+    patience_epochs: int = 10
 
     def resolved_lr(self, global_batch_size: int) -> float:
         """train.py:569-581 world-size scaling."""
@@ -94,14 +116,138 @@ def make_schedule(cfg: OptimConfig, peak_lr: float) -> optax.Schedule:
             [sched, optax.constant_schedule(final)], [decay_total]
         )
 
+    def _noise(sched):
+        # timm --lr-noise (scheduler_v2 noise_range_t): per-EPOCH
+        # multiplicative noise lr*(1+n) inside [start, end) — fractions of
+        # total epochs when < 1, else epoch numbers. Uniform:
+        # n ~ U(-pct, pct); normal: n ~ N(0, std) redrawn until |n| < pct
+        # (timm's rejection loop). Seeded per epoch, like timm's
+        # Generator(seed + t) — deterministic and resume-stable.
+        if not cfg.lr_noise:
+            return sched
+        rng0 = jax.random.PRNGKey(cfg.seed)
+        bounds = [
+            n * cfg.epochs if n < 1.0 else n for n in tuple(cfg.lr_noise)
+        ]
+        if len(bounds) == 1:
+            bounds = [bounds[0], cfg.epochs]
+        t0, t1 = (b * cfg.steps_per_epoch for b in bounds)
+        pct, std = cfg.lr_noise_pct, cfg.lr_noise_std
+
+        def fn(count):
+            lr = sched(count)
+            epoch = jnp.asarray(count, jnp.int32) // cfg.steps_per_epoch
+            key = jax.random.fold_in(rng0, epoch)
+            if std > 0 and std != 1.0:
+                # normal variant: bounded rejection via while_loop
+                def cond(c):
+                    return jnp.abs(c[0]) >= pct
+
+                def draw(c):
+                    k = jax.random.split(c[1])[0]
+                    return jax.random.normal(k) * std, k
+
+                n, _ = jax.lax.while_loop(
+                    cond, draw, (jnp.asarray(pct, jnp.float32), key)
+                )
+            else:
+                n = (jax.random.uniform(key) * 2.0 - 1.0) * pct
+            in_range = (count >= t0) & (count < t1)
+            return jnp.where(in_range, lr * (1.0 + n), lr)
+
+        return fn
+
+    # timm-exact cosine with SGDR restarts / k-decay / warmup-prefix; only
+    # engaged when one of those extras is requested so the measured default
+    # path (optax warmup_cosine, pinned by the schedule tests and BENCH
+    # runs) is untouched.
+    cosine_extras = (
+        cfg.lr_cycle_mul != 1.0
+        or cfg.lr_cycle_decay != 0.5
+        or cfg.lr_cycle_limit != 1
+        or cfg.lr_k_decay != 1.0
+        or cfg.warmup_prefix
+    )
+    if cfg.sched == "cosine" and cosine_extras:
+        mul, decay = cfg.lr_cycle_mul, cfg.lr_cycle_decay
+        limit, k = cfg.lr_cycle_limit, cfg.lr_k_decay
+        span = float(
+            decay_total - warmup_steps if cfg.warmup_prefix else decay_total
+        )
+
+        def cosine_fn(count):
+            count = jnp.asarray(count, jnp.float32)
+            t = count - warmup_steps if cfg.warmup_prefix else count
+            if mul == 1.0:
+                ci = jnp.floor(t / span)
+                t_curr = t - ci * span
+                t_i = span
+            else:
+                # geometric cycle lengths span*mul^i (timm CosineLRScheduler)
+                ci = jnp.floor(
+                    jnp.log(jnp.maximum(1.0 - t / span * (1.0 - mul), 1e-9))
+                    / jnp.log(mul)
+                )
+                t_start = span * (1.0 - mul ** ci) / (1.0 - mul)
+                t_i = span * mul ** ci
+                t_curr = t - t_start
+            ci = jnp.maximum(ci, 0.0)
+            peak_i = peak_lr * decay ** ci
+            frac = (t_curr ** k) / (t_i ** k)
+            lr = cfg.min_lr + 0.5 * (peak_i - cfg.min_lr) * (
+                1.0 + jnp.cos(jnp.pi * jnp.clip(frac, 0.0, 1.0))
+            )
+            if limit > 0:
+                lr = jnp.where(ci < limit, lr, cfg.min_lr)
+            if warmup_steps:
+                warm = cfg.warmup_lr + (peak_lr - cfg.warmup_lr) * (
+                    count / warmup_steps
+                )
+                lr = jnp.where(count < warmup_steps, warm, lr)
+            return lr
+
+        return _noise(_offset(cosine_fn))
     if cfg.sched == "cosine":
-        return _offset(optax.warmup_cosine_decay_schedule(
+        return _noise(_offset(optax.warmup_cosine_decay_schedule(
             init_value=cfg.warmup_lr,
             peak_value=peak_lr,
             warmup_steps=warmup_steps,
             decay_steps=decay_total,
             end_value=cfg.min_lr,
-        ))
+        )))
+    if cfg.sched == "multistep":
+        # timm MultiStepLRScheduler (--decay-milestones): LR × decay_rate
+        # from each milestone epoch on (bisect_right semantics: the
+        # milestone epoch itself trains decayed)
+        ms = jnp.asarray(
+            sorted(int(m * cfg.steps_per_epoch)
+                   for m in (cfg.decay_milestones or (90, 180, 270)))
+        )
+
+        def multistep_fn(count):
+            n = jnp.sum(jnp.asarray(count) >= ms)
+            lr = peak_lr * cfg.decay_rate ** n
+            if warmup_steps:
+                warm = cfg.warmup_lr + (peak_lr - cfg.warmup_lr) * (
+                    jnp.asarray(count, jnp.float32) / warmup_steps
+                )
+                lr = jnp.where(count < warmup_steps, warm, lr)
+            return lr
+
+        return _noise(_offset(_cooldown(multistep_fn)))
+    if cfg.sched == "plateau":
+        # data-dependent decay lives in the optimizer state (see
+        # plateau_scale / PlateauController); the schedule itself is
+        # warmup → constant peak, and the controller's scale multiplies it
+        if warmup_steps:
+            return _offset(optax.join_schedules(
+                [
+                    optax.linear_schedule(cfg.warmup_lr, peak_lr, warmup_steps),
+                    optax.constant_schedule(peak_lr),
+                ],
+                [warmup_steps],
+            ))
+        return _offset(optax.constant_schedule(peak_lr))
     if cfg.sched == "step":
         sched = optax.exponential_decay(
             init_value=peak_lr,
@@ -112,18 +258,106 @@ def make_schedule(cfg: OptimConfig, peak_lr: float) -> optax.Schedule:
         if warmup_steps:
             warm = optax.linear_schedule(cfg.warmup_lr, peak_lr, warmup_steps)
             sched = optax.join_schedules([warm, sched], [warmup_steps])
-        return _offset(_cooldown(sched))
+        return _noise(_offset(_cooldown(sched)))
     if cfg.sched in ("none", "constant"):
         if warmup_steps:
-            return _offset(optax.join_schedules(
+            return _noise(_offset(optax.join_schedules(
                 [
                     optax.linear_schedule(cfg.warmup_lr, peak_lr, warmup_steps),
                     optax.constant_schedule(peak_lr),
                 ],
                 [warmup_steps],
-            ))
-        return _offset(optax.constant_schedule(peak_lr))
+            )))
+        return _noise(_offset(optax.constant_schedule(peak_lr)))
     raise ValueError(f"unknown schedule {cfg.sched!r}")
+
+
+class PlateauScaleState(NamedTuple):
+    """State slot for the --sched plateau LR scale (see plateau_scale)."""
+
+    scale: jnp.ndarray
+
+
+def plateau_scale() -> optax.GradientTransformation:
+    """LR-scale slot for ``--sched plateau`` (timm PlateauLRScheduler /
+    torch ReduceLROnPlateau, train.py:883-887 surface).
+
+    TPU-first design: the data-dependent decay cannot be a pure
+    step-count schedule, and rebuilding the optimizer would recompile the
+    step (~minutes through the remote-compile tunnel). Instead the scale
+    lives INSIDE the optimizer state as a traced scalar — the host
+    controller changes it with value-only pytree surgery
+    (``set_plateau_scale``), which never changes the compiled program."""
+
+    def init(params):
+        del params
+        return PlateauScaleState(scale=jnp.ones((), jnp.float32))
+
+    def update(updates, state, params=None):
+        del params
+        return (
+            jax.tree_util.tree_map(
+                lambda u: (u * state.scale).astype(u.dtype), updates
+            ),
+            state,
+        )
+
+    return optax.GradientTransformation(init, update)
+
+
+def set_plateau_scale(opt_state, scale: float):
+    """Replace the PlateauScaleState leaf in an optimizer-state tree
+    (host-side value surgery; the tree structure is unchanged, so the
+    jitted step does not recompile)."""
+
+    def repl(s):
+        if isinstance(s, PlateauScaleState):
+            return PlateauScaleState(scale=jnp.asarray(scale, jnp.float32))
+        return s
+
+    return jax.tree_util.tree_map(
+        repl, opt_state, is_leaf=lambda s: isinstance(s, PlateauScaleState)
+    )
+
+
+class PlateauController:
+    """Host-side ReduceLROnPlateau bookkeeping (torch defaults as timm
+    uses them: rel threshold 1e-4, patience in eval steps, factor =
+    decay_rate). ``step(metric)`` returns the new cumulative scale when the
+    LR should drop, else None. ``mode``: 'max' for accuracy-like metrics,
+    'min' for losses (timm: 'min' iff 'loss' in eval_metric)."""
+
+    def __init__(self, factor: float, patience: int, mode: str = "max",
+                 threshold: float = 1e-4, min_scale: float = 0.0):
+        self.factor = factor
+        self.patience = patience
+        self.mode = mode
+        self.threshold = threshold
+        self.min_scale = min_scale
+        self.best: Optional[float] = None
+        self.num_bad = 0
+        self.scale = 1.0
+
+    def _better(self, metric: float) -> bool:
+        if self.best is None:
+            return True
+        if self.mode == "max":
+            return metric > self.best * (1.0 + self.threshold)
+        return metric < self.best * (1.0 - self.threshold)
+
+    def step(self, metric: float) -> Optional[float]:
+        if self._better(metric):
+            self.best = metric
+            self.num_bad = 0
+            return None
+        self.num_bad += 1
+        if self.num_bad > self.patience:
+            self.num_bad = 0
+            new = max(self.scale * self.factor, self.min_scale)
+            if new < self.scale:
+                self.scale = new
+                return self.scale
+        return None
 
 
 def _clip_transform(cfg: OptimConfig) -> optax.GradientTransformation:
@@ -267,6 +501,8 @@ def make_optimizer(
             tx = optax.chain(
                 tx, scale_updates_by_layer_decay(params, cfg.layer_decay)
             )
+        if cfg.sched == "plateau":
+            tx = optax.chain(tx, plateau_scale())
         return tx, schedule
     if name in ("sgd", "momentum", "nesterov"):
         tx = optax.chain(
@@ -309,4 +545,6 @@ def make_optimizer(
         tx = optax.chain(
             tx, scale_updates_by_layer_decay(params, cfg.layer_decay)
         )
+    if cfg.sched == "plateau":
+        tx = optax.chain(tx, plateau_scale())
     return tx, schedule
