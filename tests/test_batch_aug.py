@@ -629,3 +629,28 @@ def test_plateau_controller_and_scale_surgery():
     # tree structure unchanged → no recompile of a jitted step
     assert (jax.tree_util.tree_structure(st)
             == jax.tree_util.tree_structure(st2))
+
+
+def test_tanh_and_poly_schedules_match_timm_formula():
+    import math
+
+    from tpuwsi.train.optim import OptimConfig, make_schedule
+
+    # tanh: lr = min + 0.5*(max-min)*(1 - tanh(-7*(1-tr) + 3*tr))
+    cfg = OptimConfig(lr=1.0, sched="tanh", epochs=10, warmup_epochs=1,
+                      warmup_lr=0.0, min_lr=0.01, steps_per_epoch=10)
+    sched = make_schedule(cfg, 1.0)
+    for t in [0, 5, 10, 30, 50, 99]:
+        if t < 10:
+            want = t / 10.0
+        else:
+            tr = t / 100.0
+            want = 0.01 + 0.5 * 0.99 * (1 - math.tanh(-7 * (1 - tr) + 3 * tr))
+        assert float(sched(t)) == pytest.approx(want, abs=1e-5), t
+    # poly: lr = min + (max-min)*(1 - tr)^power, power = decay_rate
+    cfgp = OptimConfig(lr=1.0, sched="poly", epochs=10, warmup_epochs=0,
+                       min_lr=0.0, decay_rate=2.0, steps_per_epoch=10)
+    sp = make_schedule(cfgp, 1.0)
+    for t in [0, 25, 50, 75, 100]:
+        want = (1 - t / 100.0) ** 2.0
+        assert float(sp(t)) == pytest.approx(want, abs=1e-5), t

@@ -213,3 +213,46 @@ def test_grad_checkpointing_matches_plain():
     np.testing.assert_allclose(
         np.asarray(flat0), np.asarray(flat1), rtol=5e-4, atol=1e-5
     )
+
+
+def test_bn_momentum_torch_semantics_and_registry_conversion():
+    """--bn-momentum is torch-convention (torchvision/timm default 0.1):
+    running stats move by (1 - flax_momentum) * batch_stat per step, so a
+    5x larger torch momentum must move them ~5x further; the registry
+    converts torch -> flax complement and threads --bn-eps through."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuwsi.models.registry import create_model
+    from tpuwsi.models.resnet_trunc import ResNetTruncBaseline
+
+    m = create_model("resnet50", num_classes=2, bn_momentum=0.25, bn_eps=2e-5)
+    assert m.bn_momentum == 0.75 and m.bn_eps == 2e-5
+    assert create_model("resnet50", num_classes=2).bn_momentum == 0.9
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 32, 32, 3)), jnp.float32
+    )
+
+    def delta(flax_momentum):
+        mod = ResNetTruncBaseline(stage_sizes=(1,), num_classes=0,
+                                  bn_momentum=flax_momentum)
+        v = mod.init(jax.random.PRNGKey(0), x)
+        _, mut = mod.apply(v, x, train=True, mutable=["batch_stats"])
+        return np.concatenate([
+            np.ravel(np.asarray(l)) for l in jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(
+                    lambda new, old: new - old,
+                    mut["batch_stats"], v["batch_stats"],
+                )
+            )
+        ])
+
+    d_torch01 = delta(0.9)   # torch momentum 0.1
+    d_torch05 = delta(0.5)   # torch momentum 0.5
+    moved = np.abs(d_torch01) > 1e-6
+    assert moved.any()
+    np.testing.assert_allclose(
+        d_torch05[moved] / d_torch01[moved], 5.0, rtol=1e-3
+    )

@@ -64,8 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--momentum", default=0.9, type=float)
     parser.add_argument("--weight-decay", default=2e-5, type=float)
     parser.add_argument("--sched", default="cosine", type=str,
-                        choices=["cosine", "step", "multistep", "plateau",
-                                 "constant", "none"])
+                        choices=["cosine", "tanh", "step", "multistep",
+                                 "plateau", "poly", "constant", "none"])
     parser.add_argument("--decay-epochs", default=90, type=float,
                         help="epoch interval for the step scheduler "
                              "(timm --decay-epochs)")
@@ -229,6 +229,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--std", default=None, type=float, nargs="+",
                         help="normalization std override (3 floats)")
     # timm folder-mode batch augmentations (timm_train.py:238-271)
+    parser.add_argument("--bn-momentum", default=None, type=float,
+                        help="BatchNorm momentum, torch convention "
+                             "(timm --bn-momentum; default 0.1)")
+    parser.add_argument("--bn-eps", default=None, type=float,
+                        help="BatchNorm epsilon (timm --bn-eps)")
     parser.add_argument("--aa", default=None, type=str,
                         help="auto-augment spec, e.g. rand-m9-mstd0.5 or "
                              "augmix-m3-w3")

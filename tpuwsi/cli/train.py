@@ -298,6 +298,8 @@ def main(argv=None, default_overrides=None):
         img_size=img_size,
         use_pallas_attention=on_tpu,
         grad_checkpointing=args.grad_checkpointing,
+        bn_momentum=args.bn_momentum,
+        bn_eps=args.bn_eps,
     )
     variables = model.init(
         jax.random.PRNGKey(args.seed),

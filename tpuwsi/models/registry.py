@@ -55,6 +55,8 @@ def create_model(
     dtype=jnp.bfloat16,
     use_pallas_attention: bool = True,
     grad_checkpointing: bool = False,
+    bn_momentum=None,
+    bn_eps=None,
 ) -> VisionTransformer:
     """Build a ViT by timm-style name (or 'resnet50_trunc').
 
@@ -74,8 +76,15 @@ def create_model(
         # ignored (as in torchvision's resnet50).
         from tpuwsi.models.resnet_trunc import resnet50
 
-        return resnet50(num_classes=num_classes, drop_rate=drop_rate,
-                        remat_blocks=grad_checkpointing, dtype=dtype)
+        # --bn-momentum arrives in TORCH convention (timm/torchvision
+        # default 0.1); flax EMA momentum is its complement
+        return resnet50(
+            num_classes=num_classes, drop_rate=drop_rate,
+            remat_blocks=grad_checkpointing,
+            bn_momentum=1.0 - bn_momentum if bn_momentum is not None else 0.9,
+            bn_eps=bn_eps if bn_eps is not None else 1e-5,
+            dtype=dtype,
+        )
     cfg = parse_model_name(name)
     import dataclasses
 

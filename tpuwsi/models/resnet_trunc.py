@@ -22,13 +22,19 @@ class BottleneckBaseline(nn.Module):
     features: int  # bottleneck width; output is 4*features
     strides: int = 1
     downsample: bool = False
+    # flax-convention EMA momentum: 0.9 == torch BatchNorm momentum 0.1
+    # (torch: ra = (1-m)*ra + m*batch; flax: ra = m*ra + (1-m)*batch) —
+    # the torchvision/timm default, NOT flax's 0.99
+    bn_momentum: float = 0.9
+    bn_eps: float = 1e-5
     dtype: object = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
-        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
+                         epsilon=self.bn_eps, dtype=jnp.float32)(y)
         y = nn.relu(y)
         y = nn.Conv(
             self.features,
@@ -38,10 +44,12 @@ class BottleneckBaseline(nn.Module):
             use_bias=False,
             dtype=self.dtype,
         )(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
+                         epsilon=self.bn_eps, dtype=jnp.float32)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
+                         epsilon=self.bn_eps, dtype=jnp.float32)(y)
         if self.downsample:
             residual = nn.Conv(
                 self.features * 4,
@@ -53,6 +61,8 @@ class BottleneckBaseline(nn.Module):
             )(x)
             residual = nn.BatchNorm(
                 use_running_average=not train,
+                momentum=self.bn_momentum,
+                epsilon=self.bn_eps,
                 dtype=jnp.float32,
                 name="downsample_bn",
             )(residual)
@@ -77,6 +87,10 @@ class ResNetTruncBaseline(nn.Module):
     # rematerialize each bottleneck block in the backward (timm
     # set_grad_checkpointing, train.py:146,540)
     remat_blocks: bool = False
+    # timm --bn-momentum/--bn-eps (flax momentum convention; 0.9 == torch
+    # default 0.1 — see BottleneckBaseline)
+    bn_momentum: float = 0.9
+    bn_eps: float = 1e-5
     dtype: object = jnp.bfloat16
 
     @nn.compact
@@ -95,7 +109,8 @@ class ResNetTruncBaseline(nn.Module):
             name="conv1",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, dtype=jnp.float32, name="bn1"
+            use_running_average=not train, momentum=self.bn_momentum,
+            epsilon=self.bn_eps, dtype=jnp.float32, name="bn1"
         )(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -112,6 +127,8 @@ class ResNetTruncBaseline(nn.Module):
                     features=width,
                     strides=strides,
                     downsample=(block == 0),
+                    bn_momentum=self.bn_momentum,
+                    bn_eps=self.bn_eps,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{block}",
                 )(x, train)
@@ -125,14 +142,16 @@ class ResNetTruncBaseline(nn.Module):
 
 
 def resnet50(num_classes: int = 2, drop_rate: float = 0.0,
-             remat_blocks: bool = False, dtype=jnp.bfloat16):
+             remat_blocks: bool = False, bn_momentum: float = 0.9,
+             bn_eps: float = 1e-5, dtype=jnp.bfloat16):
     """Full trainable ResNet-50 classifier (timm/torchvision geometry:
     stages 3-4-6-3, 2048-dim pool, pre-fc dropout, Dense head). Torch
     weights import via ``convert.torch_resnet_trunc_to_flax`` (which maps
     layer4 + fc when the target tree has them)."""
     return ResNetTruncBaseline(
         stage_sizes=(3, 4, 6, 3), num_classes=num_classes,
-        drop_rate=drop_rate, remat_blocks=remat_blocks, dtype=dtype
+        drop_rate=drop_rate, remat_blocks=remat_blocks,
+        bn_momentum=bn_momentum, bn_eps=bn_eps, dtype=dtype
     )
 
 

@@ -2,9 +2,11 @@
 
 Parity: timm ``create_optimizer_v2`` / ``create_scheduler_v2`` as used at
 train.py:583, 883-887 — sgd/momentum/adam/adamw/lamb/lars/rmsprop selection,
-weight decay with no-decay for 1-D params (norms/biases), cosine/step/tanh
-schedules with linear warmup, and the DDP world-size LR scaling rule
-(train.py:569-581: linear ``lr = base_lr * batch * world / 512`` or sqrt).
+weight decay with no-decay for 1-D params (norms/biases), the full timm
+scheduler family (cosine incl. SGDR cycles/k-decay/warmup-prefix, tanh,
+step, multistep, plateau, poly, constant; per-epoch LR noise) with linear
+warmup, and the DDP world-size LR scaling rule (train.py:569-581: linear
+``lr = base_lr * batch * world / 512`` or sqrt).
 """
 
 from __future__ import annotations
@@ -215,6 +217,34 @@ def make_schedule(cfg: OptimConfig, peak_lr: float) -> optax.Schedule:
             decay_steps=decay_total,
             end_value=cfg.min_lr,
         )))
+    if cfg.sched in ("tanh", "poly"):
+        # timm TanhLRScheduler (lb=-7, ub=3 defaults) and PolyLRScheduler
+        # (power = --decay-rate, with k-decay), single cycle + warmup
+        span = float(
+            decay_total - warmup_steps if cfg.warmup_prefix else decay_total
+        )
+        k = cfg.lr_k_decay
+
+        def hump_fn(count, _tanh=cfg.sched == "tanh"):
+            count = jnp.asarray(count, jnp.float32)
+            t = count - warmup_steps if cfg.warmup_prefix else count
+            tr = jnp.clip((t ** k) / (span ** k), 0.0, 1.0)
+            if _tanh:
+                lr = cfg.min_lr + 0.5 * (peak_lr - cfg.min_lr) * (
+                    1.0 - jnp.tanh(-7.0 * (1.0 - tr) + 3.0 * tr)
+                )
+            else:
+                lr = cfg.min_lr + (peak_lr - cfg.min_lr) * (
+                    (1.0 - tr) ** cfg.decay_rate
+                )
+            if warmup_steps:
+                warm = cfg.warmup_lr + (peak_lr - cfg.warmup_lr) * (
+                    count / warmup_steps
+                )
+                lr = jnp.where(count < warmup_steps, warm, lr)
+            return lr
+
+        return _noise(_offset(hump_fn))
     if cfg.sched == "multistep":
         # timm MultiStepLRScheduler (--decay-milestones): LR × decay_rate
         # from each milestone epoch on (bisect_right semantics: the
