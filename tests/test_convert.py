@@ -238,3 +238,106 @@ def test_resnet50_classifier_conversion_golden():
     out = np.asarray(model.apply(variables, jnp.asarray(x)))
     assert out.shape == (2, 2)
     np.testing.assert_allclose(out, ref, atol=3e-4, rtol=1e-3)
+
+
+class _TorchBasicBlock(tnn.Module):
+    """torchvision BasicBlock (resnet18/34): two 3x3 convs, expansion 1."""
+
+    def __init__(self, inplanes, planes, stride=1, with_down=False):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inplanes, planes, 3, stride=stride,
+                                padding=1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.relu = tnn.ReLU()
+        self.downsample = None
+        if with_down:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(inplanes, planes, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(planes),
+            )
+
+    def forward(self, x):
+        idn = x if self.downsample is None else self.downsample(x)
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return self.relu(y + idn)
+
+
+class _TorchResNet18(tnn.Module):
+    def __init__(self, num_classes=2):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.relu = tnn.ReLU()
+        self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+
+        def make_layer(inplanes, planes, blocks, stride, with_down):
+            layers = [_TorchBasicBlock(inplanes, planes, stride, with_down)]
+            for _ in range(1, blocks):
+                layers.append(_TorchBasicBlock(planes, planes))
+            return tnn.Sequential(*layers)
+
+        # torchvision resnet18: layer1 has NO downsample (64→64, stride 1)
+        self.layer1 = make_layer(64, 64, 2, 1, False)
+        self.layer2 = make_layer(64, 128, 2, 2, True)
+        self.layer3 = make_layer(128, 256, 2, 2, True)
+        self.layer4 = make_layer(256, 512, 2, 2, True)
+        self.fc = tnn.Linear(512, num_classes)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        return self.fc(x.mean(dim=(2, 3)))
+
+
+def test_resnet18_basicblock_conversion_golden():
+    """BasicBlock family (resnet18/34): torch weights → flax, logits match —
+    pins the 2-conv block geometry, the no-downsample first stage, and the
+    geometry-following converter."""
+    import torch
+
+    from tpuwsi.models.convert import torch_resnet_trunc_to_flax
+    from tpuwsi.models.registry import create_model
+
+    torch.manual_seed(2)
+    tmodel = _TorchResNet18(num_classes=3).eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.6, 1.4)
+
+    model = create_model("resnet18", num_classes=3, dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    variables = torch_resnet_trunc_to_flax(tmodel.state_dict(), variables)
+    x = np.random.RandomState(2).rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    out = np.asarray(model.apply(variables, jnp.asarray(x)))
+    assert out.shape == (2, 3)
+    np.testing.assert_allclose(out, ref, atol=3e-4, rtol=1e-3)
+
+
+def test_resnet_family_geometry():
+    """Registry zoo breadth: every torchvision depth builds with the right
+    block taxonomy and feature width."""
+    import jax
+
+    from tpuwsi.models.registry import create_model
+
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    for name, width, n_params_min in (
+        ("resnet34", 512, 21_000_000),
+        ("resnet101", 2048, 42_000_000),
+    ):
+        m = create_model(name, num_classes=0, dtype=jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x)
+        feats = m.apply(v, x)
+        assert feats.shape == (1, width), name
+        n = sum(int(np.prod(p.shape))
+                for p in jax.tree_util.tree_leaves(v["params"]))
+        assert n > n_params_min, (name, n)

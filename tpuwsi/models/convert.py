@@ -169,16 +169,21 @@ def torch_resnet_trunc_to_flax(state_dict: Dict, variables):
     put_conv("conv1.weight", ("params", "conv1"))
     put_bn("bn1", "bn1", ())
 
-    # Stage count follows the TARGET tree: the 1024-dim trunk has layer1-3
-    # (layer4/fc in the state_dict are ignored); the full resnet50
-    # classifier (models.resnet_trunc.resnet50) has layer4 and a Dense fc.
-    stages = (3, 4, 6, 3) if ("params", "layer4_0", "Conv_0",
-                              "kernel") in flat else (3, 4, 6)
-    for stage, blocks in enumerate(stages, start=1):
-        for b in range(blocks):
+    # Geometry follows the TARGET tree: stages/blocks are whatever
+    # layer{s}_{b} entries exist (trunk = layer1-3, full classifiers =
+    # layer1-4 of any torchvision depth), and convs-per-block is read off
+    # the block (3 = Bottleneck resnet50/101/152, 2 = BasicBlock
+    # resnet18/34). Extra state_dict entries (e.g. layer4/fc for the
+    # trunk) are ignored.
+    stage = 1
+    while ("params", f"layer{stage}_0", "Conv_0", "kernel") in flat:
+        b = 0
+        while ("params", f"layer{stage}_{b}", "Conv_0", "kernel") in flat:
             t = f"layer{stage}.{b}"
             parent = (f"layer{stage}_{b}",)
-            for ci in range(3):
+            n_convs = 3 if ("params",) + parent + ("Conv_2",
+                                                   "kernel") in flat else 2
+            for ci in range(n_convs):
                 put_conv(f"{t}.conv{ci + 1}.weight",
                          ("params",) + parent + (f"Conv_{ci}",))
                 put_bn(f"{t}.bn{ci + 1}", f"BatchNorm_{ci}", parent)
@@ -186,6 +191,8 @@ def torch_resnet_trunc_to_flax(state_dict: Dict, variables):
                 put_conv(f"{t}.downsample.0.weight",
                          ("params",) + parent + ("downsample_conv",))
                 put_bn(f"{t}.downsample.1", "downsample_bn", parent)
+            b += 1
+        stage += 1
 
     if ("params", "fc", "kernel") in flat and "fc.weight" in sd:
         # torch Linear (O, I) → flax Dense (I, O); shape check in put()

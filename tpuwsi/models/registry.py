@@ -67,19 +67,19 @@ def create_model(
     """
     if name in ("resnet50_trunc", "resnet50_trunc_baseline"):
         return ResNetTruncBaseline(dtype=dtype)
-    if name == "resnet50":
-        # full trainable CNN classifier (train.py:482-495 create_model
-        # surface; the canonical non-ViT timm name). BatchNorm stats ride
+    if name in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152"):
+        # full trainable CNN classifier family (train.py:482-495
+        # create_model surface; torchvision geometry). BatchNorm stats ride
         # TrainState.batch_stats — the CLI loops detect them at init.
         # drop_rate → timm's pre-fc dropout; grad_checkpointing remats each
-        # bottleneck. drop_path_rate has no torchvision-resnet analog and is
-        # ignored (as in torchvision's resnet50).
-        from tpuwsi.models.resnet_trunc import resnet50
+        # block. drop_path_rate has no torchvision-resnet analog and is
+        # ignored (as in torchvision).
+        from tpuwsi.models.resnet_trunc import make_resnet
 
         # --bn-momentum arrives in TORCH convention (timm/torchvision
         # default 0.1); flax EMA momentum is its complement
-        return resnet50(
-            num_classes=num_classes, drop_rate=drop_rate,
+        return make_resnet(
+            name, num_classes=num_classes, drop_rate=drop_rate,
             remat_blocks=grad_checkpointing,
             bn_momentum=1.0 - bn_momentum if bn_momentum is not None else 0.9,
             bn_eps=bn_eps if bn_eps is not None else 1e-5,

@@ -69,6 +69,55 @@ class BottleneckBaseline(nn.Module):
         return nn.relu(y + residual)
 
 
+class BasicBlockBaseline(nn.Module):
+    """torchvision BasicBlock (resnet18/34): two 3x3 convs, expansion 1."""
+
+    features: int
+    strides: int = 1
+    downsample: bool = False
+    bn_momentum: float = 0.9
+    bn_eps: float = 1e-5
+    dtype: object = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = nn.Conv(
+            self.features,
+            (3, 3),
+            strides=(self.strides, self.strides),
+            padding=((1, 1), (1, 1)),
+            use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
+                         epsilon=self.bn_eps, dtype=jnp.float32)(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.features, (3, 3), padding=((1, 1), (1, 1)),
+            use_bias=False, dtype=self.dtype,
+        )(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
+                         epsilon=self.bn_eps, dtype=jnp.float32)(y)
+        if self.downsample:
+            residual = nn.Conv(
+                self.features,
+                (1, 1),
+                strides=(self.strides, self.strides),
+                use_bias=False,
+                dtype=self.dtype,
+                name="downsample_conv",
+            )(x)
+            residual = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=self.bn_momentum,
+                epsilon=self.bn_eps,
+                dtype=jnp.float32,
+                name="downsample_bn",
+            )(residual)
+        return nn.relu(y + residual)
+
+
 class ResNetTruncBaseline(nn.Module):
     """ResNet-50 stem + layers 1-3 + global average pool → 1024-dim.
 
@@ -81,6 +130,9 @@ class ResNetTruncBaseline(nn.Module):
     """
 
     stage_sizes: Sequence[int] = (3, 4, 6)  # layer1..layerN of ResNet-50
+    # 'bottleneck' (resnet50/101/152, expansion 4) or 'basic'
+    # (resnet18/34, expansion 1) — torchvision block taxonomy
+    block: str = "bottleneck"
     num_classes: int = 0  # 0 → feature trunk (no head)
     # timm resnet semantics: dropout on the pooled features before fc
     drop_rate: float = 0.0
@@ -116,17 +168,24 @@ class ResNetTruncBaseline(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         widths = (64, 128, 256, 512)
+        base = (BottleneckBaseline if self.block == "bottleneck"
+                else BasicBlockBaseline)
         BlockCls = (
-            nn.remat(BottleneckBaseline, static_argnums=(2,))
-            if self.remat_blocks else BottleneckBaseline
+            nn.remat(base, static_argnums=(2,)) if self.remat_blocks else base
         )
         for stage, (blocks, width) in enumerate(zip(self.stage_sizes, widths)):
             for block in range(blocks):
                 strides = 2 if stage > 0 and block == 0 else 1
+                # torchvision: a projection shortcut whenever the stride or
+                # channel count changes — for BasicBlock that means stage 0
+                # block 0 has NO downsample (64 in, 64 out, stride 1)
+                downsample = block == 0 and (
+                    stage > 0 or self.block == "bottleneck"
+                )
                 x = BlockCls(
                     features=width,
                     strides=strides,
-                    downsample=(block == 0),
+                    downsample=downsample,
                     bn_momentum=self.bn_momentum,
                     bn_eps=self.bn_eps,
                     dtype=self.dtype,
@@ -141,17 +200,41 @@ class ResNetTruncBaseline(nn.Module):
         return x
 
 
+# torchvision family geometry: name -> (stage_sizes, block type)
+RESNET_GEOMETRY = {
+    "resnet18": ((2, 2, 2, 2), "basic"),
+    "resnet34": ((3, 4, 6, 3), "basic"),
+    "resnet50": ((3, 4, 6, 3), "bottleneck"),
+    "resnet101": ((3, 4, 23, 3), "bottleneck"),
+    "resnet152": ((3, 8, 36, 3), "bottleneck"),
+}
+
+
+def make_resnet(name: str = "resnet50", num_classes: int = 2,
+                drop_rate: float = 0.0, remat_blocks: bool = False,
+                bn_momentum: float = 0.9, bn_eps: float = 1e-5,
+                dtype=jnp.bfloat16):
+    """Full trainable ResNet classifier family (timm/torchvision geometry:
+    global average pool, pre-fc dropout, Dense head; the reference trains
+    any timm model by name, train.py:482-495). Torch weights import via
+    ``convert.torch_resnet_trunc_to_flax`` (which follows the target
+    tree's stage/block geometry)."""
+    stage_sizes, block = RESNET_GEOMETRY[name]
+    return ResNetTruncBaseline(
+        stage_sizes=stage_sizes, block=block, num_classes=num_classes,
+        drop_rate=drop_rate, remat_blocks=remat_blocks,
+        bn_momentum=bn_momentum, bn_eps=bn_eps, dtype=dtype
+    )
+
+
 def resnet50(num_classes: int = 2, drop_rate: float = 0.0,
              remat_blocks: bool = False, bn_momentum: float = 0.9,
              bn_eps: float = 1e-5, dtype=jnp.bfloat16):
-    """Full trainable ResNet-50 classifier (timm/torchvision geometry:
-    stages 3-4-6-3, 2048-dim pool, pre-fc dropout, Dense head). Torch
-    weights import via ``convert.torch_resnet_trunc_to_flax`` (which maps
-    layer4 + fc when the target tree has them)."""
-    return ResNetTruncBaseline(
-        stage_sizes=(3, 4, 6, 3), num_classes=num_classes,
-        drop_rate=drop_rate, remat_blocks=remat_blocks,
-        bn_momentum=bn_momentum, bn_eps=bn_eps, dtype=dtype
+    """Full trainable ResNet-50 classifier (see make_resnet)."""
+    return make_resnet(
+        "resnet50", num_classes=num_classes, drop_rate=drop_rate,
+        remat_blocks=remat_blocks, bn_momentum=bn_momentum, bn_eps=bn_eps,
+        dtype=dtype,
     )
 
 
