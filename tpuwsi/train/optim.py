@@ -121,10 +121,12 @@ def make_schedule(cfg: OptimConfig, peak_lr: float) -> optax.Schedule:
     def _noise(sched):
         # timm --lr-noise (scheduler_v2 noise_range_t): per-EPOCH
         # multiplicative noise lr*(1+n) inside [start, end) — fractions of
-        # total epochs when < 1, else epoch numbers. Uniform:
-        # n ~ U(-pct, pct); normal: n ~ N(0, std) redrawn until |n| < pct
-        # (timm's rejection loop). Seeded per epoch, like timm's
-        # Generator(seed + t) — deterministic and resume-stable.
+        # total epochs when < 1, else epoch numbers. timm's default (and
+        # only flag-reachable) noise_type is 'normal': n ~ N(0, std)
+        # redrawn until |n| < pct (rejection loop); std == 0 degrades to
+        # uniform n ~ U(-pct, pct) here instead of timm's always-zero
+        # noise. Seeded per epoch, like timm's Generator(seed + t) —
+        # deterministic and resume-stable.
         if not cfg.lr_noise:
             return sched
         rng0 = jax.random.PRNGKey(cfg.seed)
@@ -140,8 +142,8 @@ def make_schedule(cfg: OptimConfig, peak_lr: float) -> optax.Schedule:
             lr = sched(count)
             epoch = jnp.asarray(count, jnp.int32) // cfg.steps_per_epoch
             key = jax.random.fold_in(rng0, epoch)
-            if std > 0 and std != 1.0:
-                # normal variant: bounded rejection via while_loop
+            if std > 0:
+                # normal variant (timm default): rejection via while_loop
                 def cond(c):
                     return jnp.abs(c[0]) >= pct
 
