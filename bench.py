@@ -15,7 +15,11 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+from tpuwsi.core.compile import machine_cache_dir
+
+jax.config.update(
+    "jax_compilation_cache_dir", machine_cache_dir("/root/repo/.jax_cache")
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp

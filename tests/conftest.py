@@ -9,9 +9,23 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # XLA:CPU aborts the whole interpreter ("Fatal Python error: Aborted",
+    # rendezvous.cc termination timeout, default 40s) when the 8 virtual
+    # devices' threads reach a collective too far apart. On a 1-core CI
+    # host the pre-collective compute of a heavy step is SERIALIZED across
+    # the 8 device threads, so the last participant can trail the first by
+    # minutes — raise the terminate timeout (and quiet the stuck warning)
+    # rather than crash. Root-caused from test_cli_augmix_jsd_aug_splits
+    # aborting at nproc=1 (round 4).
+    flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300")
+os.environ["XLA_FLAGS"] = flags
+# Synchronous orbax saves in tests: async checkpointing's background threads
+# outliving a test were the other teardown-crash suspect (see
+# train/checkpoint.py).
+os.environ.setdefault("TPUWSI_SYNC_CKPT", "1")
 
 import jax  # noqa: E402
 

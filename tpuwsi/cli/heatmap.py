@@ -77,7 +77,7 @@ def main(argv=None):
     from tpuwsi.infer.pipeline import pipelined_fetch
     from tpuwsi.models.registry import create_model
     from tpuwsi.preprocess import make_recipe
-    from tpuwsi.train.checkpoint import CheckpointManager
+    from tpuwsi.train.checkpoint import load_checkpoint
     from tpuwsi.train.state import TrainState
 
     args = build_parser().parse_args(argv)
@@ -107,7 +107,7 @@ def main(argv=None):
         # structure mismatch under StandardRestore — restore the raw tree
         # and take the weights (EMA copy when present, matching the
         # reference's EMA eval, train.py:947-956).
-        raw = CheckpointManager(args.checkpoint).restore()
+        raw = load_checkpoint(args.checkpoint)
         if raw is None:
             raise SystemExit(f"no checkpoint restorable from {args.checkpoint}")
         ema = raw.get("ema_params") if isinstance(raw, dict) else None

@@ -200,7 +200,7 @@ def main(argv=None):
         if eval_ds is not None else {}
     )
     ckpt.save(int(state.step), state, final or {"eval_auc": 0.0})
-    ckpt.wait()
+    ckpt.close()
     if final:
         logging.info("final eval: %s", final)
     if args.export_xlsx:

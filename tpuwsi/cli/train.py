@@ -28,7 +28,11 @@ from tpuwsi.infer.pipeline import pipelined_fetch
 
 
 def _setup_jax():
-    cache = os.environ.get("TPUWSI_COMPILE_CACHE", "/tmp/tpuwsi_jax_cache")
+    from tpuwsi.core.compile import machine_cache_dir
+
+    cache = machine_cache_dir(
+        os.environ.get("TPUWSI_COMPILE_CACHE", "/tmp/tpuwsi_jax_cache")
+    )
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -157,6 +161,7 @@ def main(argv=None, default_overrides=None):
         OptimConfig,
         compile_step,
         create_train_state,
+        load_checkpoint,
         make_eval_step,
         make_optimizer,
         make_train_step,
@@ -402,7 +407,7 @@ def main(argv=None, default_overrides=None):
     # only for --no-resume-opt, whose rebuilt schedule bakes the offset in)
     sched_count_offset = 0
     if args.resume:
-        restored = CheckpointManager(args.resume).restore(target=state)
+        restored = load_checkpoint(args.resume, target=state)
         if restored is not None:
             if args.no_resume_opt:
                 # timm --no-resume-opt (train.py:604-613): weights, EMA and
@@ -436,7 +441,7 @@ def main(argv=None, default_overrides=None):
     if warm and not args.resume:
         # --initial-checkpoint / -tl warm start (train.py:114-115, 386):
         # params only — fresh optimizer/schedule.
-        donor = CheckpointManager(warm).restore(target=state)
+        donor = load_checkpoint(warm, target=state)
         if donor is not None:
             # params AND BatchNorm running stats (timm load_checkpoint loads
             # running_mean/var with the weights — identity-init stats would
@@ -889,9 +894,9 @@ def main(argv=None, default_overrides=None):
         # graceful finish on Ctrl-C (train.py:979-980): fall through to
         # checkpoint finalization + tracker close with the last state
         logging.info("KeyboardInterrupt — finishing gracefully")
-    ckpt.wait()
+    ckpt.close()
     if ckpt_rec is not None:
-        ckpt_rec.wait()
+        ckpt_rec.close()
     tracker.finish()
     return state
 
@@ -1171,6 +1176,7 @@ def train_survival(args, output_dir, ledger, exp):
         CheckpointManager,
         OptimConfig,
         create_train_state,
+        load_checkpoint,
         make_optimizer,
     )
     from tpuwsi.train.survival import make_survival_train_step
@@ -1247,7 +1253,7 @@ def train_survival(args, output_dir, ledger, exp):
         if args.recovery_interval else None
     )
     if args.resume:
-        restored = CheckpointManager(args.resume).restore(target=state)
+        restored = load_checkpoint(args.resume, target=state)
         if restored is not None:
             state = restored
 
@@ -1355,9 +1361,9 @@ def train_survival(args, output_dir, ledger, exp):
                       eval_metrics or {metric_name: 0.0})
             update_summary(epoch, train_metrics, eval_metrics, summary_path)
             ledger.update(exp["Experiment"], **{"Last Epoch": epoch})
-    ckpt.wait()
+    ckpt.close()
     if ckpt_rec is not None:
-        ckpt_rec.wait()
+        ckpt_rec.close()
     return state
 
 
@@ -1538,7 +1544,7 @@ def train_ssl(args, output_dir):
                     )
             ckpt.save(int(state.step), state,
                       {"loss": float(metrics.get("loss", 0.0))})
-    ckpt.wait()
+    ckpt.close()
     return state
 
 

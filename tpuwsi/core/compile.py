@@ -10,9 +10,36 @@ tunneled TPU compiler).
 
 from __future__ import annotations
 
+import hashlib
 import logging
+import platform
 
 import jax
+
+
+def machine_cache_dir(base: str) -> str:
+    """``base`` suffixed with a fingerprint of this host's CPU.
+
+    The persistent compile cache stores XLA:CPU AOT executables specialized
+    to the COMPILE machine's feature set; jax's cache key does not include
+    host CPU features, so an entry written on one machine loads on another
+    ("Machine type used for XLA:CPU compilation doesn't match ... could
+    lead to execution errors such as SIGILL", cpu_aot_loader.cc — observed
+    round 4 when the CI host changed). Keying the directory by the CPU
+    flag set makes cross-machine reuse impossible while keeping same-host
+    reuse (including the tunneled-TPU executables, which dominate the
+    cache's value) intact.
+    """
+    fp = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    fp += " " + " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return f"{base}-{hashlib.sha256(fp.encode()).hexdigest()[:8]}"
 
 _SCHED_OPTS = {
     "xla_tpu_enable_latency_hiding_scheduler": "true",

@@ -17,7 +17,11 @@ from tpuwsi.train.metrics import (
 )
 from tpuwsi.train.state import TrainState, create_train_state
 from tpuwsi.train.supervised import compile_step, make_eval_step, make_train_step
-from tpuwsi.train.checkpoint import CheckpointManager, save_args_snapshot
+from tpuwsi.train.checkpoint import (
+    CheckpointManager,
+    load_checkpoint,
+    save_args_snapshot,
+)
 
 __all__ = [
     "LOSS_REGISTRY",
@@ -42,5 +46,6 @@ __all__ = [
     "make_eval_step",
     "make_train_step",
     "CheckpointManager",
+    "load_checkpoint",
     "save_args_snapshot",
 ]

@@ -41,7 +41,11 @@ class CheckpointManager:
                 (lambda m: m.get(metric_name, 0.0)) if rank_by_metric else None
             ),
             best_mode=mode,
-            enable_async_checkpointing=True,
+            # TPUWSI_SYNC_CKPT=1 forces synchronous saves (no orbax
+            # background threads) — set by tests/conftest.py: lingering
+            # async-checkpoint threads at interpreter teardown are the
+            # prime suspect for a rare fatal-on-exit test flake.
+            enable_async_checkpointing=not os.environ.get("TPUWSI_SYNC_CKPT"),
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
@@ -76,7 +80,29 @@ class CheckpointManager:
         self._mgr.wait_until_finished()
 
     def close(self):
-        self._mgr.close()
+        """Wait for in-flight saves and join orbax's background threads.
+
+        Idempotent. Every construction site should reach a close() — a
+        manager left open keeps non-daemon threads alive to interpreter
+        exit, where they race CPython finalization.
+        """
+        mgr, self._mgr = self._mgr, None
+        if mgr is not None:
+            mgr.close()
+
+
+def load_checkpoint(directory: str, target: Any = None,
+                    step: Optional[int] = None):
+    """One-shot restore: open a manager, restore, close it.
+
+    For resume/warm-start reads (cli/train.py) where the manager's
+    lifetime should not outlive the single restore call.
+    """
+    mgr = CheckpointManager(directory)
+    try:
+        return mgr.restore(step=step, target=target)
+    finally:
+        mgr.close()
 
 
 def save_args_snapshot(directory: str, args: dict):
