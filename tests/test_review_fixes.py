@@ -178,3 +178,21 @@ def test_transcode_cli_rejects_basename_collision(tmp_path, capsys):
                str(tmp_path / "b" / "s1.mrxs"),
                "--output", str(tmp_path / "out")])
     assert rc == 2
+
+
+def test_machine_cache_dir_keys_by_host_cpu(monkeypatch):
+    """Persistent compile-cache dirs must differ across hosts: jax's cache
+    key omits host CPU features, so cross-machine reuse loads XLA:CPU AOT
+    executables built for another machine (SIGILL risk; round-4 find)."""
+    from tpuwsi.core import compile as tc
+
+    d1 = tc.machine_cache_dir("/tmp/c")
+    assert d1.startswith("/tmp/c-") and len(d1) == len("/tmp/c-") + 8
+    # deterministic on the same host
+    assert tc.machine_cache_dir("/tmp/c") == d1
+
+    # a different CPU flag set must produce a different directory
+    real_machine = tc.platform.machine
+    monkeypatch.setattr(tc.platform, "machine",
+                        lambda: real_machine() + "-other")
+    assert tc.machine_cache_dir("/tmp/c") != d1
