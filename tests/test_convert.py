@@ -108,14 +108,16 @@ class _TorchBottleneck(tnn.Module):
     """torchvision-named bottleneck (conv1/bn1/conv2/bn2/conv3/bn3 +
     optional downsample Sequential) — reference forward for the golden test."""
 
-    def __init__(self, inplanes, planes, stride=1, with_down=False):
+    def __init__(self, inplanes, planes, stride=1, with_down=False,
+                 groups=1, base_width=64):
         super().__init__()
-        self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
-        self.bn1 = tnn.BatchNorm2d(planes)
-        self.conv2 = tnn.Conv2d(planes, planes, 3, stride=stride, padding=1,
-                                bias=False)
-        self.bn2 = tnn.BatchNorm2d(planes)
-        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        width = int(planes * base_width / 64.0) * groups
+        self.conv1 = tnn.Conv2d(inplanes, width, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width)
+        self.conv2 = tnn.Conv2d(width, width, 3, stride=stride, padding=1,
+                                groups=groups, bias=False)
+        self.bn2 = tnn.BatchNorm2d(width)
+        self.conv3 = tnn.Conv2d(width, planes * 4, 1, bias=False)
         self.bn3 = tnn.BatchNorm2d(planes * 4)
         self.relu = tnn.ReLU()
         self.downsample = None
@@ -341,3 +343,87 @@ def test_resnet_family_geometry():
         n = sum(int(np.prod(p.shape))
                 for p in jax.tree_util.tree_leaves(v["params"]))
         assert n > n_params_min, (name, n)
+
+
+class _TorchResNeXt50(tnn.Module):
+    """torchvision resnext50_32x4d replica (grouped 3x3 bottleneck convs,
+    width rule int(planes*4/64)*32) for the grouped-conv conversion golden."""
+
+    def __init__(self, num_classes=2, groups=32, base_width=4):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.relu = tnn.ReLU()
+        self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+
+        def make_layer(inplanes, planes, blocks, stride):
+            layers = [_TorchBottleneck(inplanes, planes, stride, True,
+                                       groups, base_width)]
+            for _ in range(1, blocks):
+                layers.append(_TorchBottleneck(planes * 4, planes,
+                                               groups=groups,
+                                               base_width=base_width))
+            return tnn.Sequential(*layers)
+
+        self.layer1 = make_layer(64, 64, 3, 1)
+        self.layer2 = make_layer(256, 128, 4, 2)
+        self.layer3 = make_layer(512, 256, 6, 2)
+        self.layer4 = make_layer(1024, 512, 3, 2)
+        self.fc = tnn.Linear(2048, num_classes)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        return self.fc(x.mean(dim=(2, 3)))
+
+
+def test_resnext_grouped_conversion_golden():
+    """resnext50_32x4d: grouped torch conv weights (O, I/g, kh, kw) map to
+    flax feature_group_count kernels (kh, kw, I/g, O) through the same
+    geometry-following converter; logits match."""
+    import torch
+
+    from tpuwsi.models.convert import torch_resnet_trunc_to_flax
+    from tpuwsi.models.registry import create_model
+
+    torch.manual_seed(2)
+    tmodel = _TorchResNeXt50(num_classes=2).eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.6, 1.4)
+
+    model = create_model("resnext50_32x4d", num_classes=2, dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    variables = torch_resnet_trunc_to_flax(tmodel.state_dict(), variables)
+    x = np.random.RandomState(2).rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    out = np.asarray(model.apply(variables, jnp.asarray(x)))
+    assert out.shape == (2, 2)
+    np.testing.assert_allclose(out, ref, atol=3e-4, rtol=1e-3)
+
+
+def test_wide_resnext_family_geometry():
+    """wide_resnet*_2 / resnext* registry breadth: torchvision param counts
+    (sans 1000-class fc) pin the width rule."""
+    import jax
+
+    from tpuwsi.models.registry import create_model
+
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    # torchvision totals minus the 1000-class fc (2048x1000 + 1000)
+    for name, n_backbone in (
+        ("wide_resnet50_2", 68_883_240 - 2_049_000),
+        ("resnext50_32x4d", 25_028_904 - 2_049_000),
+    ):
+        m = create_model(name, num_classes=0, dtype=jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x)
+        feats = m.apply(v, x)
+        assert feats.shape == (1, 2048), name
+        n = sum(int(np.prod(p.shape))
+                for p in jax.tree_util.tree_leaves(v["params"]))
+        assert n == n_backbone, (name, n, n_backbone)

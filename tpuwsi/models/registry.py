@@ -67,7 +67,9 @@ def create_model(
     """
     if name in ("resnet50_trunc", "resnet50_trunc_baseline"):
         return ResNetTruncBaseline(dtype=dtype)
-    if name in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152"):
+    if name in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
+                "wide_resnet50_2", "wide_resnet101_2",
+                "resnext50_32x4d", "resnext101_32x8d"):
         # full trainable CNN classifier family (train.py:482-495
         # create_model surface; torchvision geometry). BatchNorm stats ride
         # TrainState.batch_stats — the CLI loops detect them at init.

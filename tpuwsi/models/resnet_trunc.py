@@ -19,9 +19,15 @@ import jax.numpy as jnp
 
 
 class BottleneckBaseline(nn.Module):
-    features: int  # bottleneck width; output is 4*features
+    features: int  # bottleneck planes; output is 4*features
     strides: int = 1
     downsample: bool = False
+    # torchvision Bottleneck width rule: the two inner convs run at
+    # int(planes * base_width/64) * groups channels — base_width 128 is the
+    # wide_resnet*_2 family, (groups, base_width)=(32, 4|8) the resnext
+    # family; the 3x3 conv is grouped
+    groups: int = 1
+    base_width: int = 64
     # flax-convention EMA momentum: 0.9 == torch BatchNorm momentum 0.1
     # (torch: ra = (1-m)*ra + m*batch; flax: ra = m*ra + (1-m)*batch) —
     # the torchvision/timm default, NOT flax's 0.99
@@ -32,15 +38,17 @@ class BottleneckBaseline(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        width = int(self.features * self.base_width / 64.0) * self.groups
+        y = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
                          epsilon=self.bn_eps, dtype=jnp.float32)(y)
         y = nn.relu(y)
         y = nn.Conv(
-            self.features,
+            width,
             (3, 3),
             strides=(self.strides, self.strides),
             padding=((1, 1), (1, 1)),
+            feature_group_count=self.groups,
             use_bias=False,
             dtype=self.dtype,
         )(y)
@@ -143,6 +151,10 @@ class ResNetTruncBaseline(nn.Module):
     # default 0.1 — see BottleneckBaseline)
     bn_momentum: float = 0.9
     bn_eps: float = 1e-5
+    # torchvision Bottleneck width rule (wide_resnet*_2: base_width 128;
+    # resnext: groups 32) — see BottleneckBaseline
+    groups: int = 1
+    base_width: int = 64
     dtype: object = jnp.bfloat16
 
     @nn.compact
@@ -182,6 +194,10 @@ class ResNetTruncBaseline(nn.Module):
                 downsample = block == 0 and (
                     stage > 0 or self.block == "bottleneck"
                 )
+                kw = (
+                    {"groups": self.groups, "base_width": self.base_width}
+                    if self.block == "bottleneck" else {}
+                )
                 x = BlockCls(
                     features=width,
                     strides=strides,
@@ -190,6 +206,7 @@ class ResNetTruncBaseline(nn.Module):
                     bn_eps=self.bn_eps,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{block}",
+                    **kw,
                 )(x, train)
         x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool → (B, C)
         x = x.astype(jnp.float32)
@@ -200,13 +217,18 @@ class ResNetTruncBaseline(nn.Module):
         return x
 
 
-# torchvision family geometry: name -> (stage_sizes, block type)
+# torchvision family geometry: name -> (stage_sizes, block, groups,
+# base_width)
 RESNET_GEOMETRY = {
-    "resnet18": ((2, 2, 2, 2), "basic"),
-    "resnet34": ((3, 4, 6, 3), "basic"),
-    "resnet50": ((3, 4, 6, 3), "bottleneck"),
-    "resnet101": ((3, 4, 23, 3), "bottleneck"),
-    "resnet152": ((3, 8, 36, 3), "bottleneck"),
+    "resnet18": ((2, 2, 2, 2), "basic", 1, 64),
+    "resnet34": ((3, 4, 6, 3), "basic", 1, 64),
+    "resnet50": ((3, 4, 6, 3), "bottleneck", 1, 64),
+    "resnet101": ((3, 4, 23, 3), "bottleneck", 1, 64),
+    "resnet152": ((3, 8, 36, 3), "bottleneck", 1, 64),
+    "wide_resnet50_2": ((3, 4, 6, 3), "bottleneck", 1, 128),
+    "wide_resnet101_2": ((3, 4, 23, 3), "bottleneck", 1, 128),
+    "resnext50_32x4d": ((3, 4, 6, 3), "bottleneck", 32, 4),
+    "resnext101_32x8d": ((3, 4, 23, 3), "bottleneck", 32, 8),
 }
 
 
@@ -219,11 +241,12 @@ def make_resnet(name: str = "resnet50", num_classes: int = 2,
     any timm model by name, train.py:482-495). Torch weights import via
     ``convert.torch_resnet_trunc_to_flax`` (which follows the target
     tree's stage/block geometry)."""
-    stage_sizes, block = RESNET_GEOMETRY[name]
+    stage_sizes, block, groups, base_width = RESNET_GEOMETRY[name]
     return ResNetTruncBaseline(
         stage_sizes=stage_sizes, block=block, num_classes=num_classes,
         drop_rate=drop_rate, remat_blocks=remat_blocks,
-        bn_momentum=bn_momentum, bn_eps=bn_eps, dtype=dtype
+        bn_momentum=bn_momentum, bn_eps=bn_eps,
+        groups=groups, base_width=base_width, dtype=dtype
     )
 
 
