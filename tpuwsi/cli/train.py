@@ -30,6 +30,15 @@ from tpuwsi.infer.pipeline import pipelined_fetch
 def _setup_jax():
     from tpuwsi.core.compile import machine_cache_dir
 
+    if ("xla_force_host_platform_device_count"
+            in os.environ.get("XLA_FLAGS", "")
+            and os.cpu_count() and os.cpu_count() < 16):
+        # Virtual CPU meshes on few-core hosts deadlock XLA:CPU collectives
+        # unless the client pools hold a thread per device (see
+        # tests/conftest.py) — harmless on TPU, set before backend init.
+        os.environ.setdefault("NPROC", "16")
+        os.environ.setdefault("PJRT_NPROC", "16")
+
     cache = machine_cache_dir(
         os.environ.get("TPUWSI_COMPILE_CACHE", "/tmp/tpuwsi_jax_cache")
     )
