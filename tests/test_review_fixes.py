@@ -196,3 +196,135 @@ def test_machine_cache_dir_keys_by_host_cpu(monkeypatch):
     monkeypatch.setattr(tc.platform, "machine",
                         lambda: real_machine() + "-other")
     assert tc.machine_cache_dir("/tmp/c") != d1
+
+
+# ---- round-4 session-2 review finds --------------------------------------
+
+
+def test_plateau_scale_resume_roundtrip():
+    """get_plateau_scale reads back what set_plateau_scale wrote, so the
+    host PlateauController can re-sync on --resume (without it the first
+    post-resume decay RAISES the LR: 1.0*factor > restored scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuwsi.train.optim import (
+        OptimConfig,
+        get_plateau_scale,
+        make_optimizer,
+        set_plateau_scale,
+    )
+
+    params = {"w": jnp.ones((3, 3)), "b": jnp.zeros((3,))}
+    cfg = OptimConfig(opt="sgd", lr=1.0, sched="plateau", epochs=2,
+                      warmup_epochs=0, steps_per_epoch=4)
+    tx, _ = make_optimizer(cfg, params, global_batch_size=8)
+    st = tx.init(params)
+    assert get_plateau_scale(st) == 1.0
+    st = set_plateau_scale(st, 0.01)
+    assert get_plateau_scale(st) == 0.01
+    # non-plateau optimizer has no slot
+    tx2, _ = make_optimizer(
+        OptimConfig(opt="sgd", lr=1.0, sched="cosine", epochs=2,
+                    warmup_epochs=0, steps_per_epoch=4),
+        params, global_batch_size=8)
+    assert get_plateau_scale(tx2.init(params)) is None
+
+
+def test_lr_noise_window_honors_start_epoch_offset():
+    """--start-epoch advances the noise epoch/range with the schedule
+    (timm draws noise at the advanced epoch): _offset composes OUTSIDE
+    _noise."""
+    import numpy as np
+
+    from tpuwsi.train.optim import OptimConfig, make_schedule
+
+    kw = dict(opt="sgd", sched="constant", lr=1.0, epochs=10,
+              warmup_epochs=0, steps_per_epoch=10,
+              lr_noise=(0.2, 0.8), lr_noise_pct=0.3, lr_noise_std=0.5,
+              schedule_offset_steps=30)  # start at epoch 3
+    s = make_schedule(OptimConfig(**kw), 1.0)
+    # count 0 == effective epoch 3: inside [2, 8) -> noise applied
+    early = np.array([float(s(i)) for i in range(0, 10)])
+    assert not np.allclose(early, 1.0)
+    # count 60 == effective epoch 9: outside the range -> exact schedule
+    late = np.array([float(s(i)) for i in range(60, 70)])
+    np.testing.assert_allclose(late, 1.0)
+
+
+def test_aug_splits_jitter_salt_same_crop_independent_jitter():
+    """--aug-splits secondary splits: same crop/flip (shared primary
+    transform) but INDEPENDENT ColorJitter per split (timm AugMixDataset
+    applies the secondary stack per split)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuwsi.preprocess.timm_aug import make_timm_train_aug
+
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, (2, 48, 48, 3), dtype=np.uint8)
+    key = jax.random.PRNGKey(7)
+    kw = dict(scale=(0.4, 1.0), ratio=(1.0, 1.0), hflip=0.5, vflip=0.0)
+    b = np.asarray(make_timm_train_aug(32, color_jitter=0.4, jitter_salt=1,
+                                       **kw)(key, jnp.asarray(imgs)))
+    c = np.asarray(make_timm_train_aug(32, color_jitter=0.4, jitter_salt=2,
+                                       **kw)(key, jnp.asarray(imgs)))
+    # independent jitter: outputs differ
+    assert np.abs(b - c).max() > 1e-3
+    # shared crop/flip: per-image channel-mean maps are (approximately)
+    # per-image affine images of each other — correlation stays ~1; a
+    # different crop would decorrelate the spatial pattern
+    for i in range(2):
+        mb = b[i].mean(-1).ravel()
+        mc = c[i].mean(-1).ravel()
+        r = np.corrcoef(mb - mb.mean(), mc - mc.mean())[0, 1]
+        assert r > 0.995, r
+    d = np.asarray(make_timm_train_aug(32, color_jitter=0.4, jitter_salt=1,
+                                       **kw)(jax.random.PRNGKey(8),
+                                             jnp.asarray(imgs)))
+    r_diff = np.corrcoef(b[0].mean(-1).ravel(), d[0].mean(-1).ravel())[0, 1]
+    assert r_diff < 0.9, r_diff  # different key -> different crop
+
+
+def test_aug_splits_requires_jsd(tmp_path):
+    """--aug-splits without --jsd-loss exits cleanly instead of dying with
+    an opaque N*B-vs-B shape error at trace time (split-BN is a documented
+    non-goal)."""
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from tpuwsi.cli.train import main
+
+    rng = np.random.default_rng(0)
+    for cls, base in (("neg", 40), ("pos", 200)):
+        os.makedirs(tmp_path / "train" / cls)
+        for i in range(4):
+            arr = np.clip(rng.normal(base, 20, (32, 32, 3)),
+                          0, 255).astype(np.uint8)
+            Image.fromarray(arr).save(tmp_path / "train" / cls / f"{i}.png")
+
+    with pytest.raises(SystemExit, match="jsd"):
+        main([
+            "--data-dir", str(tmp_path / "train"),
+            "--model", "vit_tiny_patch16_224",
+            "--img-size", "32", "-b", "8", "--epochs", "1",
+            "--transform_type", "timm", "--output", str(tmp_path / "runs"),
+            "--aug-splits", "3",
+        ])
+
+
+def test_sync_ckpt_env_falsy_values(tmp_path, monkeypatch):
+    """TPUWSI_SYNC_CKPT=0/false re-enables async checkpointing (string
+    truthiness bug: 'not \"0\"' was False)."""
+    from tpuwsi.train.checkpoint import CheckpointManager
+
+    monkeypatch.setenv("TPUWSI_SYNC_CKPT", "0")
+    m = CheckpointManager(str(tmp_path / "a"))
+    assert m._mgr._options.enable_async_checkpointing
+    m.close()
+    monkeypatch.setenv("TPUWSI_SYNC_CKPT", "1")
+    m = CheckpointManager(str(tmp_path / "b"))
+    assert not m._mgr._options.enable_async_checkpointing
+    m.close()

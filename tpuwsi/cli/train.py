@@ -446,6 +446,15 @@ def main(argv=None, default_overrides=None):
             else:
                 state = restored
             logging.info("resumed from %s at step %d", args.resume, int(state.step))
+    if plateau is not None and args.resume and not args.no_resume_opt:
+        # re-sync the host controller with the checkpointed cumulative
+        # scale (torch ReduceLROnPlateau state_dict semantics); under
+        # --no-resume-opt the optimizer restarts fresh, scale included
+        from tpuwsi.train.optim import get_plateau_scale
+
+        restored_scale = get_plateau_scale(state.opt_state)
+        if restored_scale is not None:
+            plateau.scale = restored_scale
     warm = args.initial_checkpoint or args.transfer_learning
     if warm and not args.resume:
         # --initial-checkpoint / -tl warm start (train.py:114-115, 386):
@@ -526,16 +535,21 @@ def main(argv=None, default_overrides=None):
 
         # timm interpolation resolution (timm_train.py:778-780): the train
         # interpolation falls back to the model data-config (bicubic for
-        # ViT) when unset or under --no-aug
-        aug = make_timm_train_aug(
-            img_size, scale=args.scale, ratio=args.ratio,
-            hflip=args.hflip, vflip=args.vflip,
-            color_jitter=None if args.aa else args.color_jitter,
-            mean=args.mean, std=args.std,
-            interpolation=(args.train_interpolation
-                           or args.interpolation
-                           or _default_interp(args.model)),
-        )
+        # ViT) when unset or under --no-aug. One builder serves the main
+        # stack, the --aug-splits clean split and the per-split
+        # secondaries, so their geometry can never diverge.
+        def _build_timm_aug(color_jitter, jitter_salt=0):
+            return make_timm_train_aug(
+                img_size, scale=args.scale, ratio=args.ratio,
+                hflip=args.hflip, vflip=args.vflip,
+                color_jitter=color_jitter, jitter_salt=jitter_salt,
+                mean=args.mean, std=args.std,
+                interpolation=(args.train_interpolation
+                               or args.interpolation
+                               or _default_interp(args.model)),
+            )
+
+        aug = _build_timm_aug(None if args.aa else args.color_jitter)
     else:
         aug = make_recipe(
             args.transform_type, train=True, tile_size=img_size,
@@ -577,28 +591,33 @@ def main(argv=None, default_overrides=None):
         if args.mixup > 0 or args.cutmix > 0 or args.cutmix_minmax:
             raise SystemExit("--aug-splits with mixup/cutmix is not "
                              "supported; drop one of them")
-        from tpuwsi.preprocess.timm_aug import make_timm_train_aug
-
-        base_clean = make_timm_train_aug(
-            img_size, scale=args.scale, ratio=args.ratio,
-            hflip=args.hflip, vflip=args.vflip,
-            color_jitter=None,
-            mean=args.mean, std=args.std,
-            interpolation=(args.train_interpolation
-                           or args.interpolation
-                           or _default_interp(args.model)),
-        )
+        if not args.jsd_loss:
+            # timm trains splits without JSD only via --split-bn (a
+            # documented non-goal, PARITY.md); plain CE would see N*B
+            # logits vs B labels and die with an opaque trace-time error
+            raise SystemExit("--aug-splits needs --jsd-loss (the split-BN "
+                             "variant is a documented non-goal)")
+        # clean split: no ColorJitter/AA. Secondary splits: same crop/flip
+        # KEY (the primary transform is shared, AugMixDataset semantics)
+        # but per-split jitter salt — timm applies the secondary stack
+        # independently per split.
+        base_clean = _build_timm_aug(None)
+        secondaries = [
+            _build_timm_aug(None if args.aa else args.color_jitter,
+                            jitter_salt=s)
+            for s in range(1, args.aug_splits)
+        ]
         n_splits, resplit = args.aug_splits, args.resplit
 
         def aug(key, images, _aa=aa_fn, _re=re_fn, _clean=base_clean,
-                _sec=aug):
+                _secs=secondaries):
             kp, ks, ke = jax.random.split(key, 3)
             outs = []
             for s in range(n_splits):
                 x = images
                 if s > 0 and _aa is not None:
                     x = _aa(jax.random.fold_in(ks, s), x)
-                x = (_clean if s == 0 else _sec)(kp, x)
+                x = (_clean if s == 0 else _secs[s - 1])(kp, x)
                 if _re is not None and (s > 0 or not resplit):
                     x = _re(jax.random.fold_in(ke, s), x)
                 outs.append(x)

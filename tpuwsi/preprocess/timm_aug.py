@@ -52,11 +52,18 @@ def make_timm_train_aug(
     std: Optional[Sequence[float]] = None,
     norm_type: str = "Imagenet",
     interpolation: str = "bilinear",
+    jitter_salt: int = 0,
 ):
     """fn(key, images): uint8 (B, H, W, 3) -> normalized f32 (B, s, s, 3).
 
     ``interpolation``: 'bilinear' | 'bicubic' | 'random' (timm
-    --train-interpolation: per-image bicubic-vs-bilinear draw)."""
+    --train-interpolation: per-image bicubic-vs-bilinear draw).
+
+    ``jitter_salt``: folds into the ColorJitter key ONLY — two instances
+    with different salts given the same key draw identical crop/flip but
+    independent jitter. This is the --aug-splits secondary-split contract
+    (timm AugMixDataset: primary transform applied once, the secondary
+    stack independently per split)."""
     jit_params = (
         A.jitter_params(
             brightness=color_jitter, contrast=color_jitter,
@@ -71,6 +78,8 @@ def make_timm_train_aug(
 
     def per_image(key, img):
         kc, kh, kv, kj, ki = jax.random.split(key, 5)
+        if jitter_salt:
+            kj = jax.random.fold_in(kj, jitter_salt)
         v = random_resized_crop(
             kc, img, img_size, tuple(scale), tuple(ratio),
             method="bilinear" if interpolation == "random" else interpolation,

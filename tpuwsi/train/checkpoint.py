@@ -45,7 +45,8 @@ class CheckpointManager:
             # background threads) — set by tests/conftest.py: lingering
             # async-checkpoint threads at interpreter teardown are the
             # prime suspect for a rare fatal-on-exit test flake.
-            enable_async_checkpointing=not os.environ.get("TPUWSI_SYNC_CKPT"),
+            enable_async_checkpointing=os.environ.get(
+                "TPUWSI_SYNC_CKPT", "").lower() in ("", "0", "false"),
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 

@@ -119,6 +119,9 @@ def make_schedule(cfg: OptimConfig, peak_lr: float) -> optax.Schedule:
         )
 
     def _noise(sched):
+        # Composition rule: _offset(_noise(...)) — noise must see the
+        # OFFSET count so --start-epoch advances the noise epoch/range
+        # with the schedule (timm draws noise at the advanced epoch t).
         # timm --lr-noise (scheduler_v2 noise_range_t): per-EPOCH
         # multiplicative noise lr*(1+n) inside [start, end) — fractions of
         # total epochs when < 1, else epoch numbers. timm's default (and
@@ -210,9 +213,9 @@ def make_schedule(cfg: OptimConfig, peak_lr: float) -> optax.Schedule:
                 lr = jnp.where(count < warmup_steps, warm, lr)
             return lr
 
-        return _noise(_offset(cosine_fn))
+        return _offset(_noise(cosine_fn))
     if cfg.sched == "cosine":
-        return _noise(_offset(optax.warmup_cosine_decay_schedule(
+        return _offset(_noise(optax.warmup_cosine_decay_schedule(
             init_value=cfg.warmup_lr,
             peak_value=peak_lr,
             warmup_steps=warmup_steps,
@@ -246,7 +249,7 @@ def make_schedule(cfg: OptimConfig, peak_lr: float) -> optax.Schedule:
                 lr = jnp.where(count < warmup_steps, warm, lr)
             return lr
 
-        return _noise(_offset(hump_fn))
+        return _offset(_noise(hump_fn))
     if cfg.sched == "multistep":
         # timm MultiStepLRScheduler (--decay-milestones): LR × decay_rate
         # from each milestone epoch on (bisect_right semantics: the
@@ -266,7 +269,7 @@ def make_schedule(cfg: OptimConfig, peak_lr: float) -> optax.Schedule:
                 lr = jnp.where(count < warmup_steps, warm, lr)
             return lr
 
-        return _noise(_offset(_cooldown(multistep_fn)))
+        return _offset(_noise(_cooldown(multistep_fn)))
     if cfg.sched == "plateau":
         # data-dependent decay lives in the optimizer state (see
         # plateau_scale / PlateauController); the schedule itself is
@@ -290,17 +293,17 @@ def make_schedule(cfg: OptimConfig, peak_lr: float) -> optax.Schedule:
         if warmup_steps:
             warm = optax.linear_schedule(cfg.warmup_lr, peak_lr, warmup_steps)
             sched = optax.join_schedules([warm, sched], [warmup_steps])
-        return _noise(_offset(_cooldown(sched)))
+        return _offset(_noise(_cooldown(sched)))
     if cfg.sched in ("none", "constant"):
         if warmup_steps:
-            return _noise(_offset(optax.join_schedules(
+            return _offset(_noise(optax.join_schedules(
                 [
                     optax.linear_schedule(cfg.warmup_lr, peak_lr, warmup_steps),
                     optax.constant_schedule(peak_lr),
                 ],
                 [warmup_steps],
             )))
-        return _noise(_offset(optax.constant_schedule(peak_lr)))
+        return _offset(_noise(optax.constant_schedule(peak_lr)))
     raise ValueError(f"unknown schedule {cfg.sched!r}")
 
 
@@ -335,6 +338,25 @@ def plateau_scale() -> optax.GradientTransformation:
         )
 
     return optax.GradientTransformation(init, update)
+
+
+def get_plateau_scale(opt_state):
+    """Read the PlateauScaleState scale from an optimizer-state tree, or
+    None when the plateau slot is absent. Used on --resume to re-sync the
+    host-side PlateauController with the checkpointed cumulative scale
+    (otherwise the controller restarts at 1.0 and its first post-resume
+    decay RAISES the LR above the pre-restart value)."""
+    found = []
+
+    def visit(s):
+        if isinstance(s, PlateauScaleState):
+            found.append(float(s.scale))
+        return s
+
+    jax.tree_util.tree_map(
+        visit, opt_state, is_leaf=lambda s: isinstance(s, PlateauScaleState)
+    )
+    return found[0] if found else None
 
 
 def set_plateau_scale(opt_state, scale: float):
