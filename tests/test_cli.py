@@ -637,6 +637,18 @@ def test_pretrained_flag_errors_actionably(tmp_path):
               "--output", str(tmp_path / "out")])
 
 
+def test_drop_connect_alias_errors_actionably(tmp_path):
+    """--drop-connect (timm's deprecated alias) must refuse loudly with the
+    --drop-path pointer, never silently remap (PARITY.md non-goals)."""
+    import pytest as _pytest
+
+    from tpuwsi.cli.train import main
+
+    with _pytest.raises(SystemExit, match="drop-path"):
+        main(["--data-dir", str(tmp_path), "--drop-connect", "0.2",
+              "--epochs", "1", "--output", str(tmp_path / "out")])
+
+
 def test_pretrained_flag_errors_before_dispatch(tmp_path):
     """The --pretrained guard must fire for the --ssl and survival dispatch
     paths too, before any dataset work (review finding r3)."""
@@ -996,6 +1008,49 @@ def test_cli_trains_resnet50_with_batchnorm(tmp_path):
     assert int(state.step) == 2
     assert state.batch_stats is not None
     # BN running stats actually moved off their init (mean 0 / var 1)
+    import jax
+
+    means = [np.asarray(x) for x in jax.tree_util.tree_leaves(
+        state.batch_stats) if x.ndim == 1]
+    assert any(np.abs(m).max() > 1e-4 for m in means)
+
+
+def test_cli_trains_efficientnet_b0(tmp_path):
+    """create_model('efficientnet_b0') end-to-end through the shared CLI
+    loop: MBConv/SE/SiLU backbone, BN stats on TrainState.batch_stats,
+    per-block stochastic depth riding the step's dropout rng (reference
+    surface: create_model(args.model) at train.py:482-495 /
+    timm_train.py:357 with timm's flagship CNN family)."""
+    import numpy as np
+    from PIL import Image
+
+    from tpuwsi.cli.train import main
+
+    rng = np.random.default_rng(0)
+    for cls, base in (("neg", 40), ("pos", 200)):
+        os.makedirs(tmp_path / "data" / cls)
+        for i in range(8):
+            arr = np.clip(rng.normal(base, 20, (32, 32, 3)), 0, 255)
+            Image.fromarray(arr.astype(np.uint8)).save(
+                tmp_path / "data" / cls / f"{i}.png")
+    state = main([
+        "--data-dir", str(tmp_path / "data"),
+        "--model", "efficientnet_b0",
+        "--drop-path", "0.1",
+        "--img-size", "32",
+        "-b", "4",
+        "--epochs", "1",
+        "--max-steps-per-epoch", "2",
+        "--warmup-epochs", "0",
+        "--opt", "sgd",
+        "--lr", "1e-2",
+        "--transform_type", "flip",
+        "--output", str(tmp_path / "runs"),
+        "--eval_rate", "1",
+        "--val-split", "0.25",
+    ])
+    assert int(state.step) == 2
+    assert state.batch_stats is not None
     import jax
 
     means = [np.asarray(x) for x in jax.tree_util.tree_leaves(

@@ -427,3 +427,148 @@ def test_wide_resnext_family_geometry():
         n = sum(int(np.prod(p.shape))
                 for p in jax.tree_util.tree_leaves(v["params"]))
         assert n == n_backbone, (name, n, n_backbone)
+
+
+class _TorchSE(tnn.Module):
+    def __init__(self, chs, rd):
+        super().__init__()
+        self.conv_reduce = tnn.Conv2d(chs, rd, 1)
+        self.conv_expand = tnn.Conv2d(rd, chs, 1)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = tnn.functional.silu(self.conv_reduce(s))
+        return x * self.conv_expand(s).sigmoid()
+
+
+class _TorchDS(tnn.Module):
+    """timm DepthwiseSeparableConv (stage 0)."""
+
+    def __init__(self, in_chs, out_chs, k=3, stride=1):
+        super().__init__()
+        self.conv_dw = tnn.Conv2d(in_chs, in_chs, k, stride, k // 2,
+                                  groups=in_chs, bias=False)
+        self.bn1 = tnn.BatchNorm2d(in_chs)
+        self.se = _TorchSE(in_chs, max(1, int(in_chs * 0.25)))
+        self.conv_pw = tnn.Conv2d(in_chs, out_chs, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(out_chs)
+        self.has_res = stride == 1 and in_chs == out_chs
+
+    def forward(self, x):
+        sc = x
+        x = tnn.functional.silu(self.bn1(self.conv_dw(x)))
+        x = self.se(x)
+        x = self.bn2(self.conv_pw(x))
+        return x + sc if self.has_res else x
+
+
+class _TorchIR(tnn.Module):
+    """timm InvertedResidual (MBConv w/ SE)."""
+
+    def __init__(self, in_chs, out_chs, k=3, stride=1, exp=6):
+        super().__init__()
+        mid = in_chs * exp
+        self.conv_pw = tnn.Conv2d(in_chs, mid, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(mid)
+        self.conv_dw = tnn.Conv2d(mid, mid, k, stride, k // 2, groups=mid,
+                                  bias=False)
+        self.bn2 = tnn.BatchNorm2d(mid)
+        self.se = _TorchSE(mid, max(1, int(in_chs * 0.25)))
+        self.conv_pwl = tnn.Conv2d(mid, out_chs, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(out_chs)
+        self.has_res = stride == 1 and in_chs == out_chs
+
+    def forward(self, x):
+        sc = x
+        x = tnn.functional.silu(self.bn1(self.conv_pw(x)))
+        x = tnn.functional.silu(self.bn2(self.conv_dw(x)))
+        x = self.se(x)
+        x = self.bn3(self.conv_pwl(x))
+        return x + sc if self.has_res else x
+
+
+class _TorchEffNetB0(tnn.Module):
+    """timm efficientnet_b0 replica (state_dict-name-exact) for the golden."""
+
+    def __init__(self, num_classes=2):
+        super().__init__()
+        self.conv_stem = tnn.Conv2d(3, 32, 3, 2, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(32)
+        stages = []
+        cfg = [("ds", 1, 3, 1, 1, 16), ("ir", 2, 3, 2, 6, 24),
+               ("ir", 2, 5, 2, 6, 40), ("ir", 3, 3, 2, 6, 80),
+               ("ir", 3, 5, 1, 6, 112), ("ir", 4, 5, 2, 6, 192),
+               ("ir", 1, 3, 1, 6, 320)]
+        in_chs = 32
+        for btype, reps, k, stride, exp, out in cfg:
+            blocks = []
+            for r in range(reps):
+                s = stride if r == 0 else 1
+                if btype == "ds":
+                    blocks.append(_TorchDS(in_chs, out, k, s))
+                else:
+                    blocks.append(_TorchIR(in_chs, out, k, s, exp))
+                in_chs = out
+            stages.append(tnn.Sequential(*blocks))
+        self.blocks = tnn.Sequential(*stages)
+        self.conv_head = tnn.Conv2d(320, 1280, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(1280)
+        self.classifier = tnn.Linear(1280, num_classes)
+
+    def forward(self, x):
+        x = tnn.functional.silu(self.bn1(self.conv_stem(x)))
+        x = self.blocks(x)
+        x = tnn.functional.silu(self.bn2(self.conv_head(x)))
+        return self.classifier(x.mean((2, 3)))
+
+
+def test_efficientnet_b0_conversion_golden():
+    """timm efficientnet_b0: MBConv/SE/SiLU weights → flax, logits match
+    (depthwise kernels, SE 1x1s with bias, the DS-vs-IR key asymmetry and
+    the in_chs*0.25 SE reduction all pinned)."""
+    import torch
+
+    from tpuwsi.models.convert import torch_efficientnet_to_flax
+    from tpuwsi.models.registry import create_model
+
+    torch.manual_seed(3)
+    tmodel = _TorchEffNetB0(num_classes=2).eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.6, 1.4)
+
+    model = create_model("efficientnet_b0", num_classes=2, dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    variables = torch_efficientnet_to_flax(tmodel.state_dict(), variables)
+    x = np.random.RandomState(3).rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    out = np.asarray(model.apply(variables, jnp.asarray(x)))
+    assert out.shape == (2, 2)
+    np.testing.assert_allclose(out, ref, atol=3e-4, rtol=1e-3)
+
+
+def test_efficientnet_family_geometry():
+    """Compound scaling pins: param counts equal timm totals minus the
+    1000-class classifier."""
+    import jax
+
+    from tpuwsi.models.registry import create_model
+
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    for name, n_backbone, feats in (
+        ("efficientnet_b0", 5_288_548 - 1_281_000, 1280),
+        ("efficientnet_b2", 9_109_994 - 1_409_000, 1408),
+        ("efficientnet_b5", 30_389_784 - 2_049_000, 2048),
+    ):
+        m = create_model(name, num_classes=0, dtype=jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(v, x)
+        assert out.shape == (1, feats), name
+        n = sum(int(np.prod(p.shape))
+                for p in jax.tree_util.tree_leaves(v["params"]))
+        assert n == n_backbone, (name, n, n_backbone)

@@ -111,6 +111,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "threshold (timm --bce-target-thresh)")
     parser.add_argument("--drop", default=0.0, type=float)
     parser.add_argument("--drop-path", default=None, type=float)
+    parser.add_argument("--drop-connect", default=None, type=float,
+                        help="timm's deprecated alias for --drop-path — "
+                             "rejected with a pointer, not silently "
+                             "remapped (PARITY.md non-goals)")
     parser.add_argument("--grad-checkpointing", action="store_true",
                         default=False,
                         help="rematerialize transformer blocks in the "

@@ -191,6 +191,13 @@ def main(argv=None, default_overrides=None):
             "tpuwsi.models.convert (ViT + ResNet-50-trunc, golden-tested) "
             "and pass them via --initial-checkpoint."
         )
+    if args.drop_connect is not None:
+        # timm deprecation-warns and remaps; we refuse loudly instead so a
+        # migrated sbatch line can't half-work (PARITY.md non-goals).
+        raise SystemExit(
+            "--drop-connect is timm's deprecated alias — pass --drop-path "
+            "(ViT layer-drop / EfficientNet per-block stochastic depth)."
+        )
     _setup_jax()
     # multi-host init (reference: torchrun + init_distributed_device,
     # train.py:431, sbatch-ssl.sh:55) — no-op single-host

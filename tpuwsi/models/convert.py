@@ -201,3 +201,87 @@ def torch_resnet_trunc_to_flax(state_dict: Dict, variables):
         put(("params", "fc", "bias"), sd["fc.bias"])
 
     return flax.traverse_util.unflatten_dict(flat)
+
+
+def torch_efficientnet_to_flax(state_dict: Dict, variables):
+    """timm EfficientNet state_dict → flax variables (models/efficientnet).
+
+    Parity: the reference trains any timm model by name
+    (train.py:482-495); timm naming is conv_stem/bn1,
+    blocks.{stage}.{idx}.{conv_pw,bn1,conv_dw,bn2,se.conv_reduce,
+    se.conv_expand,conv_pwl,bn3} (InvertedResidual) or
+    {conv_dw,bn1,se.*,conv_pw,bn2} (DepthwiseSeparable, stage 0),
+    conv_head/bn2/classifier. Geometry follows the TARGET tree — any
+    width/depth variant converts. Depthwise torch kernels (C,1,k,k)
+    transpose to flax (k,k,1,C) with the same OIHW→HWIO rule.
+    """
+    import flax
+
+    sd = {k: _to_np(v) for k, v in state_dict.items()}
+    flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(variables))
+
+    def put(path, value):
+        if path not in flat:
+            raise KeyError(f"no target param at {'/'.join(path)}")
+        target = flat[path]
+        value = jnp.asarray(value, dtype=target.dtype)
+        if value.shape != target.shape:
+            raise ValueError(
+                f"shape mismatch at {'/'.join(path)}: "
+                f"{value.shape} vs {target.shape}"
+            )
+        flat[path] = value
+
+    def put_conv(torch_key, flax_path, bias=False):
+        put(flax_path + ("kernel",),
+            np.transpose(sd[torch_key + ".weight"], (2, 3, 1, 0)))
+        if bias:
+            put(flax_path + ("bias",), sd[torch_key + ".bias"])
+
+    def put_bn(torch_prefix, flax_name, parent):
+        put(("params",) + parent + (flax_name, "scale"),
+            sd[f"{torch_prefix}.weight"])
+        put(("params",) + parent + (flax_name, "bias"),
+            sd[f"{torch_prefix}.bias"])
+        put(("batch_stats",) + parent + (flax_name, "mean"),
+            sd[f"{torch_prefix}.running_mean"])
+        put(("batch_stats",) + parent + (flax_name, "var"),
+            sd[f"{torch_prefix}.running_var"])
+
+    put_conv("conv_stem", ("params", "conv_stem"))
+    put_bn("bn1", "bn1", ())
+
+    s = 0
+    while ("params", f"blocks_{s}_0", "conv_dw", "kernel") in flat:
+        b = 0
+        while ("params", f"blocks_{s}_{b}", "conv_dw", "kernel") in flat:
+            t = f"blocks.{s}.{b}"
+            parent = (f"blocks_{s}_{b}",)
+            ir = ("params",) + parent + ("conv_pwl", "kernel") in flat
+            if ir:  # InvertedResidual: pw-expand, dw, se, pwl
+                put_conv(f"{t}.conv_pw", ("params",) + parent + ("conv_pw",))
+                put_bn(f"{t}.bn1", "bn1", parent)
+                put_conv(f"{t}.conv_dw", ("params",) + parent + ("conv_dw",))
+                put_bn(f"{t}.bn2", "bn2", parent)
+                put_conv(f"{t}.conv_pwl", ("params",) + parent + ("conv_pwl",))
+                put_bn(f"{t}.bn3", "bn3", parent)
+            else:  # DepthwiseSeparable: dw, se, pw-project
+                put_conv(f"{t}.conv_dw", ("params",) + parent + ("conv_dw",))
+                put_bn(f"{t}.bn1", "bn1", parent)
+                put_conv(f"{t}.conv_pw", ("params",) + parent + ("conv_pw",))
+                put_bn(f"{t}.bn2", "bn2", parent)
+            put_conv(f"{t}.se.conv_reduce",
+                     ("params",) + parent + ("se", "conv_reduce"), bias=True)
+            put_conv(f"{t}.se.conv_expand",
+                     ("params",) + parent + ("se", "conv_expand"), bias=True)
+            b += 1
+        s += 1
+
+    put_conv("conv_head", ("params", "conv_head"))
+    put_bn("bn2", "bn2", ())
+    if ("params", "classifier", "kernel") in flat and "classifier.weight" in sd:
+        put(("params", "classifier", "kernel"),
+            np.transpose(sd["classifier.weight"]))
+        put(("params", "classifier", "bias"), sd["classifier.bias"])
+
+    return flax.traverse_util.unflatten_dict(flat)

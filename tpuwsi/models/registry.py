@@ -67,6 +67,22 @@ def create_model(
     """
     if name in ("resnet50_trunc", "resnet50_trunc_baseline"):
         return ResNetTruncBaseline(dtype=dtype)
+    if name.startswith("efficientnet_b"):
+        # timm's flagship CNN family (train.py:482-495 create_model
+        # surface): MBConv + SE + SiLU, compound width/depth scaling.
+        # BatchNorm stats ride TrainState.batch_stats like the resnets;
+        # drop_path is real per-block stochastic depth.
+        from tpuwsi.models.efficientnet import make_efficientnet
+
+        # --bn-momentum arrives in TORCH convention (timm default 0.1);
+        # flax EMA momentum is its complement
+        return make_efficientnet(
+            name, num_classes=num_classes, drop_rate=drop_rate,
+            drop_path_rate=drop_path_rate,
+            bn_momentum=1.0 - bn_momentum if bn_momentum is not None else 0.9,
+            bn_eps=bn_eps if bn_eps is not None else 1e-5,
+            remat_blocks=grad_checkpointing, dtype=dtype,
+        )
     if name in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
                 "wide_resnet50_2", "wide_resnet101_2",
                 "resnext50_32x4d", "resnext101_32x8d"):
