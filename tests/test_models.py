@@ -256,3 +256,19 @@ def test_bn_momentum_torch_semantics_and_registry_conversion():
     np.testing.assert_allclose(
         d_torch05[moved] / d_torch01[moved], 5.0, rtol=1e-3
     )
+
+
+def test_list_models_all_construct():
+    """Registry listing (timm list_models surface): every advertised name
+    constructs, and an unknown name errors with the list_models pointer."""
+    import pytest
+
+    from tpuwsi.models.registry import create_model, list_models
+
+    names = list_models()
+    assert "vit_small_patch16_224_dino" in names  # run-book flagship
+    assert "resnet50" in names and "efficientnet_b0" in names
+    for n in names:
+        create_model(n)
+    with pytest.raises(ValueError, match="list_models"):
+        create_model("nosuch_model")

@@ -36,11 +36,40 @@ _NAME_RE = re.compile(
     r"^vit_(?P<size>tiny|small|base|large)_patch(?P<patch>\d+)_(?P<img>\d+)(?P<dino>_dino)?$"
 )
 
+_RESNET_NAMES = (
+    "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
+    "wide_resnet50_2", "wide_resnet101_2",
+    "resnext50_32x4d", "resnext101_32x8d",
+)
+
+
+def list_models() -> list:
+    """Every name ``create_model`` accepts (timm ``list_models`` surface).
+
+    ViT names follow ``vit_{tiny|small|base|large}_patch{P}_{S}[_dino]``
+    for any patch/img size; the listing enumerates the run-book sizes.
+    """
+    from tpuwsi.models.efficientnet import EFFICIENTNET_GEOMETRY
+
+    vits = [
+        f"vit_{size}_patch{p}_224{suffix}"
+        for size in _VIT_FACTORIES
+        for p in (8, 16, 32)
+        for suffix in ("", "_dino")
+    ]
+    return (vits + ["resnet50_trunc"] + list(_RESNET_NAMES)
+            + sorted(EFFICIENTNET_GEOMETRY))
+
 
 def parse_model_name(name: str) -> ViTConfig:
     m = _NAME_RE.match(name)
     if not m:
-        raise ValueError(f"unknown model name: {name!r}")
+        raise ValueError(
+            f"unknown model name: {name!r} — expected "
+            "vit_{tiny|small|base|large}_patch{P}_{S}[_dino], a resnet/"
+            "wide_resnet/resnext variant, efficientnet_b0..b7, or "
+            "resnet50_trunc (tpuwsi.models.registry.list_models())"
+        )
     return _VIT_FACTORIES[m.group("size")](
         patch_size=int(m.group("patch")), img_size=int(m.group("img"))
     )
@@ -83,9 +112,7 @@ def create_model(
             bn_eps=bn_eps if bn_eps is not None else 1e-5,
             remat_blocks=grad_checkpointing, dtype=dtype,
         )
-    if name in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
-                "wide_resnet50_2", "wide_resnet101_2",
-                "resnext50_32x4d", "resnext101_32x8d"):
+    if name in _RESNET_NAMES:
         # full trainable CNN classifier family (train.py:482-495
         # create_model surface; torchvision geometry). BatchNorm stats ride
         # TrainState.batch_stats — the CLI loops detect them at init.
