@@ -285,3 +285,70 @@ def torch_efficientnet_to_flax(state_dict: Dict, variables):
         put(("params", "classifier", "bias"), sd["classifier.bias"])
 
     return flax.traverse_util.unflatten_dict(flat)
+
+
+def flax_vit_to_torch(variables) -> Dict:
+    """tpuwsi flax ViT params → timm/DINO-named torch state_dict (numpy).
+
+    The inverse of ``torch_vit_to_flax``: lets a tpuwsi-trained backbone
+    flow BACK to the reference's torch/timm ecosystem (e.g. evaluating a
+    TPU-trained DINO backbone with the reference's own MIL tooling —
+    train.py:482-495 loads by these names). Values are float32 numpy
+    arrays in torch layouts; wrap with ``torch.from_numpy`` before
+    ``load_state_dict``. Handles both the unrolled (``blocks_{i}``) and
+    scanned (``blocks_scan``, stacked leading depth axis) parameter trees.
+    """
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(variables))
+
+    def get(*path):
+        return np.asarray(flat[path], dtype=np.float32)
+
+    sd = {}
+    k = get("params", "patch_embed", "proj", "kernel")  # (p*p*3, D)
+    d = k.shape[1]
+    p = int(round((k.shape[0] // 3) ** 0.5))
+    if p * p * 3 != k.shape[0]:
+        raise ValueError(f"patch-embed kernel rows {k.shape[0]} != p*p*3")
+    # (p*p*3, D) laid out row-major (p, p, 3) → conv OIHW (D, 3, p, p)
+    sd["patch_embed.proj.weight"] = np.transpose(
+        k.reshape(p, p, 3, d), (3, 2, 0, 1)
+    ).copy()
+    sd["patch_embed.proj.bias"] = get("params", "patch_embed", "proj", "bias")
+    sd["cls_token"] = get("params", "cls_token")
+    sd["pos_embed"] = get("params", "pos_embed")
+
+    def export_block(i, leaf):
+        """leaf(sub, name) → np array for blocks.{i}'s submodule param."""
+        sd[f"blocks.{i}.norm1.weight"] = leaf("norm1", "scale")
+        sd[f"blocks.{i}.norm1.bias"] = leaf("norm1", "bias")
+        sd[f"blocks.{i}.attn.qkv.weight"] = leaf("attn/qkv", "kernel").T.copy()
+        sd[f"blocks.{i}.attn.qkv.bias"] = leaf("attn/qkv", "bias")
+        sd[f"blocks.{i}.attn.proj.weight"] = leaf("attn/proj", "kernel").T.copy()
+        sd[f"blocks.{i}.attn.proj.bias"] = leaf("attn/proj", "bias")
+        sd[f"blocks.{i}.norm2.weight"] = leaf("norm2", "scale")
+        sd[f"blocks.{i}.norm2.bias"] = leaf("norm2", "bias")
+        sd[f"blocks.{i}.mlp.fc1.weight"] = leaf("mlp/fc1", "kernel").T.copy()
+        sd[f"blocks.{i}.mlp.fc1.bias"] = leaf("mlp/fc1", "bias")
+        sd[f"blocks.{i}.mlp.fc2.weight"] = leaf("mlp/fc2", "kernel").T.copy()
+        sd[f"blocks.{i}.mlp.fc2.bias"] = leaf("mlp/fc2", "bias")
+
+    if ("params", "blocks_scan", "norm1", "scale") in flat:
+        depth = flat[("params", "blocks_scan", "norm1", "scale")].shape[0]
+        for i in range(depth):
+            export_block(i, lambda sub, name, _i=i: get(
+                "params", "blocks_scan", *sub.split("/"), name)[_i])
+    else:
+        i = 0
+        while ("params", f"blocks_{i}", "norm1", "scale") in flat:
+            export_block(i, lambda sub, name, _i=i: get(
+                "params", f"blocks_{_i}", *sub.split("/"), name))
+            i += 1
+
+    sd["norm.weight"] = get("params", "norm", "scale")
+    sd["norm.bias"] = get("params", "norm", "bias")
+    if ("params", "head", "kernel") in flat:
+        sd["head.weight"] = get("params", "head", "kernel").T.copy()
+        sd["head.bias"] = get("params", "head", "bias")
+    return sd
