@@ -1056,3 +1056,56 @@ def test_cli_trains_efficientnet_b0(tmp_path):
     means = [np.asarray(x) for x in jax.tree_util.tree_leaves(
         state.batch_stats) if x.ndim == 1]
     assert any(np.abs(m).max() > 1e-4 for m in means)
+
+
+def test_export_torch_cli_roundtrip(tmp_path):
+    """cli.export_torch: an SSL (DINOState) checkpoint exports its teacher
+    backbone to a timm-named .pth that torch loads and the golden importer
+    maps back to the exact flax tree (the reverse of the reference's
+    create_model+load_state_dict consumption, train.py:482-520)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    import torch
+
+    from tpuwsi.cli.export_torch import main as export_main
+    from tpuwsi.models import DINOHead
+    from tpuwsi.models.convert import torch_vit_to_flax
+    from tpuwsi.models.vit import ViTConfig, VisionTransformer
+    from tpuwsi.ssl_dino.dino import DINOConfig, DINOModel, create_dino_state
+    from tpuwsi.train.checkpoint import CheckpointManager
+
+    cfg = ViTConfig(img_size=32, patch_size=16, embed_dim=64, depth=2,
+                    num_heads=2, num_classes=0, dtype=jnp.float32)
+    model = DINOModel(backbone=VisionTransformer(cfg),
+                      head=DINOHead(out_dim=128, gelu_approx=True))
+    params = model.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, 32, 32, 3), jnp.float32))
+    tx = optax.sgd(1e-2)
+    state = create_dino_state(params, tx, DINOConfig(out_dim=128))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(0, state, {"loss": 1.0})
+    mgr.wait()
+    mgr.close()
+
+    out = str(tmp_path / "teacher.pth")
+    sd = export_main(["--checkpoint", str(tmp_path / "ckpt"),
+                      "--output", out])
+    loaded = torch.load(out, map_location="cpu", weights_only=True)
+    assert loaded["patch_embed.proj.weight"].shape == (64, 3, 16, 16)
+    assert set(loaded) == set(sd)
+
+    # importer maps the exported dict back onto the exact teacher backbone
+    backbone = VisionTransformer(cfg)
+    target = backbone.init(jax.random.PRNGKey(2),
+                           jnp.zeros((1, 32, 32, 3), jnp.float32))
+    v1 = torch_vit_to_flax(loaded, target)
+    import flax
+
+    want = flax.traverse_util.flatten_dict(
+        flax.core.unfreeze({"params": params["params"]["backbone"]}))
+    got = flax.traverse_util.flatten_dict(flax.core.unfreeze(v1))
+    for k in want:
+        np.testing.assert_array_equal(
+            np.asarray(want[k]), np.asarray(got[k]), err_msg=str(k))

@@ -303,7 +303,9 @@ def flax_vit_to_torch(variables) -> Dict:
     flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(variables))
 
     def get(*path):
-        return np.asarray(flat[path], dtype=np.float32)
+        # np.array (copy): torch.from_numpy on jax's read-only buffers
+        # warns and would alias device memory semantics
+        return np.array(flat[path], dtype=np.float32)
 
     sd = {}
     k = get("params", "patch_embed", "proj", "kernel")  # (p*p*3, D)
