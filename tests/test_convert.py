@@ -619,3 +619,44 @@ def test_flax_vit_to_torch_roundtrip():
             for k in f0:
                 np.testing.assert_array_equal(
                     np.asarray(f0[k]), np.asarray(f1[k]), err_msg=str(k))
+
+
+def test_flax_vit_to_torch_qkv_bias_false():
+    """qkv_bias=False trees export without the bias keys (the importer
+    treats them as optional; the exporter must mirror that)."""
+    from tpuwsi.models.convert import flax_vit_to_torch
+    from tpuwsi.models.vit import ViTConfig, VisionTransformer
+
+    cfg = ViTConfig(img_size=32, patch_size=16, embed_dim=64, depth=2,
+                    num_heads=2, num_classes=0, qkv_bias=False,
+                    dtype=jnp.float32)
+    v = VisionTransformer(cfg).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32))
+    sd = flax_vit_to_torch(v)
+    assert "blocks.0.attn.qkv.weight" in sd
+    assert "blocks.0.attn.qkv.bias" not in sd
+
+
+def test_efficientnet_conversion_rejects_deeper_source():
+    """A deeper-variant state_dict (extra repeats, same widths) must raise,
+    not silently drop the extra residual blocks."""
+    import pytest
+    import torch
+
+    from tpuwsi.models.convert import torch_efficientnet_to_flax
+    from tpuwsi.models.registry import create_model
+
+    torch.manual_seed(0)
+    tmodel = _TorchEffNetB0(num_classes=2)
+    sd = dict(tmodel.state_dict())
+    # graft one extra same-width block into stage 0 (what a deeper variant
+    # with identical channel widths looks like to the shape checks)
+    for k in list(sd):
+        if k.startswith("blocks.0.0."):
+            sd[k.replace("blocks.0.0.", "blocks.0.1.")] = sd[k].clone()
+
+    model = create_model("efficientnet_b0", num_classes=2, dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    with pytest.raises(ValueError, match="not consumed"):
+        torch_efficientnet_to_flax(sd, variables)

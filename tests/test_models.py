@@ -272,3 +272,32 @@ def test_list_models_all_construct():
         create_model(n)
     with pytest.raises(ValueError, match="list_models"):
         create_model("nosuch_model")
+
+
+def test_efficientnet_droppath_rng_collection():
+    """EfficientNet stochastic depth draws from the repo-wide 'droppath'
+    collection (same contract as the ViT blocks and the train steps)."""
+    import jax
+    import numpy as np
+
+    from tpuwsi.models.registry import create_model
+
+    m = create_model("efficientnet_b0", num_classes=2,
+                     drop_path_rate=0.5, dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 32, 32, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    out, _ = m.apply(v, x, train=True, mutable=["batch_stats"],
+                     rngs={"droppath": jax.random.PRNGKey(1),
+                           "dropout": jax.random.PRNGKey(2)})
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ssl_backbone_name_error_is_vit_specific():
+    """parse_model_name (the SSL backbone path) rejects CNN names with a
+    ViT-pattern message, not one that lists the name it just rejected."""
+    import pytest
+
+    from tpuwsi.models.registry import parse_model_name
+
+    with pytest.raises(ValueError, match="not a ViT model name"):
+        parse_model_name("efficientnet_b0")

@@ -219,6 +219,11 @@ def torch_efficientnet_to_flax(state_dict: Dict, variables):
 
     sd = {k: _to_np(v) for k, v in state_dict.items()}
     flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(variables))
+    consumed = set()
+
+    def take(key):
+        consumed.add(key)
+        return sd[key]
 
     def put(path, value):
         if path not in flat:
@@ -234,19 +239,19 @@ def torch_efficientnet_to_flax(state_dict: Dict, variables):
 
     def put_conv(torch_key, flax_path, bias=False):
         put(flax_path + ("kernel",),
-            np.transpose(sd[torch_key + ".weight"], (2, 3, 1, 0)))
+            np.transpose(take(torch_key + ".weight"), (2, 3, 1, 0)))
         if bias:
-            put(flax_path + ("bias",), sd[torch_key + ".bias"])
+            put(flax_path + ("bias",), take(torch_key + ".bias"))
 
     def put_bn(torch_prefix, flax_name, parent):
         put(("params",) + parent + (flax_name, "scale"),
-            sd[f"{torch_prefix}.weight"])
+            take(f"{torch_prefix}.weight"))
         put(("params",) + parent + (flax_name, "bias"),
-            sd[f"{torch_prefix}.bias"])
+            take(f"{torch_prefix}.bias"))
         put(("batch_stats",) + parent + (flax_name, "mean"),
-            sd[f"{torch_prefix}.running_mean"])
+            take(f"{torch_prefix}.running_mean"))
         put(("batch_stats",) + parent + (flax_name, "var"),
-            sd[f"{torch_prefix}.running_var"])
+            take(f"{torch_prefix}.running_var"))
 
     put_conv("conv_stem", ("params", "conv_stem"))
     put_bn("bn1", "bn1", ())
@@ -276,6 +281,22 @@ def torch_efficientnet_to_flax(state_dict: Dict, variables):
                      ("params",) + parent + ("se", "conv_expand"), bias=True)
             b += 1
         s += 1
+
+    # a deeper-variant source (e.g. b1 weights into a b0 target: same
+    # channel widths, extra repeats) would otherwise convert "successfully"
+    # with whole residual blocks silently dropped
+    extra = sorted(
+        k for k in sd
+        if k.startswith("blocks.") and k not in consumed
+        and not k.endswith("num_batches_tracked")
+    )
+    if extra:
+        raise ValueError(
+            f"{len(extra)} source block params were not consumed (e.g. "
+            f"{extra[0]!r}) — the torch state_dict has more blocks than "
+            "this EfficientNet variant; build the matching variant "
+            "(models.registry.create_model) before converting"
+        )
 
     put_conv("conv_head", ("params", "conv_head"))
     put_bn("bn2", "bn2", ())
@@ -322,30 +343,49 @@ def flax_vit_to_torch(variables) -> Dict:
     sd["pos_embed"] = get("params", "pos_embed")
 
     def export_block(i, leaf):
-        """leaf(sub, name) → np array for blocks.{i}'s submodule param."""
-        sd[f"blocks.{i}.norm1.weight"] = leaf("norm1", "scale")
-        sd[f"blocks.{i}.norm1.bias"] = leaf("norm1", "bias")
-        sd[f"blocks.{i}.attn.qkv.weight"] = leaf("attn/qkv", "kernel").T.copy()
-        sd[f"blocks.{i}.attn.qkv.bias"] = leaf("attn/qkv", "bias")
-        sd[f"blocks.{i}.attn.proj.weight"] = leaf("attn/proj", "kernel").T.copy()
-        sd[f"blocks.{i}.attn.proj.bias"] = leaf("attn/proj", "bias")
-        sd[f"blocks.{i}.norm2.weight"] = leaf("norm2", "scale")
-        sd[f"blocks.{i}.norm2.bias"] = leaf("norm2", "bias")
-        sd[f"blocks.{i}.mlp.fc1.weight"] = leaf("mlp/fc1", "kernel").T.copy()
-        sd[f"blocks.{i}.mlp.fc1.bias"] = leaf("mlp/fc1", "bias")
-        sd[f"blocks.{i}.mlp.fc2.weight"] = leaf("mlp/fc2", "kernel").T.copy()
-        sd[f"blocks.{i}.mlp.fc2.bias"] = leaf("mlp/fc2", "bias")
+        """leaf(*path) → np array or None (absent params — e.g. a
+        qkv_bias=False tree, mirroring the importer's optional handling)."""
+        def emit(torch_key, *path, transpose=False):
+            v = leaf(*path)
+            if v is not None:
+                sd[torch_key] = v.T.copy() if transpose else v
+
+        emit(f"blocks.{i}.norm1.weight", "norm1", "scale")
+        emit(f"blocks.{i}.norm1.bias", "norm1", "bias")
+        emit(f"blocks.{i}.attn.qkv.weight", "attn", "qkv", "kernel",
+             transpose=True)
+        emit(f"blocks.{i}.attn.qkv.bias", "attn", "qkv", "bias")
+        emit(f"blocks.{i}.attn.proj.weight", "attn", "proj", "kernel",
+             transpose=True)
+        emit(f"blocks.{i}.attn.proj.bias", "attn", "proj", "bias")
+        emit(f"blocks.{i}.norm2.weight", "norm2", "scale")
+        emit(f"blocks.{i}.norm2.bias", "norm2", "bias")
+        emit(f"blocks.{i}.mlp.fc1.weight", "mlp", "fc1", "kernel",
+             transpose=True)
+        emit(f"blocks.{i}.mlp.fc1.bias", "mlp", "fc1", "bias")
+        emit(f"blocks.{i}.mlp.fc2.weight", "mlp", "fc2", "kernel",
+             transpose=True)
+        emit(f"blocks.{i}.mlp.fc2.bias", "mlp", "fc2", "bias")
 
     if ("params", "blocks_scan", "norm1", "scale") in flat:
-        depth = flat[("params", "blocks_scan", "norm1", "scale")].shape[0]
+        # copy each stacked (depth, ...) leaf ONCE, then slice per block
+        # (per-block get() would memcpy the whole stack depth times)
+        stacked = {
+            k[2:]: np.array(v, dtype=np.float32)
+            for k, v in flat.items() if k[:2] == ("params", "blocks_scan")
+        }
+        depth = stacked[("norm1", "scale")].shape[0]
         for i in range(depth):
-            export_block(i, lambda sub, name, _i=i: get(
-                "params", "blocks_scan", *sub.split("/"), name)[_i])
+            export_block(i, lambda *path, _i=i: (
+                stacked[path][_i] if path in stacked else None))
     else:
         i = 0
         while ("params", f"blocks_{i}", "norm1", "scale") in flat:
-            export_block(i, lambda sub, name, _i=i: get(
-                "params", f"blocks_{_i}", *sub.split("/"), name))
+            def leaf(*path, _i=i):
+                full = ("params", f"blocks_{_i}") + path
+                return get(*full) if full in flat else None
+
+            export_block(i, leaf)
             i += 1
 
     sd["norm.weight"] = get("params", "norm", "scale")

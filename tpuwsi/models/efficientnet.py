@@ -163,10 +163,12 @@ class InvertedResidual(nn.Module):
 
 
 def _drop_path(y, rate: float, train: bool, mod: nn.Module):
-    """timm drop_path (per-sample stochastic depth) on the residual branch."""
+    """timm drop_path (per-sample stochastic depth) on the residual branch.
+    Draws from the repo-wide 'droppath' rng collection (same contract as
+    the ViT blocks and the train steps' rngs= plumbing)."""
     if rate <= 0.0 or not train:
         return y
-    key = mod.make_rng("dropout")
+    key = mod.make_rng("droppath")
     import jax
 
     keep = 1.0 - rate

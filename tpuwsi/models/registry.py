@@ -62,13 +62,14 @@ def list_models() -> list:
 
 
 def parse_model_name(name: str) -> ViTConfig:
+    """Parse a ViT name. Callers wanting the full zoo (CNNs included) go
+    through ``create_model``; direct callers (e.g. the SSL backbone path)
+    accept ViTs only, so the error lists only the ViT pattern."""
     m = _NAME_RE.match(name)
     if not m:
         raise ValueError(
-            f"unknown model name: {name!r} — expected "
-            "vit_{tiny|small|base|large}_patch{P}_{S}[_dino], a resnet/"
-            "wide_resnet/resnext variant, efficientnet_b0..b7, or "
-            "resnet50_trunc (tpuwsi.models.registry.list_models())"
+            f"not a ViT model name: {name!r} — expected "
+            "vit_{tiny|small|base|large}_patch{P}_{S}[_dino]"
         )
     return _VIT_FACTORIES[m.group("size")](
         patch_size=int(m.group("patch")), img_size=int(m.group("img"))
@@ -130,7 +131,15 @@ def create_model(
             bn_eps=bn_eps if bn_eps is not None else 1e-5,
             dtype=dtype,
         )
-    cfg = parse_model_name(name)
+    try:
+        cfg = parse_model_name(name)
+    except ValueError:
+        raise ValueError(
+            f"unknown model name: {name!r} — expected "
+            "vit_{tiny|small|base|large}_patch{P}_{S}[_dino], a resnet/"
+            "wide_resnet/resnext variant, efficientnet_b0..b7, or "
+            "resnet50_trunc (tpuwsi.models.registry.list_models())"
+        ) from None
     import dataclasses
 
     cfg = dataclasses.replace(
