@@ -1109,3 +1109,42 @@ def test_export_torch_cli_roundtrip(tmp_path):
     for k in want:
         np.testing.assert_array_equal(
             np.asarray(want[k]), np.asarray(got[k]), err_msg=str(k))
+
+
+def test_export_torch_cli_resnet(tmp_path):
+    """cli.export_torch on a supervised resnet checkpoint: picks the
+    torchvision exporter, carries BN running stats, loads strict into a
+    torchvision-geometry model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    import torch
+
+    from tpuwsi.cli.export_torch import main as export_main
+    from tpuwsi.models.registry import create_model
+    from tpuwsi.train.checkpoint import CheckpointManager
+    from tpuwsi.train.state import create_train_state
+
+    model = create_model("resnet18", num_classes=2, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32))
+    state = create_train_state(
+        {"params": variables["params"]}, optax.sgd(1e-2),
+        batch_stats=variables["batch_stats"])
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(0, state, {"loss": 1.0})
+    mgr.wait()
+    mgr.close()
+
+    out = str(tmp_path / "resnet18.pth")
+    sd = export_main(["--checkpoint", str(tmp_path / "ckpt"),
+                      "--output", out])
+    loaded = torch.load(out, map_location="cpu", weights_only=True)
+    assert loaded["conv1.weight"].shape[1] == 3
+    assert "layer4.1.bn2.running_var" in loaded
+    assert set(loaded) == set(sd)
+    from tests.test_convert import _TorchResNet18
+
+    tmodel = _TorchResNet18(num_classes=2)
+    tmodel.load_state_dict(loaded, strict=True)

@@ -660,3 +660,61 @@ def test_efficientnet_conversion_rejects_deeper_source():
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
     with pytest.raises(ValueError, match="not consumed"):
         torch_efficientnet_to_flax(sd, variables)
+
+
+def test_flax_resnet_to_torch_golden():
+    """CNN reverse exporter: a flax resnet18 (randomized BN stats) exports
+    to a torchvision-named dict that load_state_dict(strict=True) accepts,
+    and the torch forward matches the flax eval forward."""
+    import torch
+
+    from tpuwsi.models.convert import flax_resnet_to_torch
+    from tpuwsi.models.registry import create_model
+
+    model = create_model("resnet18", num_classes=3, dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(4), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    # randomize the BN stats so the export actually carries them
+    import flax as _flax
+
+    flat = _flax.traverse_util.flatten_dict(_flax.core.unfreeze(variables))
+    rs = np.random.RandomState(4)
+    for k in flat:
+        if k[0] == "batch_stats":
+            base = 1.0 if k[-1] == "var" else 0.0
+            flat[k] = jnp.asarray(
+                base + rs.uniform(-0.2, 0.2, flat[k].shape), jnp.float32)
+    variables = _flax.traverse_util.unflatten_dict(flat)
+
+    sd = flax_resnet_to_torch(variables)
+    tmodel = _TorchResNet18(num_classes=3)
+    tmodel.load_state_dict({k: torch.from_numpy(np.array(v))
+                            for k, v in sd.items()}, strict=True)
+    tmodel.eval()
+    x = np.random.RandomState(5).rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    out = np.asarray(model.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=3e-4, rtol=1e-3)
+
+
+def test_flax_efficientnet_to_torch_golden():
+    """EfficientNet reverse exporter: strict torch load + forward match."""
+    import torch
+
+    from tpuwsi.models.convert import flax_efficientnet_to_torch
+    from tpuwsi.models.registry import create_model
+
+    model = create_model("efficientnet_b0", num_classes=2, dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(6), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    sd = flax_efficientnet_to_torch(variables)
+    tmodel = _TorchEffNetB0(num_classes=2)
+    tmodel.load_state_dict({k: torch.from_numpy(np.array(v))
+                            for k, v in sd.items()}, strict=True)
+    tmodel.eval()
+    x = np.random.RandomState(7).rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    out = np.asarray(model.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=3e-4, rtol=1e-3)

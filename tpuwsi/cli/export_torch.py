@@ -12,8 +12,11 @@ tools load directly:
 
 Arms: ``teacher``/``student`` pick the DINO arm from an SSL checkpoint
 (teacher is the convention for downstream use, as in DINO itself);
-``params``/``ema`` pick the supervised weights. The ViT backbone subtree is
-located automatically (SSL checkpoints nest it under ``backbone``).
+``params``/``ema`` pick the supervised weights. The backbone subtree is
+located automatically (SSL checkpoints nest it under ``backbone``) and the
+matching exporter chosen by family: ViT (timm/DINO names), resnet
+(torchvision names, BN running stats from the TrainState), or
+efficientnet (timm names).
 """
 
 from __future__ import annotations
@@ -36,25 +39,38 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _backbone_variables(tree):
-    """Locate the ViT backbone variables dict inside a restored params tree."""
+def _export_arm(tree, batch_stats):
+    """Pick the matching exporter for the params tree (ViT / resnet /
+    efficientnet) and return the torch-named state_dict."""
+    from tpuwsi.models import convert
+
     if not isinstance(tree, dict):
         raise SystemExit("checkpoint arm is not a param tree")
     inner = tree.get("params", tree)
     if "backbone" in inner:  # DINOModel nesting (ssl_dino/dino.py)
         inner = inner["backbone"]
-    if "patch_embed" not in inner and "blocks_scan" not in inner:
+    if "patch_embed" in inner or "blocks_scan" in inner:
+        return convert.flax_vit_to_torch({"params": inner})
+    # CNN families need the BN running stats alongside the params
+    if batch_stats is None:
         raise SystemExit(
-            "no ViT backbone found in this checkpoint arm — the torch "
-            "exporter covers the ViT family (CNN checkpoints stay in "
-            "tpuwsi; import direction for CNNs exists via models.convert)"
+            "CNN checkpoint arm without batch_stats — BN running stats "
+            "are part of a torch checkpoint; export from a training "
+            "checkpoint (the CLIs save them on the TrainState)"
         )
-    return {"params": inner}
+    variables = {"params": inner, "batch_stats": batch_stats}
+    if "conv_stem" in inner:
+        return convert.flax_efficientnet_to_torch(variables)
+    if "conv1" in inner:
+        return convert.flax_resnet_to_torch(variables)
+    raise SystemExit(
+        "unrecognized backbone in this checkpoint arm — the torch exporter "
+        "covers ViT, the resnet family, and efficientnet_b0..b7"
+    )
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    from tpuwsi.models.convert import flax_vit_to_torch
     from tpuwsi.train.checkpoint import load_checkpoint
 
     state = load_checkpoint(args.checkpoint, target=None, step=args.step)
@@ -75,7 +91,8 @@ def main(argv=None):
             "pick --arm accordingly"
         )
 
-    sd = flax_vit_to_torch(_backbone_variables(tree))
+    stats_key = "ema_batch_stats" if arm == "ema" else "batch_stats"
+    sd = _export_arm(tree, state.get(stats_key) or state.get("batch_stats"))
     import torch
 
     torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, args.output)

@@ -394,3 +394,124 @@ def flax_vit_to_torch(variables) -> Dict:
         sd["head.weight"] = get("params", "head", "kernel").T.copy()
         sd["head.bias"] = get("params", "head", "bias")
     return sd
+
+
+def _export_helpers(variables):
+    """Shared scaffolding for the CNN flax→torch exporters: flattened tree +
+    conv/bn emitters (flax HWIO → torch OIHW; BN scale/bias/mean/var →
+    weight/bias/running_mean/running_var + a zero num_batches_tracked so
+    torchvision/timm ``load_state_dict(strict=True)`` accepts the dict)."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(variables))
+    sd = {}
+
+    def get(path):
+        return np.array(flat[path], dtype=np.float32)
+
+    def emit_conv(torch_key, flax_path, bias=False):
+        sd[torch_key + ".weight"] = np.transpose(
+            get(flax_path + ("kernel",)), (3, 2, 0, 1)).copy()
+        if bias:
+            sd[torch_key + ".bias"] = get(flax_path + ("bias",))
+
+    def emit_bn(torch_prefix, flax_name, parent):
+        sd[f"{torch_prefix}.weight"] = get(
+            ("params",) + parent + (flax_name, "scale"))
+        sd[f"{torch_prefix}.bias"] = get(
+            ("params",) + parent + (flax_name, "bias"))
+        sd[f"{torch_prefix}.running_mean"] = get(
+            ("batch_stats",) + parent + (flax_name, "mean"))
+        sd[f"{torch_prefix}.running_var"] = get(
+            ("batch_stats",) + parent + (flax_name, "var"))
+        sd[f"{torch_prefix}.num_batches_tracked"] = np.array(0, np.int64)
+
+    return flat, sd, get, emit_conv, emit_bn
+
+
+def flax_resnet_to_torch(variables) -> Dict:
+    """tpuwsi flax ResNet family → torchvision-named state_dict (numpy).
+
+    Inverse of ``torch_resnet_trunc_to_flax`` for the trainable classifiers
+    (resnet18..152, wide/resnext — geometry read off the tree) AND the
+    truncated trunk (layer1-3 only). Requires ``batch_stats`` in
+    ``variables`` (BN running stats are part of a torch checkpoint).
+    """
+    flat, sd, get, emit_conv, emit_bn = _export_helpers(variables)
+    if ("batch_stats",) not in {k[:1] for k in flat}:
+        raise ValueError("variables must include batch_stats (BN running "
+                         "stats) — pass the full checkpoint tree")
+
+    emit_conv("conv1", ("params", "conv1"))
+    emit_bn("bn1", "bn1", ())
+    stage = 1
+    while ("params", f"layer{stage}_0", "Conv_0", "kernel") in flat:
+        b = 0
+        while ("params", f"layer{stage}_{b}", "Conv_0", "kernel") in flat:
+            t = f"layer{stage}.{b}"
+            parent = (f"layer{stage}_{b}",)
+            n_convs = 3 if ("params",) + parent + ("Conv_2",
+                                                   "kernel") in flat else 2
+            for ci in range(n_convs):
+                emit_conv(f"{t}.conv{ci + 1}",
+                          ("params",) + parent + (f"Conv_{ci}",))
+                emit_bn(f"{t}.bn{ci + 1}", f"BatchNorm_{ci}", parent)
+            if ("params",) + parent + ("downsample_conv", "kernel") in flat:
+                emit_conv(f"{t}.downsample.0",
+                          ("params",) + parent + ("downsample_conv",))
+                emit_bn(f"{t}.downsample.1", "downsample_bn", parent)
+            b += 1
+        stage += 1
+
+    if ("params", "fc", "kernel") in flat:
+        sd["fc.weight"] = get(("params", "fc", "kernel")).T.copy()
+        sd["fc.bias"] = get(("params", "fc", "bias"))
+    return sd
+
+
+def flax_efficientnet_to_torch(variables) -> Dict:
+    """tpuwsi flax EfficientNet → timm-named state_dict (numpy).
+
+    Inverse of ``torch_efficientnet_to_flax``; geometry (stages/repeats,
+    DS-vs-IR block kind) read off the tree. Requires ``batch_stats``.
+    """
+    flat, sd, get, emit_conv, emit_bn = _export_helpers(variables)
+    if ("batch_stats",) not in {k[:1] for k in flat}:
+        raise ValueError("variables must include batch_stats (BN running "
+                         "stats) — pass the full checkpoint tree")
+
+    emit_conv("conv_stem", ("params", "conv_stem"))
+    emit_bn("bn1", "bn1", ())
+    s = 0
+    while ("params", f"blocks_{s}_0", "conv_dw", "kernel") in flat:
+        b = 0
+        while ("params", f"blocks_{s}_{b}", "conv_dw", "kernel") in flat:
+            t = f"blocks.{s}.{b}"
+            parent = (f"blocks_{s}_{b}",)
+            ir = ("params",) + parent + ("conv_pwl", "kernel") in flat
+            if ir:
+                emit_conv(f"{t}.conv_pw", ("params",) + parent + ("conv_pw",))
+                emit_bn(f"{t}.bn1", "bn1", parent)
+                emit_conv(f"{t}.conv_dw", ("params",) + parent + ("conv_dw",))
+                emit_bn(f"{t}.bn2", "bn2", parent)
+                emit_conv(f"{t}.conv_pwl",
+                          ("params",) + parent + ("conv_pwl",))
+                emit_bn(f"{t}.bn3", "bn3", parent)
+            else:
+                emit_conv(f"{t}.conv_dw", ("params",) + parent + ("conv_dw",))
+                emit_bn(f"{t}.bn1", "bn1", parent)
+                emit_conv(f"{t}.conv_pw", ("params",) + parent + ("conv_pw",))
+                emit_bn(f"{t}.bn2", "bn2", parent)
+            emit_conv(f"{t}.se.conv_reduce",
+                      ("params",) + parent + ("se", "conv_reduce"), bias=True)
+            emit_conv(f"{t}.se.conv_expand",
+                      ("params",) + parent + ("se", "conv_expand"), bias=True)
+            b += 1
+        s += 1
+
+    emit_conv("conv_head", ("params", "conv_head"))
+    emit_bn("bn2", "bn2", ())
+    if ("params", "classifier", "kernel") in flat:
+        sd["classifier.weight"] = get(("params", "classifier", "kernel")).T.copy()
+        sd["classifier.bias"] = get(("params", "classifier", "bias"))
+    return sd
