@@ -1148,3 +1148,17 @@ def test_export_torch_cli_resnet(tmp_path):
 
     tmodel = _TorchResNet18(num_classes=2)
     tmodel.load_state_dict(loaded, strict=True)
+
+
+def test_model_parallel_rejects_cnn_models(tmp_path):
+    """--model-parallel with a CNN must refuse loudly: the TP rules cover
+    the ViT GEMMs only; a CNN tree would silently replicate over the model
+    axis and waste every model-parallel chip."""
+    import pytest as _pytest
+
+    from tpuwsi.cli.train import main
+
+    with _pytest.raises(SystemExit, match="data-parallel"):
+        main(["--data-dir", str(tmp_path), "--model", "resnet50",
+              "--model-parallel", "2", "--epochs", "1",
+              "--output", str(tmp_path / "out")])

@@ -198,6 +198,15 @@ def main(argv=None, default_overrides=None):
             "--drop-connect is timm's deprecated alias — pass --drop-path "
             "(ViT layer-drop / EfficientNet per-block stochastic depth)."
         )
+    if getattr(args, "model_parallel", 1) > 1 and not args.model.startswith(
+            "vit_"):
+        # the TP partition rules cover the ViT GEMMs (parallel/sharding);
+        # a CNN tree matches none of them, so every model-axis replica
+        # would silently repeat identical work on the same data shard
+        raise SystemExit(
+            "--model-parallel covers the ViT family; CNN classifiers "
+            f"({args.model}) run data-parallel — drop --model-parallel."
+        )
     _setup_jax()
     # multi-host init (reference: torchrun + init_distributed_device,
     # train.py:431, sbatch-ssl.sh:55) — no-op single-host
