@@ -698,6 +698,42 @@ def test_flax_resnet_to_torch_golden():
     np.testing.assert_allclose(out, ref, atol=3e-4, rtol=1e-3)
 
 
+def test_flax_resnext_to_torch_golden():
+    """Grouped-conv reverse export: a flax resnext50_32x4d round-trips to a
+    torchvision-named state_dict (flax (kh,kw,I/g,O) -> torch (O,I/g,kh,kw)
+    through the same transpose as dense convs) that load_state_dict
+    (strict=True) accepts, with matching logits."""
+    import torch
+
+    from tpuwsi.models.convert import flax_resnet_to_torch
+    from tpuwsi.models.registry import create_model
+
+    model = create_model("resnext50_32x4d", num_classes=2, dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(8), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    import flax as _flax
+
+    flat = _flax.traverse_util.flatten_dict(_flax.core.unfreeze(variables))
+    rs = np.random.RandomState(8)
+    for k in flat:
+        if k[0] == "batch_stats":
+            base = 1.0 if k[-1] == "var" else 0.0
+            flat[k] = jnp.asarray(
+                base + rs.uniform(-0.2, 0.2, flat[k].shape), jnp.float32)
+    variables = _flax.traverse_util.unflatten_dict(flat)
+
+    sd = flax_resnet_to_torch(variables)
+    tmodel = _TorchResNeXt50(num_classes=2)
+    tmodel.load_state_dict({k: torch.from_numpy(np.array(v))
+                            for k, v in sd.items()}, strict=True)
+    tmodel.eval()
+    x = np.random.RandomState(9).rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    out = np.asarray(model.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=3e-4, rtol=1e-3)
+
+
 def test_flax_efficientnet_to_torch_golden():
     """EfficientNet reverse exporter: strict torch load + forward match."""
     import torch
