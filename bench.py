@@ -31,22 +31,46 @@ NORTH_STAR = 10_000.0  # tiles/sec/chip (BASELINE.json)
 # axon TPU backend in this image — steps run undonated.
 
 
+def bench_args():
+    """The run-book SSL recipe (scripts/train-ssl.sh) minus data plumbing —
+    the argv whose step this bench measures."""
+    from tpuwsi.cli.args import parse_args
+
+    return parse_args([
+        "--ssl", "--model", "vit_small_patch16_224_dino",
+        "--epochs", "300", "--warmup-epochs", "10",
+        "--opt", "adamw", "--lr-base", "0.0005", "--weight-decay", "0.04",
+    ])
+
+
 def bench_vit_config(on_tpu: bool):
     """The exact ViTConfig this bench measures (tests pin the CLI to it)."""
-    from tpuwsi.core.tuned import tuned_vit_kwargs
-    from tpuwsi.models.vit import vit_small
+    from tpuwsi.cli.train import ssl_backbone_config
 
-    return vit_small(num_classes=0, img_size=224, gelu_approx=True,
-                     **tuned_vit_kwargs(on_tpu))
+    return ssl_backbone_config(bench_args(), on_tpu)
 
 
 def bench_multicrop_config(on_tpu: bool):
     """The exact MultiCropConfig this bench measures."""
-    from tpuwsi.core.tuned import tuned_multicrop_kwargs
-    from tpuwsi.preprocess.multicrop import MultiCropConfig
+    from tpuwsi.cli.train import ssl_multicrop_config
 
-    return MultiCropConfig(global_size=224, local_size=96, n_local=6,
-                           **tuned_multicrop_kwargs(on_tpu))
+    return ssl_multicrop_config(bench_args(), on_tpu)
+
+
+def build_bundle(batch_size: int, vit_overrides: dict | None = None):
+    """The bench step IS the CLI's production SSL step: both surfaces
+    assemble through ``tpuwsi.cli.train.ssl_step_bundle`` (round-3 VERDICT
+    item 1), so the recorded number includes everything the CLI trains
+    with — global-norm grad clipping (3.0), drop-path 0.1, the
+    warmup-cosine schedule — not a stripped-down lookalike. The physical
+    CLI-loop rate check is upload-bound on the tunneled bench host
+    (40 MB/s link vs 184 MB/s consumed — BENCH.md "Pre-decoded ring
+    overlap"), so step-program identity is pinned structurally instead."""
+    from tpuwsi.cli.train import ssl_step_bundle
+
+    return ssl_step_bundle(bench_args(), steps_per_epoch=1000,
+                           global_batch=batch_size,
+                           vit_overrides=vit_overrides)
 
 
 def build(batch_size: int, tile: int = 224, raw: bool = False,
@@ -55,45 +79,8 @@ def build(batch_size: int, tile: int = 224, raw: bool = False,
     shared entry the exp_* A/B scripts use so they always measure deltas
     against the EXACT adopted configuration (round-4 review: two scripts
     hand-copied this builder and would silently drift)."""
-    import dataclasses
-
-    from tpuwsi.core.tuned import tuned_dino_kwargs, tuned_head_kwargs
-    from tpuwsi.models import DINOHead
-    from tpuwsi.models.vit import VisionTransformer
-    from tpuwsi.preprocess.multicrop import make_multicrop
-    from tpuwsi.ssl_dino import (
-        DINOConfig,
-        DINOModel,
-        create_dino_state,
-        make_dino_train_step,
-    )
-    from tpuwsi.train import OptimConfig, make_optimizer
-
-    on_tpu = jax.default_backend() == "tpu"
-    # Measured-best step config (BENCH.md round-3 A/Bs: XLA MLP + bf16 LN +
-    # bf16 aug + bf16 head/loss-pair) — sourced from core/tuned.py so the
-    # CLI SSL loop trains the exact configuration this bench records
-    # (tests/test_tuned_config.py pins the two surfaces together).
-    cfg = bench_vit_config(on_tpu)
-    if vit_overrides:
-        cfg = dataclasses.replace(cfg, **vit_overrides)
-    backbone = VisionTransformer(cfg)
-    model = DINOModel(
-        backbone=backbone,
-        head=DINOHead(out_dim=65536, hidden_dim=2048, bottleneck_dim=256,
-                      gelu_approx=True, **tuned_head_kwargs(on_tpu)),
-    )
-    params = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
-    )
-    dcfg = DINOConfig(out_dim=65536, n_local=6, total_steps=1000,
-                      **tuned_dino_kwargs(on_tpu))
-    ocfg = OptimConfig(opt="adamw", lr=5e-4, weight_decay=0.04)
-    tx, _ = make_optimizer(ocfg, params, global_batch_size=batch_size)
-    state = create_dino_state(params, tx, dcfg)
-    mc = make_multicrop(bench_multicrop_config(on_tpu))
-    step = make_dino_train_step(model.apply, tx, dcfg, multicrop_fn=mc)
-    return state, (step if raw else jax.jit(step))
+    b = build_bundle(batch_size, vit_overrides)
+    return b.state, (b.raw_step if raw else jax.jit(b.raw_step))
 
 
 def main():

@@ -1449,14 +1449,28 @@ def ssl_multicrop_config(args, on_tpu: bool):
     )
 
 
-def train_ssl(args, output_dir):
-    """DINO student/teacher SSL loop (the BASELINE north-star recipe)."""
+def ssl_step_bundle(args, steps_per_epoch, global_batch, on_tpu=None,
+                    vit_overrides=None, shard_fn=None):
+    """Assemble the production DINO SSL step from parsed args.
+
+    Both ``train_ssl`` and the headline benchmark (bench.py) build through
+    this one function, so the recorded benchmark measures the LITERAL
+    program the CLI trains — including the pieces a config-level pin
+    misses (global-norm grad clipping at 3.0, drop-path 0.1, the
+    warmup-cosine LR schedule). Round-3 VERDICT item 1: the physical
+    CLI-loop rate check is upload-bandwidth-bound on the tunneled bench
+    host (40 MB/s vs the 184 MB/s the step consumes — BENCH.md), so the
+    bench/CLI step identity is pinned structurally here instead.
+
+    ``vit_overrides`` patches the ViTConfig (the exp_* A/B scripts measure
+    deltas against the exact adopted configuration); ``shard_fn`` is
+    applied to the freshly initialized params (model-parallel layout).
+    """
+    import types
+
     import jax.numpy as jnp
 
-    from tpuwsi.core.mesh import MeshConfig, create_mesh, shard_batch
-    from tpuwsi.io.folder import ImageFolderDataset
-    from tpuwsi.io.metadata import load_slide_table
-    from tpuwsi.io.wsi import Prefetcher, WSITileSampler
+    from tpuwsi.core.tuned import tuned_dino_kwargs, tuned_head_kwargs
     from tpuwsi.models import DINOHead
     from tpuwsi.models.vit import VisionTransformer
     from tpuwsi.preprocess.multicrop import make_multicrop
@@ -1466,33 +1480,13 @@ def train_ssl(args, output_dir):
         create_dino_state,
         make_dino_train_step,
     )
-    from tpuwsi.train import CheckpointManager, OptimConfig, make_optimizer
+    from tpuwsi.train import OptimConfig, make_optimizer
 
-    from tpuwsi.core.distributed import initialize_multihost
-
-    pindex, pcount = initialize_multihost()
-    folder_mode = bool(args.data_dir)
-    if folder_mode:
-        ds = ImageFolderDataset(args.data_dir)
-        # per-host steps: each host sees a 1/pcount strided slice
-        steps_per_epoch = max(len(ds) // (args.batch_size * pcount), 1)
-    else:
-        table = load_slide_table(
-            args.dataset, tile_size=args.tile_size, target_kind=args.target,
-            test_fold=args.test_fold, train=True, train_type="REG",
-            n_tiles=args.n_patches_train, desired_magnification=args.mag,
-            data_root=args.data_root,
-        )
-        sampler = WSITileSampler(
-            table, n_tiles=args.n_patches_train, bag_size=1,
-            num_threads=args.workers,
-        )
-        steps_per_epoch = max(len(sampler) // (args.batch_size * pcount), 1)
-
-    from tpuwsi.core.tuned import tuned_dino_kwargs, tuned_head_kwargs
-
-    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu is None:
+        on_tpu = jax.default_backend() == "tpu"
     cfg = ssl_backbone_config(args, on_tpu)
+    if vit_overrides:
+        cfg = dataclasses.replace(cfg, **vit_overrides)
     model = DINOModel(
         backbone=VisionTransformer(cfg),
         head=DINOHead(out_dim=args.dino_out_dim, gelu_approx=True,
@@ -1502,12 +1496,8 @@ def train_ssl(args, output_dir):
         jax.random.PRNGKey(args.seed),
         jnp.zeros((1, args.dino_global_size, args.dino_global_size, 3)),
     )
-    global_batch = args.batch_size * pcount
-    mesh = _fitting_mesh(global_batch, args.model_parallel)
-    if args.model_parallel > 1:
-        from tpuwsi.parallel.sharding import shard_params
-
-        params = shard_params(mesh, params)
+    if shard_fn is not None:
+        params = shard_fn(params)
     total_steps = args.epochs * steps_per_epoch
     dcfg = DINOConfig(
         out_dim=args.dino_out_dim,
@@ -1537,9 +1527,57 @@ def train_ssl(args, output_dir):
     tx, _ = make_optimizer(ocfg, params, global_batch)
     state = create_dino_state(params, tx, dcfg)
     mc = make_multicrop(ssl_multicrop_config(args, on_tpu))
+    raw_step = make_dino_train_step(model.apply, tx, dcfg, multicrop_fn=mc)
+    return types.SimpleNamespace(
+        model=model, params=params, dcfg=dcfg, ocfg=ocfg, tx=tx,
+        multicrop=mc, raw_step=raw_step, state=state,
+    )
+
+
+def train_ssl(args, output_dir):
+    """DINO student/teacher SSL loop (the BASELINE north-star recipe)."""
+    import jax.numpy as jnp
+
+    from tpuwsi.core.mesh import MeshConfig, create_mesh, shard_batch
+    from tpuwsi.io.folder import ImageFolderDataset
+    from tpuwsi.io.metadata import load_slide_table
+    from tpuwsi.io.wsi import Prefetcher, WSITileSampler
+    from tpuwsi.train import CheckpointManager
+
+    from tpuwsi.core.distributed import initialize_multihost
+
+    pindex, pcount = initialize_multihost()
+    folder_mode = bool(args.data_dir)
+    if folder_mode:
+        ds = ImageFolderDataset(args.data_dir)
+        # per-host steps: each host sees a 1/pcount strided slice
+        steps_per_epoch = max(len(ds) // (args.batch_size * pcount), 1)
+    else:
+        table = load_slide_table(
+            args.dataset, tile_size=args.tile_size, target_kind=args.target,
+            test_fold=args.test_fold, train=True, train_type="REG",
+            n_tiles=args.n_patches_train, desired_magnification=args.mag,
+            data_root=args.data_root,
+        )
+        sampler = WSITileSampler(
+            table, n_tiles=args.n_patches_train, bag_size=1,
+            num_threads=args.workers,
+        )
+        steps_per_epoch = max(len(sampler) // (args.batch_size * pcount), 1)
+
+    global_batch = args.batch_size * pcount
+    mesh = _fitting_mesh(global_batch, args.model_parallel)
+    shard_fn = None
+    if args.model_parallel > 1:
+        from tpuwsi.parallel.sharding import shard_params
+
+        shard_fn = lambda p: shard_params(mesh, p)  # noqa: E731
+    bundle = ssl_step_bundle(args, steps_per_epoch, global_batch,
+                             shard_fn=shard_fn)
+    tx, state = bundle.tx, bundle.state
     from tpuwsi.core.compile import scheduled_step
 
-    raw_step = make_dino_train_step(model.apply, tx, dcfg, multicrop_fn=mc)
+    raw_step = bundle.raw_step
     step = scheduled_step(jax.jit(raw_step))
     multi_step = None
     if args.steps_per_dispatch > 1:
