@@ -198,6 +198,43 @@ def test_cli_model_parallel_smoke(tmp_path):
     assert any("model" in s for s in specs)
 
 
+def test_cli_ssl_model_parallel_smoke(tmp_path):
+    """--ssl --model-parallel 2: the DINO loop assembles through
+    ssl_step_bundle (round-4 refactor), which applies the TP layout via its
+    shard_fn hook — student params must carry a 'model'-axis sharding and a
+    step must execute on the dp×tp mesh."""
+    from tpuwsi.cli.train import main
+
+    rng = np.random.default_rng(0)
+    for cls, base in (("neg", 40), ("pos", 200)):
+        os.makedirs(tmp_path / "data" / cls)
+        for i in range(8):
+            arr = np.clip(rng.normal(base, 20, (32, 32, 3)), 0, 255).astype(np.uint8)
+            Image.fromarray(arr).save(tmp_path / "data" / cls / f"{i}.png")
+    out = str(tmp_path / "runs")
+    state = main([
+        "--ssl",
+        "--data-dir", str(tmp_path / "data"),
+        "--model", "vit_tiny_patch16_224",
+        "-b", "8",
+        "--epochs", "1",
+        "--max-steps-per-epoch", "1",
+        "--warmup-epochs", "0",
+        "--lr", "1e-4",
+        "--dino-out-dim", "128",
+        "--dino-global-size", "32",
+        "--dino-local-size", "16",
+        "--dino-local-crops", "2",
+        "--model-parallel", "2",
+        "--output", out,
+    ])
+    assert int(state.step) == 1
+    specs = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda p: str(p.sharding), state.student_params)
+    )
+    assert any("model" in s for s in specs)
+
+
 def test_sequence_parallel_mil_pool_matches_single_device():
     """SURVEY §5.7: the MIL bag axis shards over the mesh; the sharded
     softmax-pool (pmax/psum) must match the single-device pool bitwise-ish,
