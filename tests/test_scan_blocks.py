@@ -46,6 +46,31 @@ def test_scan_blocks_match_loop_blocks():
     np.testing.assert_allclose(out_scan, out_loop, atol=1e-5, rtol=1e-5)
 
 
+def test_scan_blocks_match_loop_blocks_with_active_droppath():
+    """Stochastic-depth masks come from ONE top-level draw (exp_prod4
+    restructure), so scan and loop paths consume the SAME masks given the
+    same 'droppath' rng — train-mode outputs must match exactly, not just
+    distributionally."""
+    x = jax.random.uniform(jax.random.PRNGKey(0), (4, 32, 32, 3))
+    loop_model = VisionTransformer(
+        dataclasses.replace(_cfg(False), drop_path_rate=0.5))
+    scan_model = VisionTransformer(
+        dataclasses.replace(_cfg(True), drop_path_rate=0.5))
+    loop_params = loop_model.init(jax.random.PRNGKey(1), x)
+    scan_params = scan_model.init(jax.random.PRNGKey(2), x)
+    scan_params = _stack_loop_params_into_scan(loop_params, scan_params)
+
+    rngs = {"droppath": jax.random.PRNGKey(7)}
+    out_loop = np.asarray(
+        loop_model.apply(loop_params, x, deterministic=False, rngs=rngs))
+    out_scan = np.asarray(
+        scan_model.apply(scan_params, x, deterministic=False, rngs=rngs))
+    # something must actually drop at rate 0.5, or this test proves nothing
+    out_det = np.asarray(loop_model.apply(loop_params, x))
+    assert not np.allclose(out_loop, out_det, atol=1e-5)
+    np.testing.assert_allclose(out_scan, out_loop, atol=1e-5, rtol=1e-5)
+
+
 def test_scan_blocks_droppath_trains():
     cfg = dataclasses.replace(_cfg(True), drop_path_rate=0.2)
     model = VisionTransformer(cfg)

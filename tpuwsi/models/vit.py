@@ -150,24 +150,36 @@ class DropPath(nn.Module):
 
     ``pack`` > 1 means the sequence axis carries ``pack`` independent
     samples' token runs (backbone-level sequence packing) — each packed
-    sample draws its own mask so stochastic depth stays per-sample."""
+    sample draws its own mask so stochastic depth stays per-sample.
+
+    ``mask`` lets the caller supply a precomputed keep mask of shape
+    ``(B, pack, 1)`` (bool). VisionTransformer draws ONE uniform tensor for
+    all layers' masks per forward instead of 2·depth tiny per-block
+    bernoulli calls — measured at ~0.5 ms/step of pure RNG/dispatch
+    overhead in the DINO production step (scripts/exp_prod4.py); the
+    distribution is identical."""
 
     rate: float
     pack: int = 1
 
     @nn.compact
-    def __call__(self, x, deterministic: bool):
+    def __call__(self, x, deterministic: bool, mask=None):
         if deterministic or self.rate == 0.0:
             return x
         keep = 1.0 - self.rate
-        rng = self.make_rng("droppath")
+        if mask is None:
+            rng = self.make_rng("droppath")
+            if self.pack > 1:
+                b = x.shape[0]
+                mask = jax.random.bernoulli(rng, keep, (b, self.pack, 1))
+            else:
+                shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+                mask = jax.random.bernoulli(rng, keep, shape)
+                return jnp.where(mask, x / keep, jnp.zeros_like(x))
         if self.pack > 1:
-            b, n = x.shape[0], x.shape[1]
-            mask = jax.random.bernoulli(rng, keep, (b, self.pack, 1))
-            mask = jnp.repeat(mask, n // self.pack, axis=1)
+            mask = jnp.repeat(mask, x.shape[1] // self.pack, axis=1)
         else:
-            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-            mask = jax.random.bernoulli(rng, keep, shape)
+            mask = mask.reshape((x.shape[0],) + (1,) * (x.ndim - 1))
         return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
@@ -447,7 +459,10 @@ class Block(nn.Module):
     save_probs: bool = False
 
     @nn.compact
-    def __call__(self, x, deterministic: bool, return_attn: bool = False):
+    def __call__(self, x, deterministic: bool, return_attn: bool = False,
+                 drop_path_mask=None):
+        # drop_path_mask: optional (2, B, pack, 1) bool — the two sub-block
+        # keep masks, precomputed by VisionTransformer in one draw.
         d = x.shape[-1]
         # NOTE on attention-side fusion (both variants measured SLOWER than
         # these separate ops in the DINO step; kept as standalone ops):
@@ -474,8 +489,9 @@ class Block(nn.Module):
             save_probs=self.save_probs,
             name="attn",
         )(y.astype(self.dtype), deterministic, return_attn)
-        x = x + DropPath(self.drop_path, pack=self.pack,
-                         name="drop_path1")(y, deterministic)
+        x = x + DropPath(self.drop_path, pack=self.pack, name="drop_path1")(
+            y, deterministic,
+            None if drop_path_mask is None else drop_path_mask[0])
         hidden = int(d * self.mlp_ratio)
         # Fully fused pre-norm MLP sub-block (LN + fc1 + gelu + fc2 +
         # residual as ONE Pallas op — see ops/mlp.py): active when no
@@ -508,8 +524,9 @@ class Block(nn.Module):
             pallas_interpret=self.pallas_interpret,
             name="mlp",
         )(y.astype(self.dtype), deterministic)
-        x = x + DropPath(self.drop_path, pack=self.pack,
-                         name="drop_path2")(y, deterministic)
+        x = x + DropPath(self.drop_path, pack=self.pack, name="drop_path2")(
+            y, deterministic,
+            None if drop_path_mask is None else drop_path_mask[1])
         return x, attn
 
 
@@ -536,25 +553,26 @@ class _ScanBlockBody(nn.Module):
     save_probs: bool = False
 
     @nn.compact
-    def __call__(self, x, dpr):
+    def __call__(self, x, scan_in):
+        # scan_in: (dpr, masks) per-layer scan inputs — the traced drop-path
+        # rate and the (2, B, pack, 1) precomputed keep masks (drawn ONCE for
+        # all layers by VisionTransformer; also keeps RNG out of the remat'd
+        # body so the backward replay recomputes no threefry).
+        dpr, dp_masks = scan_in
         d = x.shape[-1]
         det = self.deterministic
+        site = iter(range(2))
 
         def droppath(y):
             if det:
                 return y
-            rng = self.make_rng("droppath")
             keep = 1.0 - dpr
+            mask = dp_masks[next(site)]
             if self.pack > 1:
                 # per-sample masks inside packed sequences (see DropPath)
-                mask = jax.random.bernoulli(
-                    rng, keep, (y.shape[0], self.pack, 1)
-                )
                 mask = jnp.repeat(mask, y.shape[1] // self.pack, axis=1)
             else:
-                mask = jax.random.bernoulli(
-                    rng, keep, (y.shape[0],) + (1,) * (y.ndim - 1)
-                )
+                mask = mask.reshape((y.shape[0],) + (1,) * (y.ndim - 1))
             # keep is a traced f32 scalar — cast so the residual stream dtype
             # is preserved (scan carry types must be invariant).
             return jnp.where(mask, y / keep.astype(y.dtype), jnp.zeros_like(y))
@@ -698,6 +716,21 @@ class VisionTransformer(nn.Module):
             cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
             for i in range(cfg.depth)
         ]
+        # Stochastic-depth masks for ALL layers in ONE uniform draw
+        # (depth, 2 sub-blocks, B, pack, 1), thresholded per-layer at that
+        # layer's keep rate. Replaces 2·depth tiny bernoulli ops per forward
+        # — measured ~0.5 ms/step of RNG/dispatch overhead in the DINO
+        # production step (scripts/exp_prod4.py); same distribution, and the
+        # masks stay OUTSIDE any remat boundary (no threefry in the
+        # backward replay).
+        dp_masks = None
+        if not deterministic and cfg.drop_path_rate > 0.0:
+            keep = 1.0 - jnp.asarray(dpr, jnp.float32)
+            u = jax.random.uniform(
+                self.make_rng("droppath"),
+                (cfg.depth, 2, x.shape[0], seq_pack, 1),
+            )
+            dp_masks = u < keep[:, None, None, None, None]
         intermediates = []
         last_attn = None
         use_scan = (
@@ -726,9 +759,15 @@ class VisionTransformer(nn.Module):
             ScanBlocks = nn.scan(
                 body,
                 variable_axes={"params": 0},
-                split_rngs={"params": True, "dropout": True, "droppath": True},
+                # droppath masks are precomputed scan inputs (dp_masks), not
+                # per-layer rng splits
+                split_rngs={"params": True, "dropout": True},
                 in_axes=0,
                 length=cfg.depth,
+            )
+            scan_masks = (
+                dp_masks if dp_masks is not None
+                else jnp.ones((cfg.depth, 2, 1, 1, 1), bool)
             )
             x, _ = ScanBlocks(
                 num_heads=cfg.num_heads,
@@ -749,7 +788,7 @@ class VisionTransformer(nn.Module):
                 block_len=blk_len,
                 save_probs=cfg.attn_save_probs,
                 name="blocks_scan",
-            )(x, jnp.asarray(dpr, dtype=jnp.float32))
+            )(x, (jnp.asarray(dpr, dtype=jnp.float32), scan_masks))
         BlockCls = (
             nn.remat(Block, static_argnums=(2, 3),
                      policy=_remat_policy(
@@ -779,7 +818,8 @@ class VisionTransformer(nn.Module):
                 block_len=blk_len,
                 save_probs=cfg.attn_save_probs,
                 name=f"blocks_{i}",
-            )(x, deterministic, want_attn)
+            )(x, deterministic, want_attn,
+              None if dp_masks is None else dp_masks[i])
             if want_attn:
                 last_attn = attn
             if intermediate_layers and i >= cfg.depth - intermediate_layers:
