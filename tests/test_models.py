@@ -301,3 +301,18 @@ def test_ssl_backbone_name_error_is_vit_specific():
 
     with pytest.raises(ValueError, match="not a ViT model name"):
         parse_model_name("efficientnet_b0")
+
+
+def test_create_model_attn_save_probs_plumbed():
+    """cli.train's supervised path adopts the saved-probs attention backward
+    on TPU (scripts/exp_sup4.py) — the registry must thread the flag to the
+    ViT config and the CNN families must simply ignore it."""
+    from tpuwsi.models.registry import create_model
+
+    m = create_model("vit_small_patch16_224", attn_save_probs=True)
+    assert m.config.attn_save_probs
+    m = create_model("vit_small_patch16_224")
+    assert not m.config.attn_save_probs
+    # CNN families accept and ignore the flag
+    create_model("resnet50", attn_save_probs=True)
+    create_model("efficientnet_b0", attn_save_probs=True)

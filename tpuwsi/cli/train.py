@@ -330,6 +330,10 @@ def main(argv=None, default_overrides=None):
         grad_checkpointing=args.grad_checkpointing,
         bn_momentum=args.bn_momentum,
         bn_eps=args.bn_eps,
+        # tuned saved-probs backward for the training step (scripts/
+        # exp_sup4.py A/B; inference-only paths keep it off — the extra
+        # forward HBM write buys nothing without a backward)
+        attn_save_probs=on_tpu,
     )
     variables = model.init(
         jax.random.PRNGKey(args.seed),
@@ -1255,6 +1259,9 @@ def train_survival(args, output_dir, ledger, exp):
         drop_path_rate=args.drop_path or 0.0, img_size=img_size,
         use_pallas_attention=on_tpu,
         grad_checkpointing=args.grad_checkpointing,
+        # same single-view training shape as the supervised step — the
+        # saved-probs backward A/B (scripts/exp_sup4.py) applies here too
+        attn_save_probs=on_tpu,
     )
     params = model.init(
         jax.random.PRNGKey(args.seed),

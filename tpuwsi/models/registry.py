@@ -87,6 +87,7 @@ def create_model(
     grad_checkpointing: bool = False,
     bn_momentum=None,
     bn_eps=None,
+    attn_save_probs: bool = False,
 ) -> VisionTransformer:
     """Build a ViT by timm-style name (or 'resnet50_trunc').
 
@@ -151,5 +152,9 @@ def create_model(
         dtype=dtype,
         use_pallas_attention=use_pallas_attention,
         remat_blocks=grad_checkpointing,
+        # saved-probs attention backward (core/tuned.py): numerics-neutral
+        # in the forward, grads tested equal to the recompute path — safe
+        # for timm-checkpoint fine-tuning. Ignored by the CNN families.
+        attn_save_probs=attn_save_probs,
     )
     return VisionTransformer(cfg)
