@@ -105,3 +105,23 @@ def test_scan_remat_matches_scan():
                     jax.tree_util.tree_leaves(g_remat)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_scan_blocks_train_mode_with_zero_droppath():
+    """drop_path_rate=0 in TRAIN mode must be a clean no-op on the scan
+    path. Regression: the one-draw mask restructure fed the scan body a
+    (depth, 2, 1, 1, 1) dummy mask when no masks were drawn, whose
+    reshape/repeat to the residual shape crashed for batch > 1 — rate 0
+    must skip drop-path entirely (droppath_active)."""
+    cfg = dataclasses.replace(_cfg(True), drop_path_rate=0.0)
+    model = VisionTransformer(cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (4, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(1), x)
+    out_train = np.asarray(model.apply(
+        params, x, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(2),
+              "droppath": jax.random.PRNGKey(3)},
+    ))
+    # rate 0 and no other stochastic regularizer active: train == eval
+    out_det = np.asarray(model.apply(params, x))
+    np.testing.assert_allclose(out_train, out_det, atol=1e-6, rtol=1e-6)

@@ -551,6 +551,10 @@ class _ScanBlockBody(nn.Module):
     pack: int = 1
     block_len: int = 0
     save_probs: bool = False
+    # False when drop_path_rate == 0: the scan still receives a (dummy)
+    # mask input for structure, but it must not be consumed — its shape is
+    # not broadcast-correct and rate-0 needs no masking at all.
+    droppath_active: bool = True
 
     @nn.compact
     def __call__(self, x, scan_in):
@@ -564,7 +568,7 @@ class _ScanBlockBody(nn.Module):
         site = iter(range(2))
 
         def droppath(y):
-            if det:
+            if det or not self.droppath_active:
                 return y
             keep = 1.0 - dpr
             mask = dp_masks[next(site)]
@@ -787,6 +791,7 @@ class VisionTransformer(nn.Module):
                 pack=seq_pack,
                 block_len=blk_len,
                 save_probs=cfg.attn_save_probs,
+                droppath_active=dp_masks is not None,
                 name="blocks_scan",
             )(x, (jnp.asarray(dpr, dtype=jnp.float32), scan_masks))
         BlockCls = (
