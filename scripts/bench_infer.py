@@ -6,9 +6,11 @@ OTHER production path — the reference's ``validate()`` / ``--extract_features`
 loop (train.py:1146-1345): raw uint8 WSI tiles → on-device eval normalize →
 ViT-S/16 forward → softmax probs (or 384-dim features).
 
-Usage: python scripts/bench_infer.py [batch] [mode]
+Usage: python scripts/bench_infer.py [batch] [mode] [quant]
   mode: 'probs' (default, slide-eval path, num_classes=2)
         'features' (head=Identity extraction path, 384-dim)
+  quant: 'int8' — post-training int8 body GEMMs (ops/quant.py; the CLI's
+        --quantize int8 extraction path)
 
 Prints one JSON line: "value" is the PIPELINED tiles/sec (what the serving
 loops actually run — infer/pipeline.py dispatch-ahead fetch); the serialized
@@ -19,6 +21,7 @@ interpolate_pos_encoding — no resize in the eval path).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -38,6 +41,7 @@ import numpy as np
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     mode = sys.argv[2] if len(sys.argv) > 2 else "probs"
+    quant = len(sys.argv) > 3 and sys.argv[3] == "int8"
     tile = 256  # raw WSI tile size (train.py:414 default)
 
     from tpuwsi.preprocess.recipes import make_recipe
@@ -56,11 +60,16 @@ def main():
             use_fused_mlp=False,
             ln_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
             gelu_approx=True,
+            quant_int8=quant,
         )
     )
-    params = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, tile, tile, 3), jnp.float32)
-    )
+    params = VisionTransformer(
+        dataclasses.replace(model.config, quant_int8=False)
+    ).init(jax.random.PRNGKey(0), jnp.zeros((1, tile, tile, 3), jnp.float32))
+    if quant:
+        from tpuwsi.ops.quant import quantize_vit_params
+
+        params = quantize_vit_params(params)
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=params, opt_state=(),
         ema_params=None,
@@ -106,7 +115,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"inference_tiles_per_sec_per_chip_vit_s16_{mode}",
+                "metric": "inference_tiles_per_sec_per_chip_vit_s16_"
+                + mode + ("_int8" if quant else ""),
                 "value": round(batch * n_calls / dt_pipe, 1),
                 "unit": f"{tile}^2 tiles/sec/chip (eval normalize + forward, pipelined)",
                 "batch_size": batch,

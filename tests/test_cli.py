@@ -184,6 +184,36 @@ def test_cli_extract_features_mode(wsi_cohort, tmp_path):
     assert len(glob.glob(os.path.join(feat_dir, "*_features.pt"))) == 2
 
 
+def test_cli_extract_features_quantized(wsi_cohort, tmp_path):
+    """--quantize int8 extraction (ops/quant.py): same export surface, and
+    the int8 features must stay directionally faithful to the f32 ones
+    (they feed cosine/linear MIL heads downstream)."""
+    from tpuwsi.cli.train import main
+
+    common = [
+        "--dataset", "TCGA", "--data-root", wsi_cohort,
+        "--model", "vit_tiny_patch16_224", "--tile-size", "32",
+        "-tf", "1", "-ef", "-nt", "6", "-tpi", "4", "--seed", "0",
+    ]
+    f32 = main(common + ["--output", str(tmp_path / "runs_f32")])
+    q = main(common + ["--quantize", "int8",
+                       "--output", str(tmp_path / "runs_q")])
+    assert len(q.results) == len(f32.results) == 2
+    for a, b in zip(f32.results, q.results):
+        fa, fb = np.asarray(a.features), np.asarray(b.features)
+        assert fa.shape == fb.shape
+        cos = (fa * fb).sum(-1) / (
+            np.linalg.norm(fa, axis=-1) * np.linalg.norm(fb, axis=-1))
+        assert cos.min() > 0.99, cos.min()
+
+
+def test_cli_quantize_rejects_cnn():
+    from tpuwsi.models.registry import create_model
+
+    with pytest.raises(ValueError, match="quantize"):
+        create_model("resnet50", quant_int8=True)
+
+
 def test_cli_folder_mode_validation(tmp_path):
     """Folder mode must validate per epoch (timm_train.py:951-1025 parity):
     eval metrics exist in summary.csv and the best checkpoint tracks them.

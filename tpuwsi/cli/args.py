@@ -289,6 +289,15 @@ def build_parser() -> argparse.ArgumentParser:
                              "(the bench.py K-step driver, productionized): "
                              "amortizes per-call dispatch latency; "
                              "log/recovery granularity becomes N steps")
+    parser.add_argument("--quantize", default="none",
+                        choices=["none", "int8"],
+                        help="inference quantization for -ef feature "
+                             "extraction (ViT family): int8 body GEMMs — "
+                             "per-channel int8 weights + dynamic per-token "
+                             "activations (ops/quant). Accuracy-pinned but "
+                             "measured NEUTRAL-TO-SLOWER on v5e-class "
+                             "chips (XLA int8 emitter; BENCH.md round-4 "
+                             "int8 study) — for int8-native deployments")
     return parser
 
 

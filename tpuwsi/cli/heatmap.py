@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dispatch-ahead", default=2, type=int)
     p.add_argument("--output", default="heatmaps")
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--quantize", default="none", choices=["none", "int8"],
+                   help="int8 body GEMMs for the scoring forward "
+                        "(ops/quant.py; ViT family)")
     return p
 
 
@@ -93,11 +96,19 @@ def main(argv=None):
         raise SystemExit("no slides: pass --slides-file or --slide")
 
     img_size = args.img_size or args.tile_size
+    quantize = args.quantize == "int8"
     model = create_model(
         args.model, num_classes=args.num_classes, img_size=img_size,
         use_pallas_attention=jax.default_backend() == "tpu",
+        quant_int8=quantize,
     )
-    params = model.init(
+    # params always init/restore as f32 (checkpoints are f32); the int8
+    # view quantizes them once below
+    init_model = create_model(
+        args.model, num_classes=args.num_classes, img_size=img_size,
+        use_pallas_attention=jax.default_backend() == "tpu",
+    ) if quantize else model
+    params = init_model.init(
         jax.random.PRNGKey(args.seed),
         jnp.zeros((1, img_size, img_size, 3), jnp.float32),
     )
@@ -122,6 +133,10 @@ def main(argv=None):
         )
     else:
         logging.warning("no --checkpoint: scoring with RANDOM-INIT weights")
+    if quantize:
+        from tpuwsi.ops.quant import quantize_vit_params
+
+        params = quantize_vit_params(params)
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=params, opt_state=(),
         ema_params=None,

@@ -1152,9 +1152,11 @@ def extract_features(args, model, state, eval_step, output_dir):
         data_root=args.data_root,
     )
     img_size = args.img_size or args.tile_size
+    quantize = getattr(args, "quantize", "none") == "int8"
     feat_model = create_model(
         args.model, num_classes=0, img_size=img_size,
         use_pallas_attention=jax.default_backend() == "tpu",
+        quant_int8=quantize,
     )
     norm = make_recipe("none", train=False, tile_size=img_size)
 
@@ -1172,6 +1174,12 @@ def extract_features(args, model, state, eval_step, output_dir):
     )
     agg = SlideAggregator(extract_features=True)
     feat_params = _strip_head(state.params)
+    if quantize:
+        # one-shot post-training quantization of the checkpoint weights —
+        # the serving loop then reads only int8 kernels (ops/quant.py)
+        from tpuwsi.ops.quant import quantize_vit_params
+
+        feat_params = quantize_vit_params(feat_params)
 
     def _dispatch_feats():
         for chunk in walker.walk():

@@ -88,6 +88,7 @@ def create_model(
     bn_momentum=None,
     bn_eps=None,
     attn_save_probs: bool = False,
+    quant_int8: bool = False,
 ) -> VisionTransformer:
     """Build a ViT by timm-style name (or 'resnet50_trunc').
 
@@ -96,6 +97,11 @@ def create_model(
     the backward instead of keeping its residuals — here via flax
     ``nn.remat`` on the block (works for both unrolled and scanned stacks).
     """
+    if quant_int8 and not name.startswith("vit_"):
+        raise ValueError(
+            "--quantize int8 covers the ViT family (int8 body GEMMs, "
+            f"ops/quant.py); {name} runs unquantized — drop --quantize"
+        )
     if name in ("resnet50_trunc", "resnet50_trunc_baseline"):
         return ResNetTruncBaseline(dtype=dtype)
     if name.startswith("efficientnet_b"):
@@ -156,5 +162,6 @@ def create_model(
         # in the forward, grads tested equal to the recompute path — safe
         # for timm-checkpoint fine-tuning. Ignored by the CNN families.
         attn_save_probs=attn_save_probs,
+        quant_int8=quant_int8,
     )
     return VisionTransformer(cfg)

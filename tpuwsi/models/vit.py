@@ -75,6 +75,13 @@ class ViTConfig:
     # in-step once the GEMM region hit ~95% of HBM peak — the kernels stay
     # as the documented measured-negative path (core/tuned.py).
     use_fused_mlp: bool = False
+    # int8 inference quantization of the body projections (qkv/proj/fc1/
+    # fc2): per-output-channel int8 weights (quantized once from the f32
+    # checkpoint via ops/quant.quantize_vit_params — the param tree changes
+    # to <layer>/{kernel int8, scale, bias}) + dynamic per-token activation
+    # quantization, s8×s8→s32 on the MXU (1.65× the bf16 rate on this
+    # chip). Inference-only: apply() raises in train mode.
+    quant_int8: bool = False
     # Hybrid backward families (XLA forward kept for its 85-95%-MFU forward
     # mega-fusions; only the VJP routes through a Pallas dual-output kernel
     # — targets the 56-79%-MFU backward dgrad+wgrad+dbias multi-output
@@ -223,12 +230,20 @@ class Attention(nn.Module):
     block_len: int = 0
     # forward kernel saves softmax probs; backward skips their recompute
     save_probs: bool = False
+    # int8 qkv/proj GEMMs (inference quantization — see ViTConfig.quant_int8)
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool, return_attn: bool = False):
         b, n, d = x.shape
         head_dim = d // self.num_heads
-        if self.dense_pallas_bwd:
+        if self.quant_int8:
+            from tpuwsi.ops.quant import int8_dense
+
+            kq, ks, kb = _QDenseParams(d, 3 * d, self.qkv_bias, name="qkv")()
+            qkv = int8_dense(x.astype(self.dtype), kq, ks, kb,
+                             out_dtype=self.dtype)
+        elif self.dense_pallas_bwd:
             from tpuwsi.ops.dense import hybrid_dense
 
             wq, bq = _DenseParams(d, 3 * d, self.qkv_bias, name="qkv")()
@@ -301,7 +316,13 @@ class Attention(nn.Module):
                 # reference recipes never enable attn_drop — timm default 0).
                 out = nn.Dropout(self.attn_drop)(out, deterministic=False)
 
-        if self.dense_pallas_bwd:
+        if self.quant_int8:
+            from tpuwsi.ops.quant import int8_dense
+
+            kp, ps, pb = _QDenseParams(d, d, name="proj")()
+            out = int8_dense(out.astype(self.dtype), kp, ps, pb,
+                             out_dtype=self.dtype)
+        elif self.dense_pallas_bwd:
             wp, bp = _DenseParams(d, d, name="proj")()
             out = hybrid_dense(
                 out.astype(self.dtype), wp, bp,
@@ -341,6 +362,33 @@ class _DenseParams(nn.Module):
             "bias", nn.initializers.zeros, (self.features,), jnp.float32
         )
         return k, b
+
+
+class _QDenseParams(nn.Module):
+    """int8-quantized Dense parameter container (quant_int8 path): same
+    layer name as _DenseParams but the tree holds <name>/{kernel int8,
+    scale f32 per-out-channel[, bias f32]} — the layout
+    ops/quant.quantize_vit_params produces from an f32 checkpoint."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.zeros,
+            (self.in_features, self.features), jnp.int8,
+        )
+        s = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        if not self.use_bias:
+            return k, s, None
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return k, s, b
 
 
 class _AttnParams(nn.Module):
@@ -400,10 +448,22 @@ class Mlp(nn.Module):
     use_pallas: bool = False
     mlp_pallas_bwd: bool = False
     pallas_interpret: bool = False
+    # int8 fc1/fc2 GEMMs (inference quantization — see ViTConfig.quant_int8)
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
         d = x.shape[-1]
+        if self.quant_int8:
+            from tpuwsi.ops.quant import int8_dense
+
+            k1, s1, qb1 = _QDenseParams(d, self.hidden_dim, name="fc1")()
+            k2, s2, qb2 = _QDenseParams(self.hidden_dim, self.out_dim,
+                                        name="fc2")()
+            x = int8_dense(x.astype(self.dtype), k1, s1, qb1,
+                           out_dtype=self.dtype)
+            x = nn.gelu(x, approximate=self.gelu_approx)
+            return int8_dense(x, k2, s2, qb2, out_dtype=self.dtype)
         w1, b1 = _DenseParams(d, self.hidden_dim, name="fc1")()
         w2, b2 = _DenseParams(self.hidden_dim, self.out_dim, name="fc2")()
         dt = self.dtype
@@ -457,6 +517,7 @@ class Block(nn.Module):
     pack: int = 1
     block_len: int = 0
     save_probs: bool = False
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool, return_attn: bool = False,
@@ -487,6 +548,7 @@ class Block(nn.Module):
             pallas_interpret=self.pallas_interpret,
             block_len=self.block_len,
             save_probs=self.save_probs,
+            quant_int8=self.quant_int8,
             name="attn",
         )(y.astype(self.dtype), deterministic, return_attn)
         x = x + DropPath(self.drop_path, pack=self.pack, name="drop_path1")(
@@ -498,8 +560,9 @@ class Block(nn.Module):
         # dropout/stochastic-depth applies to this sub-block. Param tree is
         # identical to the unfused path (norm2/{scale,bias},
         # mlp/fc{1,2}/{kernel,bias}).
-        fuse_block = self.use_pallas and self.use_fused_mlp and (
-            deterministic or (self.drop == 0.0 and self.drop_path == 0.0)
+        fuse_block = (
+            self.use_pallas and self.use_fused_mlp and not self.quant_int8
+            and (deterministic or (self.drop == 0.0 and self.drop_path == 0.0))
         )
         if fuse_block:
             from tpuwsi.ops.mlp import fused_mlp_block
@@ -522,6 +585,7 @@ class Block(nn.Module):
             use_pallas=self.use_pallas and self.use_fused_mlp,
             mlp_pallas_bwd=self.mlp_pallas_bwd,
             pallas_interpret=self.pallas_interpret,
+            quant_int8=self.quant_int8,
             name="mlp",
         )(y.astype(self.dtype), deterministic)
         x = x + DropPath(self.drop_path, pack=self.pack, name="drop_path2")(
@@ -551,6 +615,7 @@ class _ScanBlockBody(nn.Module):
     pack: int = 1
     block_len: int = 0
     save_probs: bool = False
+    quant_int8: bool = False
     # False when drop_path_rate == 0: the scan still receives a (dummy)
     # mask input for structure, but it must not be consumed — its shape is
     # not broadcast-correct and rate-0 needs no masking at all.
@@ -593,13 +658,15 @@ class _ScanBlockBody(nn.Module):
             pallas_interpret=self.pallas_interpret,
             block_len=self.block_len,
             save_probs=self.save_probs,
+            quant_int8=self.quant_int8,
             name="attn",
         )(y.astype(self.dtype), det, False)
         x = x + droppath(y)
         # The scan body's drop-path rate is a TRACED per-layer input, so the
         # fused pre-norm block (which skips drop-path) can only apply when
         # deterministic — training keeps the unfused path here.
-        if self.use_pallas and self.use_fused_mlp and det:
+        if (self.use_pallas and self.use_fused_mlp and det
+                and not self.quant_int8):
             from tpuwsi.ops.mlp import fused_mlp_block
 
             ls, lb = _LNParams(d, name="norm2")()
@@ -622,6 +689,7 @@ class _ScanBlockBody(nn.Module):
             use_pallas=self.use_pallas and self.use_fused_mlp,
             mlp_pallas_bwd=self.mlp_pallas_bwd,
             pallas_interpret=self.pallas_interpret,
+            quant_int8=self.quant_int8,
             name="mlp",
         )(y.astype(self.dtype), det)
         x = x + droppath(y)
@@ -667,6 +735,12 @@ class VisionTransformer(nn.Module):
         intermediate_layers: Optional[int] = None,
     ):
         cfg = self.config
+        if cfg.quant_int8 and not deterministic:
+            raise ValueError(
+                "quant_int8 is inference-only: a backward through the "
+                "rounded int8 GEMMs would need straight-through "
+                "estimators, which changes training semantics"
+            )
         b = x.shape[0]
         x, (gh, gw) = PatchEmbed(
             patch_size=cfg.patch_size,
@@ -791,6 +865,7 @@ class VisionTransformer(nn.Module):
                 pack=seq_pack,
                 block_len=blk_len,
                 save_probs=cfg.attn_save_probs,
+                quant_int8=cfg.quant_int8,
                 droppath_active=dp_masks is not None,
                 name="blocks_scan",
             )(x, (jnp.asarray(dpr, dtype=jnp.float32), scan_masks))
@@ -822,6 +897,7 @@ class VisionTransformer(nn.Module):
                 pack=seq_pack,
                 block_len=blk_len,
                 save_probs=cfg.attn_save_probs,
+                quant_int8=cfg.quant_int8,
                 name=f"blocks_{i}",
             )(x, deterministic, want_attn,
               None if dp_masks is None else dp_masks[i])
