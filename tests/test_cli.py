@@ -157,6 +157,38 @@ def test_cli_ssl_mode(patch_folder, tmp_path):
     assert int(state.step) == 1
 
 
+def test_cli_ssl_knn_probe(patch_folder, tmp_path):
+    """--knn-eval-rate: the DINO kNN probe (teacher CLS features) runs at
+    epoch cadence in folder-mode SSL and lands in summary.csv."""
+    import csv
+
+    from tpuwsi.cli.train import main
+
+    out = str(tmp_path / "runs_knn")
+    main([
+        "--ssl", "--data-dir", patch_folder,
+        "--model", "vit_tiny_patch16_224",
+        "-b", "4", "--epochs", "1", "--max-steps-per-epoch", "1",
+        "--warmup-epochs", "0", "--lr", "1e-4",
+        "--dino-out-dim", "128", "--dino-global-size", "32",
+        "--dino-local-size", "16", "--dino-local-crops", "2",
+        "--knn-eval-rate", "1",
+        "--output", out,
+    ])
+    run_dir = [os.path.join(out, e) for e in os.listdir(out)
+               if e.startswith("Exp_")][0]
+    rows = list(csv.DictReader(open(os.path.join(run_dir, "summary.csv"))))
+    acc = float(rows[0]["eval_knn_acc"])
+    # brightness classes separate linearly even at near-init weights
+    assert 0.0 <= acc <= 1.0
+    # WSI mode has no labels: the flag must refuse, not silently skip
+    with pytest.raises(SystemExit, match="folder-mode"):
+        main([
+            "--ssl", "--dataset", "TCGA", "--knn-eval-rate", "1",
+            "--data-root", str(tmp_path / "nope"), "--output", out,
+        ])
+
+
 def test_cli_extract_features_mode(wsi_cohort, tmp_path):
     from tpuwsi.cli.train import main
 

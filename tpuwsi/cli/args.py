@@ -217,6 +217,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--warmup-teacher-temp", default=0.04, type=float)
     parser.add_argument("--warmup-teacher-temp-epochs", default=0, type=int)
     parser.add_argument("--ema-base", default=0.996, type=float)
+    parser.add_argument("--knn-eval-rate", default=0, type=int,
+                        help="folder-mode SSL only: every N epochs run the "
+                             "DINO kNN probe (teacher CLS features, k=20) "
+                             "on a held-out 20%% of the folder labels and "
+                             "log knn_acc to summary.csv; 0 = off")
     # timm folder-mode transform stack (timm create_transform surface,
     # timm_train.py:614-663) — active with --transform_type timm
     parser.add_argument("--hflip", default=0.5, type=float)

@@ -1563,6 +1563,11 @@ def train_ssl(args, output_dir):
 
     pindex, pcount = initialize_multihost()
     folder_mode = bool(args.data_dir)
+    if args.knn_eval_rate and not folder_mode:
+        raise SystemExit(
+            "--knn-eval-rate needs folder-mode labels (--data-dir); "
+            "the WSI SSL stream is unlabeled"
+        )
     if folder_mode:
         ds = ImageFolderDataset(args.data_dir)
         # per-host steps: each host sees a 1/pcount strided slice
@@ -1604,6 +1609,10 @@ def train_ssl(args, output_dir):
         os.path.join(output_dir, "checkpoints"), metric_name="loss", mode="min"
     )
 
+    knn_probe = None
+    if args.knn_eval_rate:
+        knn_probe = _make_ssl_knn_probe(args, bundle, ds)
+
     rng = jax.random.PRNGKey(args.seed)
     with mesh:
         for epoch in range(args.epochs):
@@ -1639,10 +1648,75 @@ def train_ssl(args, output_dir):
                         epoch, j, float(metrics["loss"]),
                         float(metrics["ema_momentum"]),
                     )
-            ckpt.save(int(state.step), state,
-                      {"loss": float(metrics.get("loss", 0.0))})
+            epoch_metrics = {"loss": float(metrics.get("loss", 0.0))}
+            if knn_probe and (epoch + 1) % args.knn_eval_rate == 0:
+                epoch_metrics["knn_acc"] = knn_probe(state)
+                logging.info("ssl epoch %d knn@20 acc %.4f",
+                             epoch, epoch_metrics["knn_acc"])
+            ckpt.save(int(state.step), state, epoch_metrics)
+            if knn_probe:
+                from tpuwsi.utils import update_summary
+
+                update_summary(
+                    epoch, {"loss": epoch_metrics["loss"]},
+                    {"knn_acc": epoch_metrics.get("knn_acc", float("nan"))},
+                    os.path.join(output_dir, "summary.csv"),
+                    write_header=epoch == 0,
+                )
     ckpt.close()
     return state
+
+
+def _make_ssl_knn_probe(args, bundle, ds):
+    """DINO kNN probe over the teacher's CLS features (the standard SSL
+    eval the reference lacks — DINO eval_knn protocol, k=20): deterministic
+    80/20 stride split of the labeled folder, center-crop to the global
+    view size, training normalization bank."""
+    import jax.numpy as jnp
+
+    from tpuwsi.preprocess.normalize import normalize
+    from tpuwsi.ssl_dino import knn_accuracy
+
+    idx = np.arange(len(ds))
+    te = idx[::5]
+    tr = np.setdiff1d(idx, te)
+    labels = np.asarray([ds.samples[i][1] for i in idx], np.int64)
+    g = args.dino_global_size
+    backbone = bundle.model.backbone
+
+    def _crop(img):
+        h, w = img.shape[:2]
+        if h < g or w < g:  # tiny probe images: resize up via PIL path
+            from PIL import Image
+
+            img = np.asarray(
+                Image.fromarray(img).resize((g, g)), dtype=np.uint8)
+            return img
+        y0, x0 = (h - g) // 2, (w - g) // 2
+        return img[y0:y0 + g, x0:x0 + g]
+
+    crops = np.stack([_crop(ds.load(int(i))) for i in idx])
+
+    @jax.jit
+    def feats_fn(params, imgs):
+        x = normalize(imgs.astype(jnp.float32) / 255.0, "Ron")
+        return backbone.apply(params, x, deterministic=True)
+
+    def probe(state):
+        params = {"params": state.teacher_params["params"]["backbone"]}
+        feats = []
+        b = max(args.batch_size, 1)
+        for i in range(0, len(crops), b):
+            feats.append(np.asarray(
+                feats_fn(params, jnp.asarray(crops[i:i + b])), np.float32))
+        feats = np.concatenate(feats)
+        return float(knn_accuracy(
+            jnp.asarray(feats[tr]), jnp.asarray(labels[tr]),
+            jnp.asarray(feats[te]), jnp.asarray(labels[te]),
+            k=min(20, len(tr)),
+        ))
+
+    return probe
 
 
 if __name__ == "__main__":
