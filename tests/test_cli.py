@@ -135,6 +135,37 @@ def test_cli_wsi_mode_with_eval(wsi_cohort, tmp_path):
     assert "eval_auc" in rows[0]
 
 
+def test_cli_wsi_eval_scanned_dispatch_matches(wsi_cohort, tmp_path):
+    """--eval-steps-per-dispatch 2 routes evaluate_slides through the
+    lax.scan'd serving driver; with a fixed seed the eval AUCs must equal
+    the per-chunk dispatch run's exactly."""
+    import csv
+
+    from tpuwsi.cli.train import main
+
+    common = [
+        "--dataset", "TCGA", "--data-root", wsi_cohort,
+        "--model", "vit_tiny_patch16_224", "--tile-size", "32",
+        "-b", "4", "--epochs", "1", "--max-steps-per-epoch", "2",
+        "--warmup-epochs", "0", "--opt", "adamw", "--lr", "1e-3",
+        "--transform_type", "flip", "--eval_rate", "1",
+        "--n_patches_test", "4", "-tpi", "4", "-tf", "1", "--seed", "0",
+    ]
+
+    def run(extra, out):
+        main(common + extra + ["--output", out])
+        run_dir = [os.path.join(out, e) for e in os.listdir(out)
+                   if e.startswith("Exp_")][0]
+        rows = list(csv.DictReader(
+            open(os.path.join(run_dir, "summary.csv"))))
+        return rows[-1]
+
+    base = run([], str(tmp_path / "r1"))
+    scanned = run(["--eval-steps-per-dispatch", "2"], str(tmp_path / "r2"))
+    assert base["eval_auc"] == scanned["eval_auc"]
+    assert base["eval_patch_auc"] == scanned["eval_patch_auc"]
+
+
 def test_cli_ssl_mode(patch_folder, tmp_path):
     from tpuwsi.cli.train import main
 
@@ -237,6 +268,40 @@ def test_cli_extract_features_quantized(wsi_cohort, tmp_path):
         cos = (fa * fb).sum(-1) / (
             np.linalg.norm(fa, axis=-1) * np.linalg.norm(fb, axis=-1))
         assert cos.min() > 0.99, cos.min()
+
+
+def test_cli_extract_single_forward_matches_dual(wsi_cohort, tmp_path,
+                                                 monkeypatch):
+    """The single-forward extraction step (feats @ head Dense, one backbone
+    pass) must reproduce the two-forward path's probs AND features exactly:
+    same normalize, same backbone, and the head is a plain f32 Dense on the
+    cls features, so logits differ only by GEMM association order."""
+    from tpuwsi.cli import train as cli_train
+
+    common = [
+        "--dataset", "TCGA", "--data-root", wsi_cohort,
+        "--model", "vit_tiny_patch16_224", "--tile-size", "32",
+        "-tf", "1", "-ef", "-nt", "6", "-tpi", "4", "--seed", "0",
+    ]
+    single = cli_train.main(common + ["--output", str(tmp_path / "r_one")])
+    # scanned serving driver (--eval-steps-per-dispatch): 4 walker chunks at
+    # k=3 → one full stack + one padded partial; must be chunk-for-chunk
+    # identical to the per-chunk dispatch path
+    scanned = cli_train.main(common + [
+        "--eval-steps-per-dispatch", "3", "--output", str(tmp_path / "r_k3")])
+    monkeypatch.setattr(cli_train, "_find_head_dense", lambda params: None)
+    dual = cli_train.main(common + ["--output", str(tmp_path / "r_two")])
+    assert len(single.results) == len(dual.results) == 2
+    for a, b in zip(single.results, dual.results):
+        np.testing.assert_allclose(
+            np.asarray(a.features), np.asarray(b.features), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(a.tile_probs), np.asarray(b.tile_probs), atol=1e-5)
+    for a, c in zip(single.results, scanned.results):
+        np.testing.assert_allclose(
+            np.asarray(a.features), np.asarray(c.features), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(a.tile_probs), np.asarray(c.tile_probs), atol=1e-6)
 
 
 def test_cli_quantize_rejects_cnn():

@@ -285,6 +285,11 @@ def build_parser() -> argparse.ArgumentParser:
     # debug/smoke
     parser.add_argument("--max-steps-per-epoch", default=0, type=int,
                         help="0 = full epoch (testing hook)")
+    parser.add_argument("--eval-steps-per-dispatch", default=1, type=int,
+                        help="serving-side scan driver: stack N eval chunks "
+                             "per device dispatch (lax.scan), amortizing "
+                             "per-call dispatch+fetch overhead; 1 = one "
+                             "dispatch per chunk (reference parity)")
     parser.add_argument("--dispatch-ahead", default=4, type=int,
                         help="bound device run-ahead: sync every N steps "
                              "(unbounded queues hold N optimizer states in "

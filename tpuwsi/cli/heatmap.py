@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-tpi", "--tiles-per-iter", dest="tiles_per_iter",
                    default=100, type=int)
     p.add_argument("--dispatch-ahead", default=2, type=int)
+    p.add_argument("--eval-steps-per-dispatch", default=1, type=int,
+                   help="stack N chunks per lax.scan'd device dispatch "
+                        "(amortizes dispatch+fetch; 1 = per-chunk)")
     p.add_argument("--output", default="heatmaps")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--quantize", default="none", choices=["none", "int8"],
@@ -160,6 +163,14 @@ def main(argv=None):
 
     os.makedirs(args.output, exist_ok=True)
     results = {}
+    # scanned serving driver (shared with cli.train --eval-steps-per-dispatch):
+    # one lax.scan'd dispatch per k chunks; built once, reused across slides
+    k_ev = getattr(args, "eval_steps_per_dispatch", 1)
+    scanned = None
+    if k_ev > 1:
+        from tpuwsi.train.supervised import make_multi_eval_step
+
+        scanned = jax.jit(make_multi_eval_step(score))
     for slide_path in slides:
         walker = FullSlideWalker(
             slide_path,
@@ -172,16 +183,20 @@ def main(argv=None):
             rng=np.random.default_rng(args.seed),
         )
 
-        def _dispatch():
-            for chunk in walker.walk():
-                yield chunk, score(state.params, jnp.asarray(chunk.images))
+        from tpuwsi.infer.pipeline import eval_stream
 
+        stream = eval_stream(
+            walker.walk(), lambda c: c.images,
+            lambda im: score(state.params, jnp.asarray(im)),
+            multi_call=(
+                (lambda ims: scanned(state.params, jnp.asarray(ims)))
+                if scanned is not None else None),
+            k=k_ev, depth=args.dispatch_ahead,
+        )
         locs, scores, tissue_scores = [], [], []
         shape = walker.equivalent_grid_shape
         with walker:  # release the slide handle per entry (fd hygiene)
-            for chunk, s in pipelined_fetch(
-                _dispatch(), depth=args.dispatch_ahead
-            ):
+            for chunk, s in stream:
                 s = np.asarray(s)[chunk.mask]
                 locs.append(chunk.equivalent_locations[chunk.mask])
                 scores.append(s)

@@ -894,6 +894,7 @@ def main(argv=None, default_overrides=None):
                         val_ds, state, eval_step,
                         args.validation_batch_size or args.batch_size,
                         dispatch_ahead=args.dispatch_ahead,
+                        steps_per_dispatch=args.eval_steps_per_dispatch,
                     )
                     logging.info("epoch %d folder eval: %s", epoch, eval_metrics)
                     tracker.log(
@@ -1001,8 +1002,43 @@ def _run_chunk(chunk, spd, jit_step, jit_multi, mesh, keys, state, rng):
     return state, metrics
 
 
+_SCANNED_EVALS: dict = {}
+
+
+def _serving_stream(chunks, state, eval_step, k, depth,
+                    images_of=lambda c: c.images):
+    """(chunk, (logits, probs)) host stream for the serving loops.
+
+    k=1: one dispatch per chunk (round-3 behavior). k>1: one lax.scan'd
+    dispatch per k chunks (--eval-steps-per-dispatch;
+    infer/pipeline.eval_stream + train.supervised.make_multi_eval_step).
+    State rides as an ARGUMENT of the jitted scan — never a closure — so a
+    fresh state each epoch is picked up without retracing."""
+    import jax.numpy as jnp
+
+    from tpuwsi.infer.pipeline import eval_stream
+    from tpuwsi.train.supervised import make_multi_eval_step
+
+    multi = None
+    if k > 1:
+        # memoized on the step object: a fresh jax.jit wrapper per epoch
+        # would retrace (and re-hit the compile cache) every eval pass
+        entry = _SCANNED_EVALS.get(id(eval_step))
+        if entry is not None and entry[0] is eval_step:
+            scanned = entry[1]
+        else:
+            scanned = jax.jit(make_multi_eval_step(eval_step))
+            _SCANNED_EVALS[id(eval_step)] = (eval_step, scanned)
+        multi = lambda ims: scanned(state, {"images": jnp.asarray(ims)})
+    return eval_stream(
+        chunks, images_of,
+        lambda im: eval_step(state, {"images": jnp.asarray(im)}),
+        multi_call=multi, k=k, depth=depth,
+    )
+
+
 def evaluate_folder(val_ds, state, eval_step, batch_size: int,
-                    dispatch_ahead: int = 2):
+                    dispatch_ahead: int = 2, steps_per_dispatch: int = 1):
     """Folder-mode validation (timm_train.py:951-1025): top-1/top-5 accuracy
     and mean CE loss over the val set; binary AUC when there are 2 classes."""
     import jax.numpy as jnp
@@ -1013,16 +1049,13 @@ def evaluate_folder(val_ds, state, eval_step, batch_size: int,
     loss_sum = 0.0
     all_scores, all_labels = [], []
 
-    def _dispatch():
-        for batch in val_ds.batches(batch_size, shuffle=False, drop_last=False):
-            logits, probs = eval_step(
-                state, {"images": jnp.asarray(batch["images"])}
-            )
-            yield batch["labels"], (logits, probs)
-
-    for labels, (logits, probs) in pipelined_fetch(
-        _dispatch(), depth=dispatch_ahead
-    ):
+    stream = _serving_stream(
+        val_ds.batches(batch_size, shuffle=False, drop_last=False),
+        state, eval_step, steps_per_dispatch, dispatch_ahead,
+        images_of=lambda b: b["images"],
+    )
+    for batch, (logits, probs) in stream:
+        labels = batch["labels"]
         logits = np.asarray(logits, dtype=np.float32)
         probs = np.asarray(probs)
         k = min(5, logits.shape[-1])
@@ -1076,16 +1109,11 @@ def evaluate_slides(args, state, eval_step):
         # patch AUCs plus their mean as the ranking metric
         aggs = [SlideAggregator() for _ in names]
 
-        def _dispatch_mt():
-            for chunk in walker.walk():
-                logits, _ = eval_step(
-                    state, {"images": jnp.asarray(chunk.images)}
-                )
-                yield chunk, logits
-
-        for chunk, logits in pipelined_fetch(
-            _dispatch_mt(), depth=args.dispatch_ahead
-        ):
+        stream = _serving_stream(
+            walker.walk(), state, eval_step,
+            args.eval_steps_per_dispatch, args.dispatch_ahead,
+        )
+        for chunk, (logits, _probs) in stream:
             logits = np.asarray(logits, dtype=np.float32)
             for t, a in enumerate(aggs):
                 lab = int(np.asarray(chunk.label).ravel()[t])
@@ -1116,14 +1144,13 @@ def evaluate_slides(args, state, eval_step):
         return metrics, next(a for a in aggs if a.results)
     agg = SlideAggregator()
 
-    def _dispatch():
-        for chunk in walker.walk():
-            _, probs = eval_step(state, {"images": jnp.asarray(chunk.images)})
-            yield chunk, probs
-
     # dispatch-ahead pipelining (infer/pipeline.py): device computes chunk i
-    # while the host decodes chunk i+1 and fetches chunk i-depth
-    for chunk, probs in pipelined_fetch(_dispatch(), depth=args.dispatch_ahead):
+    # while the host decodes chunk i+1 and fetches chunk i-depth; with
+    # --eval-steps-per-dispatch > 1 each dispatch scans k chunks on-device
+    for chunk, (_logits, probs) in _serving_stream(
+        walker.walk(), state, eval_step,
+        args.eval_steps_per_dispatch, args.dispatch_ahead,
+    ):
         agg.add_chunk(chunk, probs)
     if not agg.results:
         return {}, None
@@ -1158,7 +1185,13 @@ def extract_features(args, model, state, eval_step, output_dir):
         use_pallas_attention=jax.default_backend() == "tpu",
         quant_int8=quantize,
     )
-    norm = make_recipe("none", train=False, tile_size=img_size)
+    # Same norm bank as the caller's eval_step (TMA cohorts use the Amir
+    # bank): keeps the single-forward probs bit-identical to eval_step's,
+    # and the saved features normalized consistently with them.
+    norm = make_recipe(
+        "none", train=False, tile_size=img_size,
+        norm_type="Amir" if args.dataset.startswith("TMA") else "Ron",
+    )
 
     # head params present in state.params are ignored by the num_classes=0 view
     import jax as _jax
@@ -1181,22 +1214,81 @@ def extract_features(args, model, state, eval_step, output_dir):
 
         feat_params = quantize_vit_params(feat_params)
 
-    def _dispatch_feats():
-        for chunk in walker.walk():
-            images = jnp.asarray(chunk.images)
-            _, probs = eval_step(state, {"images": images})
-            feats = feat_step(feat_params, images)
-            yield chunk, (probs, feats)
+    # ONE backbone forward per chunk (reference parity: train.py:1281-1332
+    # reads features and logits from a single model forward). Every zoo
+    # classifier is a plain f32 Dense on the pooled/cls features (ViT
+    # 'head', ResNet 'fc', EfficientNet 'classifier'), so
+    # logits = feats @ W + b reproduces eval_step's logits exactly while
+    # halving the extraction compute. Fallback to the two-forward path when
+    # no head Dense is found, under --quantize int8 (probs must come from
+    # the f32 model the accuracy pin was measured against), or under
+    # --model-ema (eval_step scores the EMA copy; the feature pass reads
+    # the raw params — one forward can't serve both).
+    use_ema_eval = args.model_ema and state.ema_params is not None
+    head_kb = _find_head_dense(state.params)
+    if head_kb is not None and not quantize and not use_ema_eval:
+        w_h, b_h = head_kb
 
-    for chunk, (probs, feats) in pipelined_fetch(
-        _dispatch_feats(), depth=args.dispatch_ahead
-    ):
+        @_jax.jit
+        def feat_probs_step(params, images):
+            x = norm(_jax.random.PRNGKey(0), images)
+            feats = feat_model.apply(params, x)
+            logits = feats.astype(jnp.float32) @ w_h + b_h
+            return _jax.nn.softmax(logits, axis=-1), feats
+
+        from tpuwsi.infer.pipeline import eval_stream
+        from tpuwsi.train.supervised import make_multi_eval_step
+
+        k = args.eval_steps_per_dispatch
+        multi = None
+        if k > 1:
+            scanned_fp = _jax.jit(make_multi_eval_step(feat_probs_step))
+            multi = lambda ims: scanned_fp(feat_params, jnp.asarray(ims))
+        stream = eval_stream(
+            walker.walk(), lambda c: c.images,
+            lambda im: feat_probs_step(feat_params, jnp.asarray(im)),
+            multi_call=multi, k=k, depth=args.dispatch_ahead,
+        )
+    else:
+        def _dispatch_feats():
+            for chunk in walker.walk():
+                images = jnp.asarray(chunk.images)
+                _, probs = eval_step(state, {"images": images})
+                feats = feat_step(feat_params, images)
+                yield chunk, (probs, feats)
+
+        stream = pipelined_fetch(_dispatch_feats(), depth=args.dispatch_ahead)
+
+    for chunk, (probs, feats) in stream:
         agg.add_chunk(chunk, probs, feats)
     feat_dir = os.path.join(output_dir, "features")
     agg.save_features_pt(feat_dir)
     agg.save_inference_data(os.path.join(feat_dir, "inference.data"))
     logging.info("features for %d slides → %s", len(agg.results), feat_dir)
     return agg
+
+
+def _find_head_dense(params):
+    """Locate the final classifier Dense (kernel, bias) in a param tree.
+
+    Every zoo family ends in one plain f32 Dense on the pooled/cls
+    features — ViT names it 'head' (models/vit.py), ResNet 'fc'
+    (models/resnet_trunc.py), EfficientNet 'classifier'
+    (models/efficientnet.py). Returns (kernel, bias) or None."""
+    import flax
+    import jax.numpy as jnp
+    import numpy as np
+
+    flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(params))
+    for name in ("head", "fc", "classifier"):
+        kk = ("params", name, "kernel")
+        if kk in flat:
+            kernel = jnp.asarray(flat[kk])
+            bias = flat.get(("params", name, "bias"))
+            if bias is None:
+                bias = np.zeros((kernel.shape[-1],), np.float32)
+            return kernel, jnp.asarray(bias)
+    return None
 
 
 def _strip_head(params):
@@ -1401,12 +1493,26 @@ def train_survival(args, output_dir, ledger, exp):
             if epoch % args.eval_rate == 0 or epoch == args.epochs - 1:
                 agg = SurvivalAggregator()
 
-                def _dispatch_surv(params):
-                    for chunk in walker.walk():
-                        yield chunk, risk_fn(params, jnp.asarray(chunk.images))
+                from tpuwsi.infer.pipeline import eval_stream
+                from tpuwsi.train.supervised import make_multi_eval_step
 
-                for chunk, risks in pipelined_fetch(
-                    _dispatch_surv(state.params), depth=args.dispatch_ahead
+                k_ev = args.eval_steps_per_dispatch
+                multi = None
+                if k_ev > 1:
+                    entry = _SCANNED_EVALS.get(id(risk_fn))
+                    if entry is not None and entry[0] is risk_fn:
+                        scanned_r = entry[1]
+                    else:
+                        scanned_r = jax.jit(make_multi_eval_step(risk_fn))
+                        _SCANNED_EVALS[id(risk_fn)] = (risk_fn, scanned_r)
+                    params_now = state.params
+                    multi = lambda ims: scanned_r(
+                        params_now, jnp.asarray(ims))
+                params_s = state.params
+                for chunk, risks in eval_stream(
+                    walker.walk(), lambda c: c.images,
+                    lambda im: risk_fn(params_s, jnp.asarray(im)),
+                    multi_call=multi, k=k_ev, depth=args.dispatch_ahead,
                 ):
                     agg.add_chunk(chunk, risks)
                 if agg.results:

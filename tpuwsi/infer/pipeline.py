@@ -39,6 +39,82 @@ def _fetch(tree):
     )
 
 
+def eval_stream(
+    chunks: Iterable[Any],
+    images_of,
+    single_call,
+    multi_call=None,
+    k: int = 1,
+    depth: int = 2,
+) -> Iterator[Tuple[Any, Any]]:
+    """Per-chunk ``(chunk, host_outputs)`` stream for the serving loops.
+
+    ``k <= 1``: one dispatch per chunk through ``single_call(images)``,
+    fetch-pipelined — the round-3 behavior.
+
+    ``k > 1``: stacks k chunks' images and dispatches ONE scanned eval
+    (``multi_call(stacked)``, built with
+    ``train.supervised.make_multi_eval_step``) per stack — the serving-side
+    analogue of the training ``--steps-per-dispatch`` driver. The device
+    runs k forwards autonomously per dispatch, amortizing the fixed
+    dispatch+fetch overhead (~21 ms/call measured on the tunneled chip,
+    sub-ms but nonzero on TPU VMs) k-fold. The final partial stack is
+    padded by repeating its last chunk (static shapes: no extra compile
+    through the remote-compile tunnel) and the padded outputs dropped.
+    Chunks whose image shape differs from the stream's first (a ragged
+    drop_last=False tail batch) are deferred to the per-chunk path and
+    yielded LAST — the slide walkers pad to static shapes so never hit
+    this; folder eval aggregates order-insensitively.
+    Yields per-chunk host outputs either way — call sites are identical.
+    """
+    if k <= 1 or multi_call is None:
+
+        def _single():
+            for c in chunks:
+                yield c, single_call(images_of(c))
+
+        yield from pipelined_fetch(_single(), depth=depth)
+        return
+
+    ragged: list = []
+
+    def _stacks():
+        buf: list = []
+        shape = None
+
+        def fire():
+            metas = [c for c, _ in buf]
+            arrs = [a for _, a in buf]
+            arrs += [arrs[-1]] * (k - len(arrs))
+            return metas, multi_call(np.stack(arrs))
+
+        for c in chunks:
+            arr = np.asarray(images_of(c))
+            if shape is None:
+                shape = arr.shape
+            if arr.shape != shape:
+                ragged.append(c)
+                continue
+            buf.append((c, arr))
+            if len(buf) == k:
+                yield fire()
+                buf.clear()
+        if buf:
+            yield fire()
+
+    for metas, outs in pipelined_fetch(_stacks(), depth=depth):
+        for i, meta in enumerate(metas):
+            yield meta, jax.tree_util.tree_map(lambda x, i=i: x[i], outs)
+
+    if ragged:
+
+        def _tail():
+            for c in ragged:
+                yield c, single_call(images_of(c))
+
+        yield from pipelined_fetch(_tail(), depth=depth)
+
+
 def pipelined_fetch(
     dispatches: Iterable[Tuple[Any, Any]], depth: int = 2
 ) -> Iterator[Tuple[Any, Any]]:

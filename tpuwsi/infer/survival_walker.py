@@ -122,17 +122,20 @@ def infer_survival_slides(
     risk_fn,
     aggregator: Optional[SurvivalAggregator] = None,
     dispatch_ahead: int = 2,
+    steps_per_dispatch: int = 1,
+    multi_call=None,
 ) -> SurvivalAggregator:
     """Drive a full survival inference pass: ``risk_fn(images) -> (N,) risk``
-    is the jitted model (Cox risk head or binary-logit margin)."""
-    from tpuwsi.infer.pipeline import pipelined_fetch
+    is the jitted model (Cox risk head or binary-logit margin).
+
+    ``steps_per_dispatch > 1`` with ``multi_call(stacked) -> (K, N)`` runs
+    the scanned serving driver (infer/pipeline.eval_stream)."""
+    from tpuwsi.infer.pipeline import eval_stream
 
     agg = aggregator or SurvivalAggregator()
-
-    def _dispatch():
-        for chunk in walker.walk():
-            yield chunk, risk_fn(chunk.images)
-
-    for chunk, risks in pipelined_fetch(_dispatch(), depth=dispatch_ahead):
+    for chunk, risks in eval_stream(
+        walker.walk(), lambda c: c.images, risk_fn,
+        multi_call=multi_call, k=steps_per_dispatch, depth=dispatch_ahead,
+    ):
         agg.add_chunk(chunk, np.asarray(risks))
     return agg

@@ -170,6 +170,28 @@ def make_eval_step(
     return step
 
 
+def make_multi_eval_step(step_fn):
+    """Scan a (state, batch) eval step over a stacked super-batch.
+
+    The serving-side analogue of ``make_multi_step``: the batch pytree
+    carries a leading K axis of padded eval chunks, and one jitted dispatch
+    runs all K forwards on-device (``--eval-steps-per-dispatch``). State is
+    loop-invariant (eval mutates nothing), so it rides the closure carry.
+    Returns the stacked outputs (leading axis K). Amortizes the per-call
+    dispatch+fetch overhead of the serving loops (measured ~21 ms/call vs
+    ~26.5 ms of b256 ViT-S eval compute on the tunneled chip —
+    infer/pipeline.py header)."""
+
+    def multi(state, batches):
+        def body(carry, b):
+            return carry, step_fn(state, b)
+
+        _, outs = jax.lax.scan(body, None, batches)
+        return outs
+
+    return multi
+
+
 def make_multi_step(step_fn):
     """Scan ``step_fn(state, batch, rng)`` over a stacked super-batch.
 
