@@ -183,6 +183,49 @@ def test_mil_head_trains_to_separate(tmp_path):
     assert logs[-1]["loss"] < logs[0]["loss"]
 
 
+def test_mil_scanned_dispatch_matches_per_step(tmp_path):
+    """steps_per_dispatch scans k optimizer steps per dispatch with
+    identical semantics: same batch order, same RNG draws — the final
+    params and eval metrics must match the per-step run exactly.
+    n=16 slides at batch 6 → 2 full batches + a ragged 4-bag tail, so
+    the scan path, the leftover-buffer path, and the per-call tail are
+    all exercised."""
+    rng = np.random.default_rng(0)
+    n, tiles, dim = 16, 12, 8
+    feats = rng.normal(0, 1, (n, 1, tiles, dim)).astype(np.float32)
+    targets = np.arange(n) % 2
+    feats[targets == 1, :, :, :2] += 2.0
+    data = (targets, targets, targets.astype(float),
+            np.ones((n, tiles), np.float32),
+            [f"s{i}.svs" for i in range(n)], feats)
+    p = str(tmp_path / "x.data")
+    with open(p, "wb") as f:
+        pickle.dump(data, f)
+
+    def run(k):
+        ds = FeaturesMILDataset(p, bag_size=8, minimum_tiles_in_slide=1,
+                                is_train=True)
+        ev = FeaturesMILDataset(p, bag_size=8, minimum_tiles_in_slide=1,
+                                is_train=False)
+        logs = []
+        _, state = train_mil_head(
+            ds, epochs=4, batch_size=6, lr=3e-3, seed=0,
+            eval_dataset=ev, steps_per_dispatch=k,
+            log_fn=lambda e, m: logs.append(m),
+        )
+        return state, logs
+
+    s1, l1 = run(1)
+    s2, l2 = run(2)
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    assert l1[-1]["eval_auc"] == l2[-1]["eval_auc"]
+
+
 def test_combined_dataset_joins_on_common_keys(tmp_path):
     def make(names, targets, path):
         feats = np.random.rand(len(names), 1, 5, 4).astype(np.float32)

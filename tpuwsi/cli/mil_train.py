@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--lr", default=1e-3, type=float)
     tr.add_argument("--hidden-dim", default=128, type=int)
     tr.add_argument("--seed", default=0, type=int)
+    tr.add_argument("--steps-per-dispatch", default=1, type=int,
+                    help="scan N optimizer steps per device dispatch (the "
+                         "MIL head is dispatch-bound: its GEMMs are "
+                         "microseconds of device work)")
     out = p.add_argument_group("output")
     out.add_argument("--output", default="runs/mil")
     out.add_argument("--export-xlsx", action="store_true",
@@ -185,6 +189,7 @@ def main(argv=None):
         lr=args.lr,
         seed=args.seed,
         eval_dataset=eval_ds,
+        steps_per_dispatch=args.steps_per_dispatch,
         log_fn=lambda e, m: logging.info(
             "epoch %d %s", e,
             " ".join(f"{k}={v:.4f}" for k, v in m.items()),
@@ -196,7 +201,8 @@ def main(argv=None):
         os.path.join(args.output, "checkpoints"), metric_name="eval_auc"
     )
     final = (
-        evaluate_mil(model, state, eval_ds, args.batch_size, args.seed)
+        evaluate_mil(model, state, eval_ds, args.batch_size, args.seed,
+                     steps_per_dispatch=args.steps_per_dispatch)
         if eval_ds is not None else {}
     )
     ckpt.save(int(state.step), state, final or {"eval_auc": 0.0})

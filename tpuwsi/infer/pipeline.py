@@ -61,10 +61,12 @@ def eval_stream(
     sub-ms but nonzero on TPU VMs) k-fold. The final partial stack is
     padded by repeating its last chunk (static shapes: no extra compile
     through the remote-compile tunnel) and the padded outputs dropped.
-    Chunks whose image shape differs from the stream's first (a ragged
+    Chunks whose input shapes differ from the stream's first (a ragged
     drop_last=False tail batch) are deferred to the per-chunk path and
     yielded LAST — the slide walkers pad to static shapes so never hit
     this; folder eval aggregates order-insensitively.
+    ``images_of`` may return a single array OR any pytree of arrays (e.g.
+    a MIL {features, mask} bag): stacking is per-leaf.
     Yields per-chunk host outputs either way — call sites are identical.
     """
     if k <= 1 or multi_call is None:
@@ -78,6 +80,9 @@ def eval_stream(
 
     ragged: list = []
 
+    def _leaf_shapes(tree):
+        return tuple(x.shape for x in jax.tree_util.tree_leaves(tree))
+
     def _stacks():
         buf: list = []
         shape = None
@@ -86,13 +91,15 @@ def eval_stream(
             metas = [c for c, _ in buf]
             arrs = [a for _, a in buf]
             arrs += [arrs[-1]] * (k - len(arrs))
-            return metas, multi_call(np.stack(arrs))
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *arrs)
+            return metas, multi_call(stacked)
 
         for c in chunks:
-            arr = np.asarray(images_of(c))
+            arr = jax.tree_util.tree_map(np.asarray, images_of(c))
             if shape is None:
-                shape = arr.shape
-            if arr.shape != shape:
+                shape = _leaf_shapes(arr)
+            if _leaf_shapes(arr) != shape:
                 ragged.append(c)
                 continue
             buf.append((c, arr))

@@ -46,20 +46,38 @@ def make_mil_train_step(model: GatedAttentionMIL, tx: optax.GradientTransformati
     return step
 
 
-def evaluate_mil(model, state, dataset, batch_size: int = 16, seed: int = 0):
+def evaluate_mil(model, state, dataset, batch_size: int = 16, seed: int = 0,
+                 steps_per_dispatch: int = 1):
     """Slide-level eval over a FeaturesMILDataset: deterministic-order full
     pass, per-bag class-1 prob → AUC/accuracy (the MIL analogue of the
-    reference's slide-level validate, train.py:1334-1338)."""
+    reference's slide-level validate, train.py:1334-1338).
+
+    The MIL head is tiny (512→128 GEMMs): per-batch dispatch overhead
+    dominates device compute, so ``steps_per_dispatch > 1`` scans k batches
+    per dispatch (infer/pipeline.eval_stream)."""
     from tpuwsi.infer.aggregate import roc_auc
+    from tpuwsi.infer.pipeline import eval_stream
 
     rng = np.random.default_rng(seed)
     probs, labels = [], []
     fwd = jax.jit(lambda p, f, m: jax.nn.softmax(model.apply(p, f, m), axis=-1))
-    for batch in dataset.bags(rng, batch_size, shuffle=False):
-        p = np.asarray(
-            fwd(state.params, jnp.asarray(batch["features"]),
-                jnp.asarray(batch["mask"]))
-        )
+    multi = None
+    if steps_per_dispatch > 1:
+        multi_fwd = jax.jit(lambda p, fm: jax.lax.scan(
+            lambda c, b: (c, jax.nn.softmax(
+                model.apply(p, b["features"], b["mask"]), axis=-1)),
+            None, fm)[1])
+        multi = lambda fm: multi_fwd(
+            state.params, jax.tree_util.tree_map(jnp.asarray, fm))
+    stream = eval_stream(
+        dataset.bags(rng, batch_size, shuffle=False),
+        lambda b: {"features": b["features"], "mask": b["mask"]},
+        lambda fm: fwd(state.params, jnp.asarray(fm["features"]),
+                       jnp.asarray(fm["mask"])),
+        multi_call=multi, k=steps_per_dispatch,
+    )
+    for batch, p in stream:
+        p = np.asarray(p)
         probs.extend(p[:, 1].tolist())
         labels.extend(np.asarray(batch["labels"]).tolist())
     out = {
@@ -83,11 +101,18 @@ def train_mil_head(
     seed: int = 0,
     eval_dataset=None,
     log_fn: Optional[Callable] = None,
+    steps_per_dispatch: int = 1,
 ):
     """Train a gated-attention MIL head over a FeaturesMILDataset.
 
     ``eval_dataset``: optional held-out FeaturesMILDataset — evaluated every
-    epoch (slide-level AUC/acc merged into the logged metrics)."""
+    epoch (slide-level AUC/acc merged into the logged metrics).
+
+    ``steps_per_dispatch``: scan k optimizer steps per device dispatch.
+    The MIL head's GEMMs are microseconds of device work, so the per-call
+    dispatch overhead dominates the epoch; scanning amortizes it k-fold
+    with IDENTICAL step semantics (same batch order — full-size batches
+    scan, the ragged tail batch steps per-call after them, in order)."""
     rng = np.random.default_rng(seed)
     first = next(dataset.bags(rng, batch_size))
     model = GatedAttentionMIL(hidden_dim=hidden_dim, num_classes=num_classes)
@@ -98,17 +123,45 @@ def train_mil_head(
     )
     tx = optax.adamw(lr)
     state = create_train_state(params, tx)
-    step = jax.jit(make_mil_train_step(model, tx))
+    step_inner = make_mil_train_step(model, tx)
+    step = jax.jit(step_inner)
+    multi = None
+    if steps_per_dispatch > 1:
+        def _multi(st, batches):
+            st, ms = jax.lax.scan(step_inner, st, batches)
+            return st, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+        multi = jax.jit(_multi)
     for epoch in range(epochs):
         metrics = {}
-        for batch in dataset.bags(rng, batch_size):
-            state, metrics = step(
-                state, jax.tree_util.tree_map(jnp.asarray, batch)
-            )
+        if multi is None:
+            for batch in dataset.bags(rng, batch_size):
+                state, metrics = step(
+                    state, jax.tree_util.tree_map(jnp.asarray, batch)
+                )
+        else:
+            buf, tail = [], None
+            for batch in dataset.bags(rng, batch_size):
+                if len(batch["labels"]) == batch_size:
+                    buf.append(batch)
+                    if len(buf) == steps_per_dispatch:
+                        stacked = jax.tree_util.tree_map(
+                            lambda *xs: jnp.asarray(np.stack(xs)), *buf)
+                        state, metrics = multi(state, stacked)
+                        buf = []
+                else:
+                    tail = batch  # bags() yields the ragged batch last
+            for b in buf:  # leftover full-size batches, original order
+                state, metrics = step(
+                    state, jax.tree_util.tree_map(jnp.asarray, b))
+            if tail is not None:
+                state, metrics = step(
+                    state, jax.tree_util.tree_map(jnp.asarray, tail))
         metrics = {k: float(v) for k, v in metrics.items()}
         if eval_dataset is not None:
             metrics.update(
-                evaluate_mil(model, state, eval_dataset, batch_size, seed)
+                evaluate_mil(model, state, eval_dataset, batch_size, seed,
+                             steps_per_dispatch=steps_per_dispatch)
             )
         if log_fn:
             log_fn(epoch, metrics)
