@@ -40,6 +40,34 @@ def test_heatmap_cli_end_to_end(tmp_path):
     assert os.path.isfile(os.path.join(out, "s1.heatmap.png"))
 
 
+def test_heatmap_scanned_dispatch_matches(tmp_path):
+    """--eval-steps-per-dispatch 2 (scanned serving driver) must produce a
+    bit-identical heatmap to the per-chunk run: 4x4 grid at -tpi 8 gives
+    2 full-shape chunks per slide → one scan stack."""
+    from tpuwsi.cli.heatmap import main
+
+    arr = np.zeros((512, 512, 3), np.uint8)
+    arr[:, :256] = 200
+    arr[:, 256:] = 40
+    slide = str(tmp_path / "s1.tif")
+    Image.fromarray(arr).save(slide)
+    listing = str(tmp_path / "Infer_Slides.txt")
+    with open(listing, "w") as f:
+        f.write("s1.tif\n")
+
+    common = [
+        "--slides-file", listing, "--slide-mag", "10", "--desired-mag", "10",
+        "--tile-size", "128", "--model", "vit_tiny_patch16_224",
+        "--background-fraction", "1.0", "-tpi", "8", "--seed", "0",
+    ]
+    main(common + ["--output", str(tmp_path / "h1")])
+    main(common + ["--eval-steps-per-dispatch", "2",
+                   "--output", str(tmp_path / "h2")])
+    a = np.load(os.path.join(str(tmp_path / "h1"), "s1.heatmap.npy"))
+    b = np.load(os.path.join(str(tmp_path / "h2"), "s1.heatmap.npy"))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_heatmap_cli_requires_slides():
     import pytest
 
