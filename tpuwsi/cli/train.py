@@ -1030,11 +1030,19 @@ def _serving_stream(chunks, state, eval_step, k, depth,
             scanned = jax.jit(make_multi_eval_step(eval_step))
             _SCANNED_EVALS[id(eval_step)] = (eval_step, scanned)
         multi = lambda ims: scanned(state, {"images": jnp.asarray(ims)})
-    return eval_stream(
-        chunks, images_of,
-        lambda im: eval_step(state, {"images": jnp.asarray(im)}),
-        multi_call=multi, k=k, depth=depth,
-    )
+    # threaded decode-ahead: tile reads proceed while the consumer blocks
+    # in device fetches (the training loops' Prefetcher, serving-side)
+    from tpuwsi.io.wsi import Prefetcher
+
+    pf = Prefetcher(iter(chunks), depth=2)
+    try:
+        yield from eval_stream(
+            pf, images_of,
+            lambda im: eval_step(state, {"images": jnp.asarray(im)}),
+            multi_call=multi, k=k, depth=depth,
+        )
+    finally:
+        pf.close()
 
 
 def evaluate_folder(val_ds, state, eval_step, batch_size: int,
@@ -1244,23 +1252,33 @@ def extract_features(args, model, state, eval_step, output_dir):
         if k > 1:
             scanned_fp = _jax.jit(make_multi_eval_step(feat_probs_step))
             multi = lambda ims: scanned_fp(feat_params, jnp.asarray(ims))
-        stream = eval_stream(
-            walker.walk(), lambda c: c.images,
-            lambda im: feat_probs_step(feat_params, jnp.asarray(im)),
-            multi_call=multi, k=k, depth=args.dispatch_ahead,
-        )
+
+        def make_stream(chunks):
+            return eval_stream(
+                chunks, lambda c: c.images,
+                lambda im: feat_probs_step(feat_params, jnp.asarray(im)),
+                multi_call=multi, k=k, depth=args.dispatch_ahead,
+            )
     else:
-        def _dispatch_feats():
-            for chunk in walker.walk():
-                images = jnp.asarray(chunk.images)
-                _, probs = eval_step(state, {"images": images})
-                feats = feat_step(feat_params, images)
-                yield chunk, (probs, feats)
+        def make_stream(chunks):
+            def _dispatch_feats():
+                for chunk in chunks:
+                    images = jnp.asarray(chunk.images)
+                    _, probs = eval_step(state, {"images": images})
+                    feats = feat_step(feat_params, images)
+                    yield chunk, (probs, feats)
 
-        stream = pipelined_fetch(_dispatch_feats(), depth=args.dispatch_ahead)
+            return pipelined_fetch(
+                _dispatch_feats(), depth=args.dispatch_ahead)
 
-    for chunk, (probs, feats) in stream:
-        agg.add_chunk(chunk, probs, feats)
+    from tpuwsi.io.wsi import Prefetcher
+
+    pf = Prefetcher(walker.walk(), depth=2)
+    try:
+        for chunk, (probs, feats) in make_stream(pf):
+            agg.add_chunk(chunk, probs, feats)
+    finally:
+        pf.close()
     feat_dir = os.path.join(output_dir, "features")
     agg.save_features_pt(feat_dir)
     agg.save_inference_data(os.path.join(feat_dir, "inference.data"))
@@ -1509,12 +1527,17 @@ def train_survival(args, output_dir, ledger, exp):
                     multi = lambda ims: scanned_r(
                         params_now, jnp.asarray(ims))
                 params_s = state.params
-                for chunk, risks in eval_stream(
-                    walker.walk(), lambda c: c.images,
-                    lambda im: risk_fn(params_s, jnp.asarray(im)),
-                    multi_call=multi, k=k_ev, depth=args.dispatch_ahead,
-                ):
-                    agg.add_chunk(chunk, risks)
+                pf_s = Prefetcher(walker.walk(), depth=2)
+                try:
+                    for chunk, risks in eval_stream(
+                        pf_s, lambda c: c.images,
+                        lambda im: risk_fn(params_s, jnp.asarray(im)),
+                        multi_call=multi, k=k_ev,
+                        depth=args.dispatch_ahead,
+                    ):
+                        agg.add_chunk(chunk, risks)
+                finally:
+                    pf_s.close()
                 if agg.results:
                     eval_metrics = {"c_index": agg.slide_c_index()}
                     try:
