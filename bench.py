@@ -134,15 +134,21 @@ def main():
     state, losses = step(state, batch, rng)
     np.asarray(losses)
 
-    n_calls = 3
-    n_iters = n_calls * K
-    t0 = time.perf_counter()
-    for i in range(n_calls):
+    # ≥3 INDEPENDENT timing windows (round-4 VERDICT item 3): the driver's
+    # snapshot and the builder's runs differed ~2% on the same program —
+    # run-to-run tunnel spread the old single-window timing hid. Each
+    # window is one K-step scan call (~13 s at the adopted b96/K=128);
+    # headline "value" is the MEDIAN window rate, min/max ride along.
+    n_windows = 4
+    window_rates = []
+    for i in range(n_windows):
+        t0 = time.perf_counter()
         state, losses = step(state, batch, jax.random.fold_in(rng, 1000 + i))
         np.asarray(losses)
-    dt = time.perf_counter() - t0
+        window_rates.append(batch_size * K / (time.perf_counter() - t0))
 
-    tiles_per_sec = batch_size * n_iters / dt
+    tiles_per_sec = float(np.median(window_rates))
+    tiles_min, tiles_max = float(min(window_rates)), float(max(window_rates))
     # Each source tile yields 8 augmented crops (2×224² global + 6×96² local)
     # that all flow through the student — "augmented tiles" per the BASELINE
     # north star are the multi-crop outputs.
@@ -151,18 +157,26 @@ def main():
     # chip behind this tunnel measures 201 TF/s on the pure ViT GEMM chain
     # and ~1.06 TB/s elementwise (v5e-class). Region-scaled projection
     # (GEMM+attention by 275/201, elementwise by HBM ratio — full derivation
-    # in BENCH.md "Hardware normalization"): measured step × 0.76.
-    v4_projected = views_per_sec / 0.76
+    # in BENCH.md "Hardware normalization"): measured step × 0.76. Stated
+    # as a RANGE over the measured window spread (round-4 VERDICT item 3),
+    # not a point estimate.
     print(
         json.dumps(
             {
                 "metric": "augmented_tiles_per_sec_per_chip_vit_s16_dino_ssl_step",
                 "value": round(views_per_sec, 2),
-                "unit": "augmented tiles (multi-crop views)/sec/chip",
+                "unit": "augmented tiles (multi-crop views)/sec/chip "
+                        "(median of %d windows)" % n_windows,
                 "vs_baseline": round(views_per_sec / NORTH_STAR, 4),
+                "views_per_sec_min": round(tiles_min * 8, 2),
+                "views_per_sec_max": round(tiles_max * 8, 2),
+                "n_windows": n_windows,
                 "source_tiles_per_sec": round(tiles_per_sec, 2),
                 "batch_size": batch_size,
-                "v4_projected_views_per_sec": round(v4_projected, 0),
+                "v4_projected_views_per_sec_range": [
+                    round(tiles_min * 8 / 0.76, 0),
+                    round(tiles_max * 8 / 0.76, 0),
+                ],
                 "v4_projection_note": "region-scaled to the v4 spec the "
                 "north star assumes (this chip: 201/275 TF/s) — BENCH.md",
             }

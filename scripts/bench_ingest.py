@@ -118,8 +118,64 @@ def thread_scaling(n: int = 256, pool_sizes=(1, 2, 4, 8, 16)):
     reader.close()
 
 
+def feed_table(n: int = 512, step_tiles_per_sec: float = 962.0):
+    """Host-ingest feasibility table (round-4 VERDICT item 4): measure the
+    per-thread native ingest rate for each production format on THIS host,
+    and print the cores needed to sustain the SSL step's measured source
+    consumption (default 962 tiles/s = 7,697 views/s / 8).
+
+    The ring-fed overlap demonstration (scripts/bench_overlap.py) is
+    link-bound on the tunneled bench host; this table is the per-core
+    measurement that the cores-needed model rests on."""
+    from tpuwsi.io.ingest import (
+        restart_pool,
+        transcode_slide,
+        write_synthetic_mrxs,
+        write_synthetic_svs_layout,
+    )
+
+    paths = {}
+    write_synthetic_slide("/tmp/feed_bench.tif", 8192, 8192, levels=3,
+                          tile=256, seed=3)
+    paths["tiled TIFF"] = "/tmp/feed_bench.tif"
+    write_synthetic_svs_layout("/tmp/feed_bench.svs", 8192, 8192, levels=3,
+                               tile=256, seed=3)
+    paths["SVS (Aperio)"] = "/tmp/feed_bench.svs"
+    write_synthetic_mrxs("/tmp/feed_bench.mrxs", 8192, 8192, levels=3,
+                         tile=256, seed=3)
+    paths["MIRAX (mosaic)"] = "/tmp/feed_bench.mrxs"
+    transcode_slide("/tmp/feed_bench.mrxs", "/tmp/feed_bench_tc.tiff",
+                    tile=256, quality=90, n_threads=1)
+    paths["MIRAX->transcoded TIFF"] = "/tmp/feed_bench_tc.tiff"
+
+    rng = np.random.default_rng(0)
+    xs = rng.integers(0, 8192 - 512, size=n)
+    ys = rng.integers(0, 8192 - 512, size=n)
+    print(f"single-thread native ingest on this host "
+          f"({os.cpu_count()} core(s)); target {step_tiles_per_sec:.0f} "
+          f"source tiles/s (SSL step consumption):")
+    print(f"{'format':>24s} {'tiles/s/thread':>15s} {'cores needed':>13s}")
+    restart_pool(1)
+    for name, path in paths.items():
+        reader = CTileReader(path)
+        reqs = [(reader, 0, int(x), int(y), 512) for x, y in zip(xs, ys)]
+        ex = NativeBatchExtractor(n_threads=1)
+        ex.extract(reqs[:16], out_size=256)
+        t0 = time.perf_counter()
+        ex.extract(reqs, out_size=256)
+        rate = n / (time.perf_counter() - t0)
+        print(f"{name:>24s} {rate:15.1f} "
+              f"{step_tiles_per_sec / rate:13.1f}")
+        reader.close()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "scaling":
         thread_scaling(int(sys.argv[2]) if len(sys.argv) > 2 else 256)
+    elif len(sys.argv) > 1 and sys.argv[1] == "feed":
+        feed_table(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 512,
+            float(sys.argv[3]) if len(sys.argv) > 3 else 962.0,
+        )
     else:
         main()

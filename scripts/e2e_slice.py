@@ -5,14 +5,19 @@ Supervised arm (default): builds a tiny bright-vs-dark ImageFolder, trains
 ViT-T(depth=4) with the 'flip' recipe for ~50 steps through the supervised
 train step, asserts the loss falls and held-out AUC reaches 1.0.
 
-SSL arm (``python scripts/e2e_slice.py ssl``, round-3 VERDICT #6): ~200
-real-TPU DINO steps on synthetic STRUCTURED tiles (horizontal- vs
-vertical-stripe textures with random frequency/phase/brightness — classes
-a crop-invariant embedding must separate but raw pixels don't trivially),
-through the production student/teacher step (multicrop + EMA + centering).
-Asserts the DINO loss falls and a k-NN probe on the teacher's CLS features
-beats chance decisively. This is the flagship-path learning-signal check
-the CPU-tiny correctness tests can't provide (SURVEY §0 north-star loop).
+SSL arm (``python scripts/e2e_slice.py ssl [steps] [lr] [out_dim]``,
+round-3 VERDICT #6, probe upgraded per round-4 VERDICT #2): real-TPU DINO
+steps on synthetic STRUCTURED tiles from 8 texture classes (stripes in 3
+orientations, checkerboard, rings, clouds, static, grid lines — random
+frequency/phase/brightness within every class, so only crop-invariant
+STRUCTURE separates them), through the production student/teacher step
+(multicrop + EMA + centering). Asserts (a) the DINO loss declines from its
+post-centering plateau, (b) a mid-run checkpoint/restore replay continues
+the loss curve exactly, and (c) an 8-class k-NN probe on the teacher's CLS
+features clears a learned margin a random-init or collapsed run fails
+(>= 2x chance and >= +15 points over the measured random-init baseline).
+This is the flagship-path learning-signal check the CPU-tiny correctness
+tests can't provide (SURVEY §0 north-star loop).
 """
 
 import atexit
@@ -100,21 +105,60 @@ def main():
     print("e2e slice OK")
 
 
-def _stripe_tiles(rng, n, vertical: bool, size=256):
-    """Structured synthetic texture tiles: sinusoidal stripes with random
-    frequency/phase/brightness + pixel noise. Orientation is the latent
-    class — invariant to DINO's crops/flips/jitter, so an SSL embedding
-    that learns anything useful separates it."""
+N_TEXTURE_CLASSES = 8
+
+
+def _texture_tiles(rng, n, cls, size=256):
+    """Structured synthetic texture tiles, 8 classes (round-4 VERDICT #2:
+    the old 2-class stripe probe was ceiling-limited — random-init ViT
+    features already hit 0.97-1.0 kNN on it, so "learned vs random" was
+    unmeasurable). Class = texture STRUCTURE, invariant to DINO's
+    crops/flips/color-jitter/blur (frequency, phase, brightness, and pixel
+    noise are all randomized within every class, so no single pixel
+    statistic separates them):
+      0 horizontal stripes   1 vertical stripes     2 diagonal stripes
+      3 checkerboard         4 concentric rings     5 low-freq clouds
+      6 high-amp static      7 sparse grid lines
+    """
     ax = np.arange(size, dtype=np.float32)
+    rr, cc = np.meshgrid(ax, ax, indexing="ij")
     tiles = np.empty((n, size, size, 3), np.uint8)
     for i in range(n):
         f = rng.uniform(3.0, 9.0)
         phase = rng.uniform(0, 2 * np.pi)
         base = rng.uniform(100, 156)
-        wave = base + 70.0 * np.sin(2 * np.pi * f * ax / size + phase)
-        img = np.broadcast_to(
-            wave[None, :] if vertical else wave[:, None], (size, size)
-        )
+        amp = 70.0
+        if cls == 0:    # horizontal stripes (waves along rows)
+            img = base + amp * np.sin(2 * np.pi * f * rr / size + phase)
+        elif cls == 1:  # vertical stripes
+            img = base + amp * np.sin(2 * np.pi * f * cc / size + phase)
+        elif cls == 2:  # diagonal stripes (both mirror directions in-class:
+            # DINO's flips map diag <-> anti-diag)
+            d = rr + cc if rng.random() < 0.5 else rr - cc
+            img = base + amp * np.sin(2 * np.pi * f * d / (2 * size) + phase)
+        elif cls == 3:  # checkerboard
+            img = base + amp * (
+                np.sin(2 * np.pi * f * rr / size + phase)
+                * np.sin(2 * np.pi * f * cc / size + rng.uniform(0, 2 * np.pi))
+            )
+        elif cls == 4:  # concentric rings around a random center
+            cy, cx = rng.uniform(0.35 * size, 0.65 * size, 2)
+            rad = np.sqrt((rr - cy) ** 2 + (cc - cx) ** 2)
+            img = base + amp * np.sin(2 * np.pi * f * rad / size + phase)
+        elif cls == 5:  # clouds: 3 random low-frequency plane waves
+            img = np.full((size, size), base, np.float32)
+            for _ in range(3):
+                th = rng.uniform(0, np.pi)
+                fl = rng.uniform(0.5, 2.0)
+                proj = rr * np.cos(th) + cc * np.sin(th)
+                img += (amp / 3.0) * np.sin(
+                    2 * np.pi * fl * proj / size + rng.uniform(0, 2 * np.pi))
+        elif cls == 6:  # static: iid high-amplitude pixel noise
+            img = base + rng.uniform(-amp, amp, (size, size))
+        else:           # sparse grid lines (thin dark pulses, both axes)
+            pr = np.sin(2 * np.pi * f * rr / size + phase) ** 8
+            pc = np.sin(2 * np.pi * f * cc / size + phase) ** 8
+            img = base + 0.3 * amp - 1.3 * amp * np.maximum(pr, pc)
         img = img[..., None] + rng.normal(0, 12, (size, size, 3))
         tiles[i] = np.clip(img, 0, 255).astype(np.uint8)
     return tiles
@@ -177,37 +221,85 @@ def main_ssl(steps=400, lr=3e-4, out_dim=1024):
     step = jax.jit(make_dino_train_step(model.apply, tx, dcfg,
                                         multicrop_fn=mc))
 
-    # unlabeled training pool: both orientations mixed — uploaded ONCE and
-    # gathered on-device per step (the tunneled host->device link is
-    # ~40 MB/s; re-uploading 9 MB of tiles per step dominated the loop)
+    # unlabeled training pool: all 8 texture classes mixed — uploaded ONCE
+    # and gathered on-device per step (the tunneled host->device link is
+    # ~40 MB/s; re-uploading tiles per step dominated the loop)
+    per_class = 40
     pool = jnp.asarray(np.concatenate([
-        _stripe_tiles(rng, 96, vertical=False),
-        _stripe_tiles(rng, 96, vertical=True),
+        _texture_tiles(rng, per_class, cls)
+        for cls in range(N_TEXTURE_CLASSES)
     ]))
-    key = jax.random.PRNGKey(1)
+    pool_n = int(pool.shape[0])
+    key_base = jax.random.PRNGKey(1)
+
+    # batch + rng are PURE functions of the step index, so a
+    # checkpoint-restore replay reproduces the exact trajectory
+    def step_inputs(it):
+        idx = np.random.default_rng(777_000 + it).choice(
+            pool_n, size=batch, replace=False)
+        return (jnp.take(pool, jnp.asarray(idx), axis=0),
+                jax.random.fold_in(key_base, it))
+
+    # mid-run checkpoint/restore continuation check (round-4 VERDICT #2):
+    # save at the midpoint, and after training replay the following steps
+    # from the restored state — the loss curve must continue EXACTLY.
+    ckpt_step = steps // 2 if steps >= 200 else None
+    ckpt_dir = tempfile.mkdtemp(prefix="e2e_ssl_ckpt_")
+    atexit.register(shutil.rmtree, ckpt_dir, True)
+    from tpuwsi.train import CheckpointManager
+
+    mgr = CheckpointManager(ckpt_dir, max_history=2, rank_by_metric=False)
     losses = []
     for it in range(steps):
-        idx = rng.choice(pool.shape[0], size=batch, replace=False)
-        key, k = jax.random.split(key)
-        imgs = jnp.take(pool, jnp.asarray(idx), axis=0)
+        if ckpt_step is not None and it == ckpt_step:
+            mgr.save(it, state)
+            mgr.wait()
+        imgs, k = step_inputs(it)
         state, m = step(state, {"images": imgs}, k)
         losses.append(m["loss"])  # fetched lazily at the end
-        if it % 100 == 0:
-            print(f"step {it:4d} dino-loss {float(m['loss']):.4f}",
+        if it % 200 == 0:
+            print(f"step {it:5d} dino-loss {float(m['loss']):.4f}",
                   flush=True)
     losses = [float(x) for x in losses]
 
+    if ckpt_step is not None:
+        restored = mgr.restore(step=ckpt_step, target=state)
+        n_replay = min(100, steps - ckpt_step)
+        replay = []
+        st = restored
+        for it in range(ckpt_step, ckpt_step + n_replay):
+            imgs, k = step_inputs(it)
+            st, m = step(st, {"images": imgs}, k)
+            replay.append(m["loss"])
+        replay = [float(x) for x in replay]
+        np.testing.assert_allclose(
+            replay, losses[ckpt_step:ckpt_step + n_replay],
+            rtol=0, atol=1e-6,
+            err_msg="restored run diverged from the original loss curve",
+        )
+        print(f"ckpt continuation OK: {n_replay} replayed steps from "
+              f"step {ckpt_step} match the original curve")
+    mgr.close()
+
     # k-NN probe on the TEACHER's CLS features (DINO protocol), against the
-    # random-init baseline measured on the SAME probe set
-    labels = np.repeat([0, 1], 64)
+    # random-init baseline measured on the SAME probe set. 8 classes with
+    # headroom: random-init features sit far below the trained ones here
+    # (unlike the old 2-class stripe probe, which random init ceilinged).
+    n_probe = 32  # per class: 24 train / 8 test
+    labels = np.repeat(np.arange(N_TEXTURE_CLASSES), n_probe)
     probe = np.concatenate([
-        _stripe_tiles(rng, 64, vertical=False),
-        _stripe_tiles(rng, 64, vertical=True),
+        _texture_tiles(rng, n_probe, cls) for cls in range(N_TEXTURE_CLASSES)
     ])
     c0 = (256 - 96) // 2
     crops = probe[:, c0:c0 + 96, c0:c0 + 96].astype(np.float32) / 255.0
-    tr = np.concatenate([np.arange(0, 48), np.arange(64, 112)])
-    te = np.concatenate([np.arange(48, 64), np.arange(112, 128)])
+    tr = np.concatenate([
+        np.arange(i * n_probe, i * n_probe + 24)
+        for i in range(N_TEXTURE_CLASSES)
+    ])
+    te = np.concatenate([
+        np.arange(i * n_probe + 24, (i + 1) * n_probe)
+        for i in range(N_TEXTURE_CLASSES)
+    ])
 
     def probe_acc(backbone_params):
         feats = []
@@ -230,29 +322,30 @@ def main_ssl(steps=400, lr=3e-4, out_dim=1024):
     # The learning signals asserted: (a) the student escapes the uniform
     # bound (a collapsed run pins ABOVE ln(K) — observed with ema 0.99),
     # (b) the loss declines from its post-centering plateau, (c) the k-NN
-    # probe stays >= the random-init baseline and reaches >= 0.95 (the
-    # collapsed run destroyed features to 0.375 vs 0.97 random-init).
+    # probe demonstrates a LEARNED margin a random-init (or collapsed) run
+    # fails: >= 2x chance AND >= 15 points over the measured random-init
+    # baseline (full-length runs; short smokes assert no-collapse).
     # windows scale with the step count so short runs stay valid: the
     # plateau window sits in [10%, 27%] of the run, the final window is
-    # the last ~7% — at the default 3,000 steps these are the measured
-    # [300:800] / [-200:] windows; a fixed slice returned an empty (NaN)
-    # plateau for any run under ~350 steps (review find r4-s2)
+    # the last ~7%; a fixed slice returned an empty (NaN) plateau for any
+    # run under ~350 steps (review find r4-s2)
     n = len(losses)
     p0, p1 = max(1, n // 10), max(2, int(n * 0.27))
     plateau = float(np.mean(losses[p0:p1]))
     final = float(np.mean(losses[-max(2, n // 15):]))
     lnk = float(np.log(out_dim))
+    chance = 1.0 / N_TEXTURE_CLASSES
     print(f"dino plateau {plateau:.4f} -> final {final:.4f} (ln K={lnk:.4f})"
-          f"  kNN init {acc_init:.3f} -> trained {acc:.3f}")
+          f"  kNN[{N_TEXTURE_CLASSES}-class] init {acc_init:.3f} -> "
+          f"trained {acc:.3f} (chance {chance:.3f})")
     assert final < lnk, (final, lnk)
     assert final < plateau - 0.002, (plateau, final)
-    # acc_init is report-only: random ViT features already ceiling this
-    # 2-class probe (0.97-1.0 across seeds), so "beat init" is not
-    # measurable — the guarded failure mode is collapse (0.375-0.75).
-    # Short smoke runs (<1500 steps) haven't re-ordered the feature space
-    # yet (measured: 0.94 at 600 steps, 0.97 at 3000); the collapse bound
-    # is what a short run can assert.
-    assert acc >= (0.95 if steps >= 1500 else 0.85), (acc, acc_init)
+    if steps >= 1500:
+        assert acc >= 2 * chance, (acc, chance)
+        assert acc >= acc_init + 0.15, (acc, acc_init)
+    else:
+        # short smoke: the embedding hasn't re-ordered yet; guard collapse
+        assert acc >= chance, (acc, chance)
     print("ssl slice OK")
 
 

@@ -266,3 +266,64 @@ def test_sequence_parallel_mil_pool_matches_single_device():
                                rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(before), np.asarray(ref_before),
                                rtol=1e-6)
+
+
+def test_bn_batch_stats_global_under_gspmd_sync_bn_native():
+    """SyncBN is native under GSPMD (round-4 VERDICT item 5, PARITY.md
+    "SyncBN native-always-on"): with the batch sharded over 8 devices, the
+    jitted BN train step must compute batch statistics over the GLOBAL
+    batch — exactly what --sync-bn / --dist-bn buy the reference
+    (train.py:542-554,928-931) — so batch_stats, params, and loss after one
+    step must equal the single-device run on the same global batch.
+
+    Uses the trainable resnet18 (torchvision geometry, BatchNorm stats in
+    TrainState.batch_stats) in fp32."""
+    from tpuwsi.models.resnet_trunc import make_resnet
+
+    model = make_resnet("resnet18", num_classes=2, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3), jnp.float32))
+    params = {"params": variables["params"]}
+    tx, _ = make_optimizer(OptimConfig(opt="sgd", lr=0.1, weight_decay=0.0),
+                           params, global_batch_size=8)
+    step = make_train_step(model.apply, tx, augment_fn=None,
+                           compute_auc=False, use_batch_stats=True)
+
+    rngnp = np.random.default_rng(7)
+    # per-device shards must have DIFFERENT distributions, or per-shard
+    # stats would accidentally equal global stats: scale each example
+    imgs = rngnp.random((8, 32, 32, 3)).astype(np.float32)
+    imgs *= np.linspace(0.2, 1.8, 8)[:, None, None, None].astype(np.float32)
+    labels = (np.arange(8) % 2).astype(np.int32)
+    batch = {"images": jnp.asarray(imgs), "labels": jnp.asarray(labels)}
+    rng = jax.random.PRNGKey(3)
+
+    state1 = create_train_state(params, tx,
+                                batch_stats=variables["batch_stats"])
+    s1, m1 = jax.jit(step)(state1, batch, rng)
+
+    mesh = create_mesh(MeshConfig(data=8))
+    with mesh:
+        state2 = create_train_state(params, tx,
+                                    batch_stats=variables["batch_stats"])
+        jit_step = compile_step(step, mesh, state2, donate=False)
+        sharded = shard_batch(mesh, {"images": imgs, "labels": labels})
+        s2, m2 = jit_step(state2, sharded, rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    # batch_stats are the SyncBN claim: global-batch mean/var on all 8
+    # devices, not per-shard stats
+    flat1, tree1 = jax.tree_util.tree_flatten(s1.batch_stats)
+    flat2, tree2 = jax.tree_util.tree_flatten(s2.batch_stats)
+    assert tree1 == tree2
+    assert len(flat1) > 0, "resnet18 must expose batch_stats"
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4,
+                                   err_msg="batch_stats diverge: BN stats "
+                                   "are per-shard, not global (SyncBN)")
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)

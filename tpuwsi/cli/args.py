@@ -285,11 +285,15 @@ def build_parser() -> argparse.ArgumentParser:
     # debug/smoke
     parser.add_argument("--max-steps-per-epoch", default=0, type=int,
                         help="0 = full epoch (testing hook)")
-    parser.add_argument("--eval-steps-per-dispatch", default=1, type=int,
+    parser.add_argument("--eval-steps-per-dispatch", default=8, type=int,
                         help="serving-side scan driver: stack N eval chunks "
                              "per device dispatch (lax.scan), amortizing "
                              "per-call dispatch+fetch overhead; 1 = one "
-                             "dispatch per chunk (reference parity)")
+                             "dispatch per chunk (reference parity). "
+                             "Default 8: measured round 5 — "
+                             "scanned+pipelined is fastest AND robust to "
+                             "dispatch-latency jitter (BENCH.md round-5 "
+                             "serving table)")
     parser.add_argument("--dispatch-ahead", default=4, type=int,
                         help="bound device run-ahead: sync every N steps "
                              "(unbounded queues hold N optimizer states in "

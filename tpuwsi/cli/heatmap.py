@@ -52,9 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-tpi", "--tiles-per-iter", dest="tiles_per_iter",
                    default=100, type=int)
     p.add_argument("--dispatch-ahead", default=2, type=int)
-    p.add_argument("--eval-steps-per-dispatch", default=1, type=int,
+    p.add_argument("--eval-steps-per-dispatch", default=8, type=int,
                    help="stack N chunks per lax.scan'd device dispatch "
-                        "(amortizes dispatch+fetch; 1 = per-chunk)")
+                        "(amortizes dispatch+fetch; 1 = per-chunk). "
+                        "Default 8 per the round-5 serving measurements")
     p.add_argument("--output", default="heatmaps")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--quantize", default="none", choices=["none", "int8"],

@@ -59,10 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--lr", default=1e-3, type=float)
     tr.add_argument("--hidden-dim", default=128, type=int)
     tr.add_argument("--seed", default=0, type=int)
-    tr.add_argument("--steps-per-dispatch", default=1, type=int,
+    tr.add_argument("--steps-per-dispatch", default=8, type=int,
                     help="scan N optimizer steps per device dispatch (the "
                          "MIL head is dispatch-bound: its GEMMs are "
-                         "microseconds of device work)")
+                         "microseconds of device work). Default 8 per the "
+                         "round-5 serving measurements")
     out = p.add_argument_group("output")
     out.add_argument("--output", default="runs/mil")
     out.add_argument("--export-xlsx", action="store_true",

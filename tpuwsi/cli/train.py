@@ -18,6 +18,7 @@ import dataclasses
 import logging
 import os
 import time
+import weakref
 from typing import Optional
 
 import numpy as np
@@ -1002,7 +1003,12 @@ def _run_chunk(chunk, spd, jit_step, jit_multi, mesh, keys, state, rng):
     return state, metrics
 
 
-_SCANNED_EVALS: dict = {}
+# scanned-eval wrappers memoized on the step function itself: a fresh
+# jax.jit wrapper per epoch would retrace every eval pass, and the previous
+# module-level id()-keyed dict held strong references to every run's
+# closures + compiled executables for process lifetime (advisor round-4) —
+# a WeakKeyDictionary is collected with the step objects when a run ends.
+_SCANNED_EVALS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _serving_stream(chunks, state, eval_step, k, depth,
@@ -1023,12 +1029,10 @@ def _serving_stream(chunks, state, eval_step, k, depth,
     if k > 1:
         # memoized on the step object: a fresh jax.jit wrapper per epoch
         # would retrace (and re-hit the compile cache) every eval pass
-        entry = _SCANNED_EVALS.get(id(eval_step))
-        if entry is not None and entry[0] is eval_step:
-            scanned = entry[1]
-        else:
+        scanned = _SCANNED_EVALS.get(eval_step)
+        if scanned is None:
             scanned = jax.jit(make_multi_eval_step(eval_step))
-            _SCANNED_EVALS[id(eval_step)] = (eval_step, scanned)
+            _SCANNED_EVALS[eval_step] = scanned
         multi = lambda ims: scanned(state, {"images": jnp.asarray(ims)})
     # threaded decode-ahead: tile reads proceed while the consumer blocks
     # in device fetches (the training loops' Prefetcher, serving-side)
@@ -1517,12 +1521,10 @@ def train_survival(args, output_dir, ledger, exp):
                 k_ev = args.eval_steps_per_dispatch
                 multi = None
                 if k_ev > 1:
-                    entry = _SCANNED_EVALS.get(id(risk_fn))
-                    if entry is not None and entry[0] is risk_fn:
-                        scanned_r = entry[1]
-                    else:
+                    scanned_r = _SCANNED_EVALS.get(risk_fn)
+                    if scanned_r is None:
                         scanned_r = jax.jit(make_multi_eval_step(risk_fn))
-                        _SCANNED_EVALS[id(risk_fn)] = (risk_fn, scanned_r)
+                        _SCANNED_EVALS[risk_fn] = scanned_r
                     params_now = state.params
                     multi = lambda ims: scanned_r(
                         params_now, jnp.asarray(ims))

@@ -62,9 +62,14 @@ def eval_stream(
     padded by repeating its last chunk (static shapes: no extra compile
     through the remote-compile tunnel) and the padded outputs dropped.
     Chunks whose input shapes differ from the stream's first (a ragged
-    drop_last=False tail batch) are deferred to the per-chunk path and
-    yielded LAST — the slide walkers pad to static shapes so never hit
-    this; folder eval aggregates order-insensitively.
+    drop_last=False tail batch) fall back to ``single_call`` IN PLACE:
+    any pending stack flushes first (padded), then the ragged chunk's
+    output is yielded at its original stream position — stream order is
+    ALWAYS preserved, so order-sensitive consumers (SlideAggregator flushes
+    per-slide state on is_last_batch) are safe even with a non-padding
+    walker (advisor round-4; previously ragged chunks were deferred to the
+    END of the stream). The slide walkers pad to static shapes so in
+    practice only folder-mode tail batches hit the fallback.
     ``images_of`` may return a single array OR any pytree of arrays (e.g.
     a MIL {features, mask} bag): stacking is per-leaf.
     Yields per-chunk host outputs either way — call sites are identical.
@@ -78,12 +83,13 @@ def eval_stream(
         yield from pipelined_fetch(_single(), depth=depth)
         return
 
-    ragged: list = []
-
     def _leaf_shapes(tree):
         return tuple(x.shape for x in jax.tree_util.tree_leaves(tree))
 
     def _stacks():
+        # yields ((metas, is_single), device_out): a k-stack scan dispatch
+        # (is_single=False, outputs unstacked downstream) or an in-place
+        # ragged-chunk single dispatch (is_single=True)
         buf: list = []
         shape = None
 
@@ -93,14 +99,17 @@ def eval_stream(
             arrs += [arrs[-1]] * (k - len(arrs))
             stacked = jax.tree_util.tree_map(
                 lambda *xs: np.stack(xs), *arrs)
-            return metas, multi_call(stacked)
+            return (metas, False), multi_call(stacked)
 
         for c in chunks:
             arr = jax.tree_util.tree_map(np.asarray, images_of(c))
             if shape is None:
                 shape = _leaf_shapes(arr)
             if _leaf_shapes(arr) != shape:
-                ragged.append(c)
+                if buf:  # flush pending stack first — order preserved
+                    yield fire()
+                    buf.clear()
+                yield ([c], True), single_call(arr)
                 continue
             buf.append((c, arr))
             if len(buf) == k:
@@ -109,17 +118,12 @@ def eval_stream(
         if buf:
             yield fire()
 
-    for metas, outs in pipelined_fetch(_stacks(), depth=depth):
-        for i, meta in enumerate(metas):
-            yield meta, jax.tree_util.tree_map(lambda x, i=i: x[i], outs)
-
-    if ragged:
-
-        def _tail():
-            for c in ragged:
-                yield c, single_call(images_of(c))
-
-        yield from pipelined_fetch(_tail(), depth=depth)
+    for (metas, is_single), outs in pipelined_fetch(_stacks(), depth=depth):
+        if is_single:
+            yield metas[0], outs
+        else:
+            for i, meta in enumerate(metas):
+                yield meta, jax.tree_util.tree_map(lambda x, i=i: x[i], outs)
 
 
 def pipelined_fetch(

@@ -26,6 +26,10 @@ _LIB_PATHS = [
     os.environ.get("TPUWSI_TILEINGEST_LIB", ""),
     os.path.join(os.path.dirname(__file__), "..", "..", "native", "build",
                  "libtileingest.so"),
+    # packaged location (pip install): native/build.sh copies the built
+    # library into tpuwsi/native_lib/, which pyproject ships as package data
+    os.path.join(os.path.dirname(__file__), "..", "native_lib",
+                 "libtileingest.so"),
 ]
 
 _lib = None

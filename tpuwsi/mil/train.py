@@ -46,6 +46,32 @@ def make_mil_train_step(model: GatedAttentionMIL, tx: optax.GradientTransformati
     return step
 
 
+def _mil_eval_fwds(model, steps_per_dispatch: int):
+    """Jitted eval forwards for ``evaluate_mil``, memoized on the model
+    object: train_mil_head calls evaluate_mil once per epoch, and
+    rebuilding the jit wrappers there retraced the lax.scan'd eval every
+    epoch — for the tiny dispatch-bound MIL head the retrace cost more
+    than the dispatch overhead steps_per_dispatch amortizes (advisor
+    round-4). The cache lives ON the model instance, so it is collected
+    with it (no process-lifetime executable accumulation)."""
+    cache = getattr(model, "_tpuwsi_eval_fwd_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(model, "_tpuwsi_eval_fwd_cache", cache)
+    key = steps_per_dispatch > 1
+    if key not in cache:
+        fwd = jax.jit(
+            lambda p, f, m: jax.nn.softmax(model.apply(p, f, m), axis=-1))
+        multi_fwd = None
+        if steps_per_dispatch > 1:
+            multi_fwd = jax.jit(lambda p, fm: jax.lax.scan(
+                lambda c, b: (c, jax.nn.softmax(
+                    model.apply(p, b["features"], b["mask"]), axis=-1)),
+                None, fm)[1])
+        cache[key] = (fwd, multi_fwd)
+    return cache[key]
+
+
 def evaluate_mil(model, state, dataset, batch_size: int = 16, seed: int = 0,
                  steps_per_dispatch: int = 1):
     """Slide-level eval over a FeaturesMILDataset: deterministic-order full
@@ -60,13 +86,9 @@ def evaluate_mil(model, state, dataset, batch_size: int = 16, seed: int = 0,
 
     rng = np.random.default_rng(seed)
     probs, labels = [], []
-    fwd = jax.jit(lambda p, f, m: jax.nn.softmax(model.apply(p, f, m), axis=-1))
+    fwd, multi_fwd = _mil_eval_fwds(model, steps_per_dispatch)
     multi = None
-    if steps_per_dispatch > 1:
-        multi_fwd = jax.jit(lambda p, fm: jax.lax.scan(
-            lambda c, b: (c, jax.nn.softmax(
-                model.apply(p, b["features"], b["mask"]), axis=-1)),
-            None, fm)[1])
+    if multi_fwd is not None:
         multi = lambda fm: multi_fwd(
             state.params, jax.tree_util.tree_map(jnp.asarray, fm))
     stream = eval_stream(
