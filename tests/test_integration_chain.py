@@ -138,3 +138,38 @@ def test_ssl_to_features_to_mil_chain(cohort, tmp_path):
     train_mil_head(ds, epochs=40, batch_size=6, lr=5e-3,
                    log_fn=lambda e, m: logs.append(m))
     assert logs[-1]["auc"] == 1.0
+
+
+def test_knn_multiclass_not_clamped():
+    """knn_classify/knn_accuracy must honor >2-class label spaces: the old
+    num_classes=2 default one-hotted labels >=2 to zero vectors, clamping
+    every multi-class probe to a 2-class argmax (max accuracy 2/C) — found
+    when the 8-class SSL-slice probe pinned at exactly 0.25."""
+    import numpy as np
+
+    from tpuwsi.ssl_dino.knn import knn_accuracy, knn_classify
+
+    rng = np.random.default_rng(0)
+    C, per = 8, 12
+    # well-separated class clusters in feature space
+    centers = rng.normal(size=(C, 32)) * 5
+    tr_feats = np.concatenate(
+        [centers[c] + rng.normal(size=(per, 32)) for c in range(C)])
+    tr_labels = np.repeat(np.arange(C), per)
+    te_feats = np.concatenate(
+        [centers[c] + rng.normal(size=(4, 32)) for c in range(C)])
+    te_labels = np.repeat(np.arange(C), 4)
+    acc = knn_accuracy(jnp.asarray(tr_feats, jnp.float32),
+                       jnp.asarray(tr_labels),
+                       jnp.asarray(te_feats, jnp.float32),
+                       jnp.asarray(te_labels), k=5)
+    assert acc > 0.9, acc  # the clamped probe capped at 2/8 = 0.25
+    preds, probs = knn_classify(
+        jnp.asarray(tr_feats, jnp.float32), jnp.asarray(tr_labels),
+        jnp.asarray(te_feats, jnp.float32), k=5)
+    assert probs.shape == (C * 4, C)
+    # explicit num_classes still honored (jit-able path)
+    preds2, _ = knn_classify(
+        jnp.asarray(tr_feats, jnp.float32), jnp.asarray(tr_labels),
+        jnp.asarray(te_feats, jnp.float32), k=5, num_classes=C)
+    assert (np.asarray(preds) == np.asarray(preds2)).all()

@@ -17,11 +17,19 @@ def knn_classify(
     test_feats: jax.Array,  # (M, D)
     k: int = 20,
     temperature: float = 0.07,
-    num_classes: int = 2,
+    num_classes: int | None = None,
 ) -> jax.Array:
     """Temperature-weighted cosine kNN. Returns the PAIR
     ``(predicted_labels (M,), class_probabilities (M, C))`` — destructure it
-    (see ``knn_accuracy``); the probabilities feed AUC computations."""
+    (see ``knn_accuracy``); the probabilities feed AUC computations.
+
+    ``num_classes=None`` (default) infers ``max(train_labels)+1`` from the
+    concrete labels — only valid OUTSIDE jit (the host-side probes). Under
+    jit pass it explicitly. (A hardcoded default of 2 silently clamped
+    every >2-class probe to a 2-class argmax — the 8-class SSL-slice probe
+    could never score above 2/C under it.)"""
+    if num_classes is None:
+        num_classes = int(jnp.max(train_labels)) + 1
     tr = train_feats / (jnp.linalg.norm(train_feats, axis=1, keepdims=True) + 1e-12)
     te = test_feats / (jnp.linalg.norm(test_feats, axis=1, keepdims=True) + 1e-12)
     sim = te @ tr.T  # (M, N)
@@ -37,7 +45,7 @@ def knn_classify(
 
 
 def knn_accuracy(train_feats, train_labels, test_feats, test_labels, k=20,
-                 num_classes: int = 2) -> float:
+                 num_classes: int | None = None) -> float:
     preds, _ = knn_classify(
         train_feats, train_labels, test_feats, k=k, num_classes=num_classes
     )
