@@ -17,7 +17,13 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+sys.path.insert(0, "/root/repo")
+
+from tpuwsi.core.compile import machine_cache_dir  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir", machine_cache_dir("/root/repo/.jax_cache")
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402

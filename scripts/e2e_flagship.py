@@ -26,23 +26,22 @@ import jax
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/scripts")
 
-from tpuwsi.core.compile import machine_cache_dir  # noqa: E402
-
-jax.config.update(
-    "jax_compilation_cache_dir", machine_cache_dir("/root/repo/.jax_cache")
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from e2e_slice import N_TEXTURE_CLASSES, _texture_tiles  # noqa: E402
+# e2e_slice sets the machine-fingerprinted compile-cache dir at import
+# time — importing it FIRST is what configures jax for this script too
+from e2e_slice import (  # noqa: E402
+    N_TEXTURE_CLASSES,
+    _texture_tiles,
+    assert_ssl_learning,
+    texture_probe,
+)
 
 
 def main(steps: int = 6000, batch: int = 48):
     from bench import bench_args
     from tpuwsi.cli.train import ssl_step_bundle
-    from tpuwsi.ssl_dino import knn_accuracy
 
     args = bench_args()
     args.ema_base = 0.9995  # slice-scale teacher momentum (see docstring)
@@ -88,52 +87,17 @@ def main(steps: int = 6000, batch: int = 48):
           f"tiles/s sustained (per-call dispatch)")
 
     # 8-class kNN probe on the teacher backbone at the production 224² view
-    n_probe = 32
-    labels = np.repeat(np.arange(N_TEXTURE_CLASSES), n_probe)
-    probe = np.concatenate([
-        _texture_tiles(rng, n_probe, cls) for cls in range(N_TEXTURE_CLASSES)
-    ])
-    c0 = (256 - 224) // 2
-    crops = probe[:, c0:c0 + 224, c0:c0 + 224].astype(np.float32) / 255.0
-    tr = np.concatenate([
-        np.arange(i * n_probe, i * n_probe + 24)
-        for i in range(N_TEXTURE_CLASSES)
-    ])
-    te = np.concatenate([
-        np.arange(i * n_probe + 24, (i + 1) * n_probe)
-        for i in range(N_TEXTURE_CLASSES)
-    ])
-    backbone = b.model.backbone
-
-    def probe_acc(backbone_params):
-        feats = []
-        for i in range(0, len(crops), 32):
-            f = backbone.apply(backbone_params, jnp.asarray(crops[i:i + 32]),
-                               deterministic=True)
-            feats.append(np.asarray(f, np.float32))
-        feats = np.concatenate(feats)
-        return float(knn_accuracy(
-            jnp.asarray(feats[tr]), jnp.asarray(labels[tr]),
-            jnp.asarray(feats[te]), jnp.asarray(labels[te]), k=10,
-        ))
-
-    acc_init = probe_acc({"params": b.params["params"]["backbone"]})
-    acc = probe_acc({"params": state.teacher_params["params"]["backbone"]})
-
-    n = len(losses)
-    p0, p1 = max(1, n // 10), max(2, int(n * 0.27))
-    plateau = float(np.mean(losses[p0:p1]))
-    final = float(np.mean(losses[-max(2, n // 15):]))
-    lnk = float(np.log(args.dino_out_dim))
-    chance = 1.0 / N_TEXTURE_CLASSES
-    print(f"flagship dino plateau {plateau:.4f} -> final {final:.4f} "
-          f"(ln K={lnk:.4f})  kNN[{N_TEXTURE_CLASSES}-class] "
-          f"init {acc_init:.3f} -> trained {acc:.3f} (chance {chance:.3f})")
-    if steps >= 1500:
-        assert final < lnk, (final, lnk)
-        assert final < plateau - 0.002, (plateau, final)
-        assert acc >= 2 * chance, (acc, chance)
-        assert acc >= acc_init + 0.15, (acc, acc_init)
+    # (shared probe + assertion criteria with e2e_slice — short runs get
+    # the smoke assertions there too, so a broken step can't print OK)
+    acc_init, acc = texture_probe(
+        b.model.backbone, rng, crop=224, batch=32,
+        params_list=[
+            {"params": b.params["params"]["backbone"]},
+            {"params": state.teacher_params["params"]["backbone"]},
+        ],
+    )
+    assert_ssl_learning(losses, args.dino_out_dim, acc, acc_init, steps,
+                        tag="flagship dino")
     print("flagship ssl OK")
 
 

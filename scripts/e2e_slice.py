@@ -28,14 +28,21 @@ import tempfile
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+sys.path.insert(0, "/root/repo")
+
+from tpuwsi.core.compile import machine_cache_dir  # noqa: E402
+
+# machine-fingerprinted cache dir: un-fingerprinted entries load XLA:CPU
+# AOT code compiled for a different host CPU (SIGILL hazard, round 4).
+# This runs at import time — importers (e2e_flagship) share the setting.
+jax.config.update(
+    "jax_compilation_cache_dir", machine_cache_dir("/root/repo/.jax_cache")
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 import numpy as np
 from PIL import Image
-
-sys.path.insert(0, "/root/repo")
 
 
 def main():
@@ -285,13 +292,25 @@ def main_ssl(steps=400, lr=3e-4, out_dim=1024):
     # random-init baseline measured on the SAME probe set. 8 classes with
     # headroom: random-init features sit far below the trained ones here
     # (unlike the old 2-class stripe probe, which random init ceilinged).
-    n_probe = 32  # per class: 24 train / 8 test
+    acc_init, acc = texture_probe(
+        backbone, rng, crop=96,
+        params_list=[{"params": params["params"]["backbone"]},
+                     {"params": state.teacher_params["params"]["backbone"]}],
+    )
+    assert_ssl_learning(losses, out_dim, acc, acc_init, steps, tag="dino")
+    print("ssl slice OK")
+
+
+def texture_probe(backbone, rng, crop, params_list, n_probe=32, batch=64):
+    """8-class kNN accuracy of ``backbone`` CLS features on fresh texture
+    tiles (center ``crop``²), for each params pytree in ``params_list``
+    (same probe set for all — e.g. [random-init, trained teacher])."""
     labels = np.repeat(np.arange(N_TEXTURE_CLASSES), n_probe)
     probe = np.concatenate([
         _texture_tiles(rng, n_probe, cls) for cls in range(N_TEXTURE_CLASSES)
     ])
-    c0 = (256 - 96) // 2
-    crops = probe[:, c0:c0 + 96, c0:c0 + 96].astype(np.float32) / 255.0
+    c0 = (256 - crop) // 2
+    crops = probe[:, c0:c0 + crop, c0:c0 + crop].astype(np.float32) / 255.0
     tr = np.concatenate([
         np.arange(i * n_probe, i * n_probe + 24)
         for i in range(N_TEXTURE_CLASSES)
@@ -300,58 +319,57 @@ def main_ssl(steps=400, lr=3e-4, out_dim=1024):
         np.arange(i * n_probe + 24, (i + 1) * n_probe)
         for i in range(N_TEXTURE_CLASSES)
     ])
+    from tpuwsi.ssl_dino import knn_accuracy
 
-    def probe_acc(backbone_params):
+    out = []
+    for p in params_list:
         feats = []
-        for i in range(0, len(crops), 64):
-            f = backbone.apply(backbone_params, jnp.asarray(crops[i:i + 64]),
+        for i in range(0, len(crops), batch):
+            f = backbone.apply(p, jnp.asarray(crops[i:i + batch]),
                                deterministic=True)
             feats.append(np.asarray(f, np.float32))
         feats = np.concatenate(feats)
-        return float(knn_accuracy(
+        out.append(float(knn_accuracy(
             jnp.asarray(feats[tr]), jnp.asarray(labels[tr]),
             jnp.asarray(feats[te]), jnp.asarray(labels[te]), k=10,
-        ))
+        )))
+    return out
 
-    acc_init = probe_acc({"params": params["params"]["backbone"]})
-    acc = probe_acc({"params": state.teacher_params["params"]["backbone"]})
 
-    # DINO loss dynamics: starts LOW (un-centered teacher correlated with
-    # the identically-initialized student), rises to a plateau near ln(K)
-    # while the center converges, then declines as real structure emerges.
-    # The learning signals asserted: (a) the student escapes the uniform
-    # bound (a collapsed run pins ABOVE ln(K) — observed with ema 0.99),
-    # (b) the loss declines from its post-centering plateau, (c) the k-NN
-    # probe demonstrates a LEARNED margin a random-init (or collapsed) run
-    # fails: >= 2x chance AND >= 15 points over the measured random-init
-    # baseline (full-length runs; short smokes assert no-collapse).
-    # windows scale with the step count so short runs stay valid: the
-    # plateau window sits in [10%, 27%] of the run, the final window is
-    # the last ~7%; a fixed slice returned an empty (NaN) plateau for any
-    # run under ~350 steps (review find r4-s2)
+def assert_ssl_learning(losses, out_dim, acc, acc_init, steps, tag="dino"):
+    """Shared learning-signal assertions (e2e_slice + e2e_flagship).
+
+    DINO loss dynamics: starts LOW (un-centered teacher correlated with
+    the identically-initialized student), rises to a plateau near ln(K)
+    while the center converges, then declines as real structure emerges.
+    Asserted: (a) the student escapes the uniform bound (a collapsed run
+    pins ABOVE ln(K) — observed with ema 0.99), (b) the loss declines
+    from its post-centering plateau, (c) the k-NN probe demonstrates a
+    LEARNED margin a random-init (or collapsed) run fails: >= 2x chance
+    AND >= 15 points over the measured random-init baseline. Short runs
+    (<1500 steps) are measurably still inside the centering plateau
+    (final 6.933 vs ln K 6.9315 at 400 steps) — they assert mechanics +
+    no-collapse only. Windows scale with the step count (plateau in
+    [10%, 27%], final = last ~7%): a fixed slice returned an empty (NaN)
+    plateau for runs under ~350 steps (review find r4-s2)."""
     n = len(losses)
     p0, p1 = max(1, n // 10), max(2, int(n * 0.27))
     plateau = float(np.mean(losses[p0:p1]))
     final = float(np.mean(losses[-max(2, n // 15):]))
     lnk = float(np.log(out_dim))
     chance = 1.0 / N_TEXTURE_CLASSES
-    print(f"dino plateau {plateau:.4f} -> final {final:.4f} (ln K={lnk:.4f})"
-          f"  kNN[{N_TEXTURE_CLASSES}-class] init {acc_init:.3f} -> "
-          f"trained {acc:.3f} (chance {chance:.3f})")
+    print(f"{tag} plateau {plateau:.4f} -> final {final:.4f} "
+          f"(ln K={lnk:.4f})  kNN[{N_TEXTURE_CLASSES}-class] "
+          f"init {acc_init:.3f} -> trained {acc:.3f} (chance {chance:.3f})")
+    assert np.isfinite(losses).all(), "non-finite loss in the run"
     if steps >= 1500:
         assert final < lnk, (final, lnk)
         assert final < plateau - 0.002, (plateau, final)
         assert acc >= 2 * chance, (acc, chance)
         assert acc >= acc_init + 0.15, (acc, acc_init)
     else:
-        # short smoke (8-class pool): at a few hundred steps the run is
-        # still inside the centering plateau (measured: final 6.933 vs
-        # ln K 6.9315 at 400 steps) — assert the mechanics (no blow-up,
-        # ckpt replay above) and no collapse; the learning margins are
-        # the >=1500-step assertions.
         assert final < plateau + 0.01, (plateau, final)
         assert acc >= chance, (acc, chance)
-    print("ssl slice OK")
 
 
 if __name__ == "__main__":

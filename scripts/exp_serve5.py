@@ -22,7 +22,13 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+sys.path.insert(0, "/root/repo")
+
+from tpuwsi.core.compile import machine_cache_dir  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir", machine_cache_dir("/root/repo/.jax_cache")
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp  # noqa: E402
@@ -40,7 +46,13 @@ FLAGS = {
 }
 
 
-def build_supervised(batch: int):
+def supervised_step_parts(batch: int, aug_override=None):
+    """ONE assembly of the run-book supervised step (ViT-S/16 @ 256²,
+    on-device 'cbnfrsc', AdamW+EMA) shared by every supervised exp script
+    (exp_sup5 imports this — hand-copied builders drift from the measured
+    config, the round-4 review lesson). ``aug_override(recipe)`` may wrap
+    or replace the recipe-built augment_fn. Returns (state, raw_step,
+    batch_dict, rng)."""
     from tpuwsi.models.registry import create_model
     from tpuwsi.preprocess.recipes import make_recipe
     from tpuwsi.train import OptimConfig, make_optimizer
@@ -58,12 +70,17 @@ def build_supervised(batch: int):
         global_batch_size=batch)
     state = create_train_state(params, tx, ema=True)
     recipe = make_recipe("cbnfrsc", train=True, tile_size=256)
-    step = make_train_step(model.apply, tx, augment_fn=recipe,
+    aug = aug_override(recipe) if aug_override is not None else recipe
+    step = make_train_step(model.apply, tx, augment_fn=aug,
                            compute_auc=True, ema_decay=0.9998)
     imgs = np.random.randint(0, 255, (batch, 256, 256, 3), dtype=np.uint8)
     b = {"images": jnp.asarray(imgs),
          "labels": jnp.asarray(np.arange(batch) % 2)}
-    rng = jax.random.PRNGKey(1)
+    return state, step, b, jax.random.PRNGKey(1)
+
+
+def build_supervised(batch: int):
+    state, step, b, rng = supervised_step_parts(batch)
     jit = jax.jit(step).lower(state, b, rng).compile(compiler_options=FLAGS)
 
     def run():

@@ -19,7 +19,13 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+sys.path.insert(0, "/root/repo")
+
+from tpuwsi.core.compile import machine_cache_dir  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir", machine_cache_dir("/root/repo/.jax_cache")
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp  # noqa: E402
@@ -37,30 +43,18 @@ N_CALLS = 3
 
 
 def run(tag: str, aug_dtype, batch: int = 64) -> float:
-    from tpuwsi.models.registry import create_model
-    from tpuwsi.preprocess.recipes import make_recipe
-    from tpuwsi.train import OptimConfig, make_optimizer
-    from tpuwsi.train.state import create_train_state
-    from tpuwsi.train.supervised import make_train_step
+    # the EXACT run-book supervised step, via the shared builder
+    # (exp_serve5.supervised_step_parts) — no hand-copied config
+    sys.path.insert(0, "/root/repo/scripts")
+    from exp_serve5 import supervised_step_parts
 
-    model = create_model(
-        "vit_small_patch16_224", num_classes=2, img_size=256,
-        use_pallas_attention=True, attn_save_probs=True,
-    )
-    params = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3), jnp.float32))
-    tx, _ = make_optimizer(
-        OptimConfig(opt="adamw", lr=1e-4, weight_decay=1e-2), params,
-        global_batch_size=batch)
-    state = create_train_state(params, tx, ema=True)
-    recipe = make_recipe("cbnfrsc", train=True, tile_size=256)
     if aug_dtype is None:
-        aug = recipe  # uint8 in -> f32 aug (status quo)
+        override = None  # uint8 in -> f32 aug (status quo)
     else:
-        def aug(key, imgs):
-            return recipe(key, imgs.astype(aug_dtype) / 255.0)
-    step = make_train_step(model.apply, tx, augment_fn=aug,
-                           compute_auc=True, ema_decay=0.9998)
+        def override(recipe):
+            return lambda key, imgs: recipe(
+                key, imgs.astype(aug_dtype) / 255.0)
+    state, step, b, rng = supervised_step_parts(batch, aug_override=override)
 
     def multi(state, b, rng):
         def body(carry, i):
@@ -68,11 +62,6 @@ def run(tag: str, aug_dtype, batch: int = 64) -> float:
                          jax.random.fold_in(rng, i))
             return st, m["loss"]
         return jax.lax.scan(body, state, jnp.arange(K))
-
-    imgs = np.random.randint(0, 255, (batch, 256, 256, 3), dtype=np.uint8)
-    b = {"images": jnp.asarray(imgs),
-         "labels": jnp.asarray(np.arange(batch) % 2)}
-    rng = jax.random.PRNGKey(1)
     jit = jax.jit(multi).lower(state, b, rng).compile(compiler_options=FLAGS)
     state, losses = jit(state, b, rng)
     np.asarray(losses)

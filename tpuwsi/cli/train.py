@@ -18,7 +18,6 @@ import dataclasses
 import logging
 import os
 import time
-import weakref
 from typing import Optional
 
 import numpy as np
@@ -1003,12 +1002,23 @@ def _run_chunk(chunk, spd, jit_step, jit_multi, mesh, keys, state, rng):
     return state, metrics
 
 
-# scanned-eval wrappers memoized on the step function itself: a fresh
-# jax.jit wrapper per epoch would retrace every eval pass, and the previous
-# module-level id()-keyed dict held strong references to every run's
-# closures + compiled executables for process lifetime (advisor round-4) —
-# a WeakKeyDictionary is collected with the step objects when a run ends.
-_SCANNED_EVALS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+def _scanned_eval_for(step_fn):
+    """Scanned-eval wrapper memoized ON the step function itself: a fresh
+    jax.jit wrapper per epoch would retrace every eval pass, and a
+    module-level cache held every run's closures + compiled executables
+    for process lifetime (advisor round-4; a WeakKeyDictionary does not
+    help — the scanned closure strongly references its key, so entries
+    never die). Stashing on the step object (setattr works on both plain
+    functions and PjitFunction) ties the executable's lifetime to the
+    run's own step function; the step→scanned→step cycle is ordinary
+    cycle-collector fodder once the run drops the step."""
+    scanned = getattr(step_fn, "_tpuwsi_scanned_eval", None)
+    if scanned is None:
+        from tpuwsi.train.supervised import make_multi_eval_step
+
+        scanned = jax.jit(make_multi_eval_step(step_fn))
+        step_fn._tpuwsi_scanned_eval = scanned
+    return scanned
 
 
 def _serving_stream(chunks, state, eval_step, k, depth,
@@ -1023,16 +1033,10 @@ def _serving_stream(chunks, state, eval_step, k, depth,
     import jax.numpy as jnp
 
     from tpuwsi.infer.pipeline import eval_stream
-    from tpuwsi.train.supervised import make_multi_eval_step
 
     multi = None
     if k > 1:
-        # memoized on the step object: a fresh jax.jit wrapper per epoch
-        # would retrace (and re-hit the compile cache) every eval pass
-        scanned = _SCANNED_EVALS.get(eval_step)
-        if scanned is None:
-            scanned = jax.jit(make_multi_eval_step(eval_step))
-            _SCANNED_EVALS[eval_step] = scanned
+        scanned = _scanned_eval_for(eval_step)
         multi = lambda ims: scanned(state, {"images": jnp.asarray(ims)})
     # threaded decode-ahead: tile reads proceed while the consumer blocks
     # in device fetches (the training loops' Prefetcher, serving-side)
@@ -1516,15 +1520,11 @@ def train_survival(args, output_dir, ledger, exp):
                 agg = SurvivalAggregator()
 
                 from tpuwsi.infer.pipeline import eval_stream
-                from tpuwsi.train.supervised import make_multi_eval_step
 
                 k_ev = args.eval_steps_per_dispatch
                 multi = None
                 if k_ev > 1:
-                    scanned_r = _SCANNED_EVALS.get(risk_fn)
-                    if scanned_r is None:
-                        scanned_r = jax.jit(make_multi_eval_step(risk_fn))
-                        _SCANNED_EVALS[risk_fn] = scanned_r
+                    scanned_r = _scanned_eval_for(risk_fn)
                     params_now = state.params
                     multi = lambda ims: scanned_r(
                         params_now, jnp.asarray(ims))

@@ -46,47 +46,41 @@ def make_mil_train_step(model: GatedAttentionMIL, tx: optax.GradientTransformati
     return step
 
 
-def _mil_eval_fwds(model, steps_per_dispatch: int):
-    """Jitted eval forwards for ``evaluate_mil``, memoized on the model
-    object: train_mil_head calls evaluate_mil once per epoch, and
-    rebuilding the jit wrappers there retraced the lax.scan'd eval every
-    epoch — for the tiny dispatch-bound MIL head the retrace cost more
-    than the dispatch overhead steps_per_dispatch amortizes (advisor
-    round-4). The cache lives ON the model instance, so it is collected
-    with it (no process-lifetime executable accumulation)."""
-    cache = getattr(model, "_tpuwsi_eval_fwd_cache", None)
-    if cache is None:
-        cache = {}
-        object.__setattr__(model, "_tpuwsi_eval_fwd_cache", cache)
-    key = steps_per_dispatch > 1
-    if key not in cache:
-        fwd = jax.jit(
-            lambda p, f, m: jax.nn.softmax(model.apply(p, f, m), axis=-1))
-        multi_fwd = None
-        if steps_per_dispatch > 1:
-            multi_fwd = jax.jit(lambda p, fm: jax.lax.scan(
-                lambda c, b: (c, jax.nn.softmax(
-                    model.apply(p, b["features"], b["mask"]), axis=-1)),
-                None, fm)[1])
-        cache[key] = (fwd, multi_fwd)
-    return cache[key]
+def make_mil_eval_fwds(model, steps_per_dispatch: int):
+    """Build the jitted eval forwards for ``evaluate_mil`` ONCE per run:
+    ``(fwd, multi_fwd)`` where multi_fwd is the lax.scan'd K-batch variant
+    (None for steps_per_dispatch<=1). train_mil_head calls evaluate_mil
+    every epoch — rebuilding the jit wrappers there retraced the scanned
+    eval each epoch, which for the tiny dispatch-bound MIL head cost more
+    than the dispatch overhead the scan amortizes (advisor round-4)."""
+    fwd = jax.jit(
+        lambda p, f, m: jax.nn.softmax(model.apply(p, f, m), axis=-1))
+    multi_fwd = None
+    if steps_per_dispatch > 1:
+        multi_fwd = jax.jit(lambda p, fm: jax.lax.scan(
+            lambda c, b: (c, jax.nn.softmax(
+                model.apply(p, b["features"], b["mask"]), axis=-1)),
+            None, fm)[1])
+    return fwd, multi_fwd
 
 
 def evaluate_mil(model, state, dataset, batch_size: int = 16, seed: int = 0,
-                 steps_per_dispatch: int = 1):
+                 steps_per_dispatch: int = 1, fwds=None):
     """Slide-level eval over a FeaturesMILDataset: deterministic-order full
     pass, per-bag class-1 prob → AUC/accuracy (the MIL analogue of the
     reference's slide-level validate, train.py:1334-1338).
 
     The MIL head is tiny (512→128 GEMMs): per-batch dispatch overhead
     dominates device compute, so ``steps_per_dispatch > 1`` scans k batches
-    per dispatch (infer/pipeline.eval_stream)."""
+    per dispatch (infer/pipeline.eval_stream). ``fwds``: pass the result
+    of ``make_mil_eval_fwds`` when calling in a loop (train_mil_head does)
+    to avoid a retrace per call; one-shot callers may omit it."""
     from tpuwsi.infer.aggregate import roc_auc
     from tpuwsi.infer.pipeline import eval_stream
 
     rng = np.random.default_rng(seed)
     probs, labels = [], []
-    fwd, multi_fwd = _mil_eval_fwds(model, steps_per_dispatch)
+    fwd, multi_fwd = fwds or make_mil_eval_fwds(model, steps_per_dispatch)
     multi = None
     if multi_fwd is not None:
         multi = lambda fm: multi_fwd(
@@ -147,6 +141,7 @@ def train_mil_head(
     state = create_train_state(params, tx)
     step_inner = make_mil_train_step(model, tx)
     step = jax.jit(step_inner)
+    eval_fwds = None
     multi = None
     if steps_per_dispatch > 1:
         def _multi(st, batches):
@@ -181,9 +176,12 @@ def train_mil_head(
                     state, jax.tree_util.tree_map(jnp.asarray, tail))
         metrics = {k: float(v) for k, v in metrics.items()}
         if eval_dataset is not None:
+            if eval_fwds is None:  # built once, reused every epoch
+                eval_fwds = make_mil_eval_fwds(model, steps_per_dispatch)
             metrics.update(
                 evaluate_mil(model, state, eval_dataset, batch_size, seed,
-                             steps_per_dispatch=steps_per_dispatch)
+                             steps_per_dispatch=steps_per_dispatch,
+                             fwds=eval_fwds)
             )
         if log_fn:
             log_fn(epoch, metrics)
